@@ -1,0 +1,62 @@
+"""The reference's core cleaning job, reimagined Spark-first.
+
+Reference pipeline (spark-apps/clean_nyc_taxi_pipeline.py:7-19):
+    read.parquet -> dropna() -> dropDuplicates() ->
+    withColumn('pickup_month', month(pickup_ts)) -> coalesce(1).write.csv
+
+Engine version: same logical transform, but the CSV hop is gone (type
+erasure + re-inference made the reference lossy) and the sink is
+month-partitioned Parquet (the reference's own commented-out intent at
+spark-apps/clean_nyc_taxi_pipeline.py:16).
+
+Scale notes:
+- ``dropna``/``withColumn`` are narrow — no shuffle.
+- ``dropDuplicates()`` is the one shuffle: a hash repartition on all
+  columns with map-side partial aggregation.  At 100 TB this is the
+  dominant cost; AQE coalesces the post-shuffle partitions and handles
+  skew.  For the keyed variant pass ``subset`` so the shuffle hashes
+  only the key columns (narrower exchange rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import month_of_year
+
+__all__ = ["clean_pipeline", "drop_null_rows", "dedup_exact_rows", "with_derived_month"]
+
+
+def drop_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P1: df.dropna() — drop rows with any NULL (optionally keyed)."""
+    return df.dropna(how="any", subset=list(subset) if subset else None)
+
+
+def dedup_exact_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P2: exact duplicate removal.  Full-row or keyed."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def with_derived_month(df: DataFrame, ts_col: str, out_col: str = "pickup_month") -> DataFrame:
+    """P3/F3: the reference's derived ``pickup_month`` column."""
+    return df.withColumn(out_col, month_of_year(ts_col))
+
+
+def clean_pipeline(
+    df: DataFrame,
+    ts_col: str,
+    month_col: str = "pickup_month",
+    dropna_subset: Sequence[str] | None = None,
+    dedup_subset: Sequence[str] | None = None,
+    extra_columns: dict[str, Column] | None = None,
+) -> DataFrame:
+    """P1 -> P2 -> P3 composed: the end-to-end cleaning slice."""
+    out = drop_null_rows(df, dropna_subset)
+    out = dedup_exact_rows(out, dedup_subset)
+    out = with_derived_month(out, ts_col, month_col)
+    for name, col in (extra_columns or {}).items():
+        out = out.withColumn(name, col)
+    return out

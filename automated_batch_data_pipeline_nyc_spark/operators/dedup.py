@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale (LLM) data pipelines.
+
+Beyond the reference's ``dropDuplicates`` (P2,
+spark-apps/clean_nyc_taxi_pipeline.py:10), this module implements the
+dedup family a 100 TB training-data pipeline needs:
+
+- exact content dedup (hash-groupBy, deterministic representative)
+- MinHash + LSH banding near-dedup (shingle -> minhash -> band ->
+  bucket join -> verify)
+- SimHash near-dedup (token hashing -> bit-vote signature -> block on
+  16-bit chunks -> Hamming verify)
+- word n-gram Jaccard pairwise similarity (SQL-expressible oracle path)
+- embedding-cosine near-dup (see similarity.py for the ANN machinery)
+
+Scale design notes:
+- Signatures (minhash / simhash) are computed with *array expressions*
+  (``transform`` / ``aggregate`` / ``array_min``) over an array-typed
+  shingle column — pure JVM codegen, NO explode of k hash functions and
+  NO Python in the hot path.  Cost is O(k x shingles) arithmetic per
+  row, map-only.
+- The only shuffles are the LSH bucket join (keyed on (band, hash) —
+  tiny rows) and the final verify join.  Candidate pairs, not the
+  corpus, hit the pairwise stage: that is what makes near-dedup
+  tractable at 10^10 documents where the naive O(n^2) join is not.
+- Banding math: b bands x r rows, threshold ~ (1/b)^(1/r).  Defaults
+  (b=16, r=8, k=128) target ~0.71 Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingle",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "minhash_dedup",
+    "simhash_signature",
+    "simhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "keep_canonical",
+]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup keeping the row with the smallest id per
+    distinct content value — deterministic, unlike bare
+    ``dropDuplicates`` whose survivor is partition-order dependent.
+
+    One shuffle on the content hash; the window's rank filter is pushed
+    into the sort (WindowGroupLimit), so each group materializes one
+    row.  Hashing the content first (md5) keeps exchange rows small
+    when documents are megabytes.
+    """
+    fp = F.md5(F.col(content_col).cast("string"))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def shingle(text: Column | str, n: int = 5, word_grams: bool = True) -> Column:
+    """Distinct shingle array for a text column.
+
+    ``word_grams``: n-token word shingles (robust for natural text);
+    otherwise character n-grams.  Built entirely from array expressions
+    (split / transform / slice / array_distinct) — codegen'd, map-only.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    if word_grams:
+        toks = F.split(F.lower(t), "\\s+")
+        k = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        # texts shorter than n tokens: fall back to the whole text as
+        # one shingle so they can still be compared.
+        grams = F.when(k >= 1, grams).otherwise(F.array(F.lower(t)))
+    else:
+        chars = F.lower(t)
+        k = F.length(chars) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.substring(chars, 1, n).alias("g") if False else chars.substr(i, F.lit(n)),
+        )
+        grams = F.when(k >= 1, grams).otherwise(F.array(chars))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    ``xxhash64(shingle, i)``.  k seeded-hash minima computed as
+    ``array_min(transform(...))`` — no explode, no shuffle; O(k x m)
+    JVM arithmetic per row."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "signature",
+    bands: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, explode to
+    (band_idx, band_hash) keys, self-join on the key.
+
+    The join input is (id, band, hash64) — a few dozen bytes per row
+    regardless of document size — so the shuffle stays tiny even when
+    the corpus is 100 TB of text.  Pairs are emitted once (a.id < b.id,
+    distinct across bands)."""
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice(F.col(signature_col), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            )),
+            b,
+        ),
+    )
+    buckets = (
+        df.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash near-dedup.
+
+    Returns the deduplicated DataFrame: for every near-duplicate pair
+    (verified on *exact* shingle-set Jaccard, not just the LSH bucket),
+    the higher-id document is dropped.  "Keep lowest id per duplicate
+    relation" is a deterministic single-pass approximation of
+    connected-component clustering: any doc with a smaller near-dup
+    survivor is removed.
+    """
+    with_sig = (
+        df.withColumn("__shingles", shingle(text_col, n=shingle_size))
+        .withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    )
+    with_sig = with_sig.persist()
+    pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
+    sh = with_sig.select(F.col(id_col), F.col("__shingles"))
+    verified = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    doomed = verified.select(F.col("id_b").alias(id_col)).distinct()
+    result = df.join(doomed, on=id_col, how="left_anti").drop("__shingles", "__sig")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signature(text: Column | str, bits: int = 64) -> Column:
+    """SimHash: each token votes +1/-1 on every bit of its 64-bit hash;
+    the signature's bit i is 1 iff the vote sum is positive.
+
+    Expressed as ``aggregate`` over the token array with a
+    64-long vote accumulator (``zip_with`` add) — again map-only JVM
+    arithmetic, no explode.  Returns the signature as BIGINT.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(F.lower(t), "\\s+"))
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def token_votes(tok: Column) -> Column:
+        # shift amounts must be Python ints (Spark shiftright signature),
+        # so the 64 bit-extracts are unrolled at plan-build time.
+        h = F.xxhash64(tok)
+        return F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            for i in range(bits)
+        ])
+
+    votes = F.aggregate(
+        toks,
+        zero,
+        lambda acc, tok: F.zip_with(acc, token_votes(tok), lambda a, v: a + v),
+    )
+    # fold the vote vector into a single 64-bit integer
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit = F.when(
+            F.element_at(votes, i + 1) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance.
+
+    Blocking: split the 64-bit signature into 4 x 16-bit chunks; by
+    pigeonhole any pair within Hamming distance 3 agrees on >= 1 chunk,
+    so joining on (chunk_idx, chunk_value) finds all such pairs while
+    shuffling only (id, 4 small keys) per doc.  Verification computes
+    the exact Hamming distance via bit_count(xor).
+    """
+    chunks = F.array(*[
+        F.shiftright(F.col(simhash_col), i * 16).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ])
+    blocked = df.select(
+        F.col(id_col), F.col(simhash_col), F.posexplode(chunks).alias("chunk", "chunk_val")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (SQL-expressible; oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Pairwise word-n-gram Jaccard similarity within a blocking key.
+
+    The blocking column (language, length bucket, LSH bucket, ...)
+    bounds the pair explosion; at scale, feed this an LSH bucket id so
+    the quadratic term is per-bucket.  Kept fully SQL-expressible
+    (split / distinct / intersect / union sizes) so a DuckDB oracle can
+    verify it bit-for-bit.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(F.split(F.lower(text_col), " ")) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.split(F.lower(text_col), " "), i, n)),
+        )
+    )
+    g = df.select(F.col(id_col), F.col(block_col).alias("__blk"), grams.alias("__grams"))
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.__grams", "b.__grams")).cast("double")
+                / F.size(F.array_union("a.__grams", "b.__grams")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop the higher-id member of every duplicate pair (expects
+    columns id_a < id_b in *pairs*)."""
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, on=id_col, how="left_anti")

@@ -1,0 +1,66 @@
+"""Data-quality gates (SURVEY.md §2.10 O3/O4).
+
+The reference enforces quality with two SQL assertions that fail the
+Airflow task (dags/nyc_taxi_pipeline_dag.py:184-202): COUNT(*) > 0 and
+zero NULLs in key fields.  Here they are reusable gate stages that
+raise ``QualityGateError`` — the driver-level equivalent of a failed
+task halting downstream stages.
+
+Scale note: both gates are single aggregations; ``expect_no_nulls``
+folds all key columns into ONE pass (a single conditional-count
+aggregate) instead of one count() job per column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["QualityGateError", "expect_nonempty", "expect_no_nulls", "expect", "null_matrix"]
+
+
+class QualityGateError(AssertionError):
+    """A quality gate failed; the pipeline run must halt (O3/O4)."""
+
+
+def expect_nonempty(df: DataFrame, name: str = "dataset") -> DataFrame:
+    """O3: raise if COUNT(*) == 0 (dags/nyc_taxi_pipeline_dag.py:188-192)."""
+    # limit(1) probe: at 100 TB we don't need the exact count to know
+    # the table is non-empty.
+    if not df.take(1):
+        raise QualityGateError(f"{name}: row count is 0")
+    return df
+
+
+def expect_no_nulls(df: DataFrame, key_columns: Sequence[str], name: str = "dataset") -> DataFrame:
+    """O4: raise if any key column is NULL in any row
+    (dags/nyc_taxi_pipeline_dag.py:194-202)."""
+    pred = None
+    for c in key_columns:
+        p = F.col(c).isNull()
+        pred = p if pred is None else (pred | p)
+    bad = df.filter(pred).count()
+    if bad:
+        raise QualityGateError(f"{name}: {bad} rows with NULL in {list(key_columns)}")
+    return df
+
+
+def expect(df: DataFrame, predicate: Column, name: str = "expectation") -> DataFrame:
+    """Generic gate: every row must satisfy *predicate*."""
+    bad = df.filter(~predicate).count()
+    if bad:
+        raise QualityGateError(f"{name}: {bad} rows violate predicate")
+    return df
+
+
+def null_matrix(df: DataFrame) -> DataFrame:
+    """A3: per-column NULL counts in one aggregation pass — the
+    distributed version of ``chunk.isnull().sum()``
+    (dags/nyc_taxi_pipeline_dag.py:95-96)."""
+    aggs = [
+        F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}")
+        for c in df.columns
+    ]
+    return df.agg(*aggs)

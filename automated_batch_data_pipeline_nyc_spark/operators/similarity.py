@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator family (SURVEY.md §2.9): brute-force cosine top-k
+as the exact baseline, plus two scale paths — random-hyperplane LSH
+bucketing and an IVF (inverted-file) index built on Spark ML KMeans.
+
+Scale design:
+- ``cosine`` is pure array arithmetic (``zip_with`` + ``aggregate``)
+  in double precision — codegen'd, map-only, deterministic (fixed
+  left-to-right summation), which is what lets a DuckDB oracle verify
+  the exact paths bit-for-bit.
+- Brute-force query top-k is a map + TakeOrderedAndProject: no global
+  sort, no shuffle of the corpus.  Fine at any scale for a single
+  query; for batch knn-joins use the LSH or IVF paths so the pair
+  space is bucket-local instead of O(n x m).
+- IVF: KMeans centroids (a few KB) broadcast to executors; assignment
+  is map-only; a probe search touches nprobe/k of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_to_query",
+    "brute_force_topk",
+    "cosine_self_join_pairs",
+    "hyperplane_lsh_bucket",
+    "lsh_topk",
+    "build_ivf_index",
+    "ivf_search",
+]
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right double dot product."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float], out_col: str = "cosine_sim") -> DataFrame:
+    """Score every row against a constant query vector — map-only."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return df.withColumn(out_col, cosine(F.col(vec_col), q))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: scan + TakeOrderedAndProject.  Ties break
+    on id for determinism."""
+    scored = cosine_to_query(df, vec_col, query)
+    return (
+        scored.select(id_col, "cosine_sim")
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_self_join_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a,b), a<b, cosine >= t.
+
+    With ``block_col`` (e.g. an LSH bucket from
+    ``hyperplane_lsh_bucket``) the join is bucket-local; without it
+    this is the exact O(n^2) baseline for oracle verification only —
+    do not run unblocked at scale.
+    """
+    v = df.select(F.col(id_col), F.col(vec_col), *( [F.col(block_col)] if block_col else [] ))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed
+    seed) — generated driver-side once, inlined as literals (a few KB),
+    effectively broadcast with the plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket id = sign bits against
+    ``n_planes`` fixed hyperplanes.  Cosine-similar vectors collide
+    with probability 1 - theta/pi per plane.  Map-only."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(F.col(vec_col), p) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.  The
+    scan is pruned to ~n/2^planes of the corpus; recall depends on
+    bucket granularity (tune n_planes; multi-probe = drop planes)."""
+    dim = len(query)
+    bucketed = hyperplane_lsh_bucket(df, vec_col, dim, n_planes, seed)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(p * q for p, q in zip(plane, query)) >= 0:
+            qbucket |= 1 << i
+    return brute_force_topk(
+        bucketed.filter(F.col("lsh_bucket") == qbucket), vec_col, query, k, id_col
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    assign_col: str = "ivf_list",
+):
+    """IVF coarse quantizer: KMeans (Spark ML, fixed seed) over the
+    embeddings; returns (assigned_df, centroids) where ``centroids`` is
+    a small driver-side list [[...], ...] indexed by list id.
+
+    At 100 TB: fit on a sample (KMeans cost is per-row x iters), then
+    a single map-only pass assigns every vector; write the result
+    partitioned by ``ivf_list`` so probes prune at the file level.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__features", array_to_vector(_as_double(F.col(vec_col))))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol=assign_col).fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    assign_col: str = "ivf_list",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest inverted lists, brute-force within.
+    Touches ~nprobe/n_lists of the corpus; with list-partitioned
+    storage the untouched lists are never read (partition pruning)."""
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(y * y for y in b) ** 0.5
+        return num / (da * db) if da and db else 0.0
+
+    probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i], query))[:nprobe]
+    pruned = assigned.filter(F.col(assign_col).isin(probes))
+    return brute_force_topk(pruned, vec_col, query, k, id_col)

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (marker-word heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish
+estimate), and document fingerprinting.  Everything is built from
+JVM-side string/array built-ins — whole-stage codegen, no Python in
+the hot path — and every expression is deliberately reproducible in
+ANSI SQL so the DuckDB oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_token_estimate",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "language_id",
+    "fingerprint_md5",
+    "rolling_hash_fingerprint",
+    "text_stats",
+]
+
+#: Small English stopword set (public-domain list subset) used by the
+#: quality heuristics.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+#: Marker words per language for the n-gram/marker language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "est", "et"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space split to stay bit-exact
+    with the SQL oracle's string_split)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """BPE-ish token-count estimate without a tokenizer model: count
+    word-piece-like units (runs of letters/digits, each additionally
+    charged ceil(len/6) for long words) plus standalone punctuation.
+    Deterministic, SQL-reproducible."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda w: w != "")
+    word_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 6.0).cast("bigint"),
+    )
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", ""))
+    return (word_pieces + punct).alias("bpe_tokens")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards moderate length,
+    some-but-not-too-much punctuation, and a natural stopword rate.
+    Weights are fixed constants; the exact arithmetic (double ops in a
+    fixed order) is mirrored in the SQL oracle."""
+    t = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(t)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4)) / F.lit(0.4)
+    sw_score = F.greatest(sw_score, F.lit(0.0))
+    p = punct_ratio(t)
+    punct_score = F.lit(1.0) - F.least(p * F.lit(10.0), F.lit(1.0))
+    return (len_score * F.lit(0.4) + sw_score * F.lit(0.4) + punct_score * F.lit(0.2))
+
+
+def language_id(text: Column | str, out_score: bool = False) -> Column:
+    """Marker-word language heuristic: count hits per language's marker
+    set; highest count wins, ties broken by fixed language order
+    ('en' > 'de' > 'es' > 'fr'), 'und' (undetermined) when no marker
+    hits.  A real pipeline would swap in fastText/CLD3 via a Pandas
+    UDF; the heuristic keeps the operator fully SQL-verifiable."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+
+    def _marker_hits(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        cond = (scores[lang] > 0)
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Normalized content fingerprint: md5 of lowercased,
+    whitespace-collapsed text.  md5 (not xxhash) so the oracle matches."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(t)), "\\s+", " "))
+
+
+def rolling_hash_fingerprint(text: Column | str, modulus: int = 1_000_000_007, base: int = 131) -> Column:
+    """Polynomial rolling hash over UTF-8 code units — the classic
+    Rabin-Karp document fingerprint, as a pure array expression."""
+    t = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + c) % modulus,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One-pass per-document stat panel (all map-only)."""
+    return df.withColumns({
+        "n_chars_computed": F.length(text_col),
+        "n_tokens": token_count(text_col),
+        "bpe_tokens": bpe_token_estimate(text_col),
+        "punct_ratio": punct_ratio(text_col),
+        "stopword_ratio": stopword_ratio(text_col),
+        "quality": quality_score(text_col),
+        "lang_pred": language_id(text_col),
+        "fingerprint": fingerprint_md5(text_col),
+    })

@@ -1,0 +1,85 @@
+"""Window / ordinal operators (SURVEY.md §2.7).
+
+The reference's only ordinal pattern is a driver-side chunk counter
+(dags/nyc_taxi_pipeline_dag.py:77-81); here the full analytic-window
+surface is declared.  All of these shuffle once on the partition key
+and then sort within partitions — at scale the rule is: always
+``partitionBy`` a real key (a global window with no partition key is a
+single-task sort and is only acceptable on small exports).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = ["ranked", "top_k_per_group", "with_lag", "moving_avg", "running_sum"]
+
+
+def _spec(partition_by: Sequence[str], order_by: Sequence[Column | str]) -> WindowSpec:
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(*order_by)
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    out_col: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    return df.withColumn(out_col, fn().over(_spec(partition_by, order_by)))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k via row_number + filter; Spark pushes the rank
+    filter into the window sort (WindowGroupLimit) so each group only
+    materializes k rows."""
+    out = ranked(df, partition_by, order_by, out_col="__rn", method="row_number")
+    return out.filter(F.col("__rn") <= k).drop("__rn")
+
+
+def with_lag(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    offset: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    out_col = out_col or f"{col}_lag{offset}"
+    return df.withColumn(out_col, F.lag(col, offset).over(_spec(partition_by, order_by)))
+
+
+def moving_avg(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    window_rows: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Sliding average over the previous *window_rows* rows (inclusive)."""
+    out_col = out_col or f"{col}_mavg{window_rows}"
+    spec = _spec(partition_by, order_by).rowsBetween(-(window_rows - 1), 0)
+    return df.withColumn(out_col, F.avg(col).over(spec))
+
+
+def running_sum(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    out_col: str | None = None,
+) -> DataFrame:
+    out_col = out_col or f"{col}_running"
+    spec = _spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(col).over(spec))

@@ -1,0 +1,73 @@
+"""Sinks: partitioned Parquet is the primary path; CSV only at export
+boundaries (the reference's lossy CSV hop between Spark and Postgres —
+spark-apps/clean_nyc_taxi_pipeline.py:19 -> dags/nyc_taxi_pipeline_dag.py:70-92
+— is deliberately eliminated).
+
+Reference operators covered (SURVEY.md §2.1):
+- S7  single-file CSV sink  (spark-apps/clean_nyc_taxi_pipeline.py:19)
+- S8  plain CSV sink        (spark-apps/test_spark.py:16)
+- S9  partitioned Parquet   (spark-apps/clean_nyc_taxi_pipeline.py:16, README.md:116-119)
+- S10/S11/S14 append/replace table sinks (dags/nyc_taxi_pipeline_dag.py:99)
+- S13 CSV export            (dags/nyc_taxi_pipeline_dag.py:149-150)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_parquet", "write_csv", "export_csv_single_file", "write_table"]
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S9: the engine's primary sink.  ``partition_by`` on a
+    low-cardinality derived column (e.g. pickup_month) gives automatic
+    partition pruning on re-read — the Spark-native replacement for the
+    reference's Postgres BTREE indexes (dags/nyc_taxi_pipeline_dag.py:56-58).
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session
+    default) ``mode='overwrite'`` only rewrites the partitions present
+    in *df* — the incremental monthly load README.md:220-222 claims.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """S8/S13: parallel CSV write (one part per partition)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def export_csv_single_file(
+    df: DataFrame,
+    path: str,
+    order_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S7: the reference's ``coalesce(1)`` CSV funnel, plus a canonical
+    sort so the exported file is deterministic (the reference's output
+    order is shuffle-dependent — SURVEY.md §4 'deterministic export').
+
+    Scale note: coalesce(1) serializes the final write through one task
+    by design; this is an *export* path for small results, never the
+    inter-stage format.
+    """
+    if order_by:
+        df = df.orderBy(*order_by)
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_table(df: DataFrame, name: str, mode: str = "append") -> None:
+    """S10 (append) / S11 (overwrite) / M2 (ignore = CREATE IF NOT
+    EXISTS) table sinks — the catalog replaces Postgres/SQLite/BigQuery.
+    External-DB parity would be ``df.write.jdbc(url, table, mode=mode)``
+    with ``batchsize`` standing in for pandas ``method='multi'``."""
+    df.write.mode(mode).saveAsTable(name)

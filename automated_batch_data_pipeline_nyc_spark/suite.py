@@ -1,0 +1,1148 @@
+"""The declared query suite: every operator from SURVEY.md §2 (plus the
+LLM-pipeline additions) as a (Spark callable, DuckDB oracle SQL) pair.
+
+Contract (driver verify): for each name, the Spark DataFrame from
+``QUERIES[name].spark(spark, sf_dir)`` must match the DuckDB result of
+``QUERIES[name].oracle`` on row count, schema and order-insensitive
+value hash.  Cross-engine exactness rules used throughout:
+
+- **Money sums are computed in DECIMAL.**  Every money column is an
+  exact 2-decimal value stored as double; casting to DECIMAL(p,2)
+  recovers it exactly in both engines, decimal arithmetic is exact and
+  order-independent (no float summation-order drift), and the final
+  cast back to double is correctly rounded in both engines — so SUM /
+  AVG results are bit-identical regardless of partitioning.
+- **Ratios/averages** divide two already-identical values with one
+  IEEE double division (identical in both engines).
+- **Date parts** are cast to BIGINT on the Spark side (DuckDB's
+  month()/hour() return BIGINT).
+- **Every computed column is aliased identically in both dialects**
+  (the driver compares columns by name).
+- Ordering never matters (hash is order-insensitive), but LIMIT/top-k
+  queries always carry a unique tie-break key so the *row set* is
+  deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import time_bucket
+from .operators import dedup as dd
+from .operators import joins as J
+from .operators import quality as Q
+from .operators import relational as R
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators import windows as W
+from .operators.cleaning import clean_pipeline
+from .sources import load_tables, read_parquet
+
+__all__ = ["QUERIES", "Query", "spark_queries", "oracle_queries"]
+
+# exact-decimal casts (see module docstring)
+D2 = "decimal(12,2)"          # money / 2-dp values
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [read_parquet(spark, _t(sf_dir, n)) for n in names]
+
+
+def _sum_money(col: F.Column, alias: str) -> F.Column:
+    return F.sum(col.cast(D2)).cast("double").alias(alias)
+
+
+def _avg_money(col: F.Column, alias: str) -> F.Column:
+    return (F.sum(col.cast(D2)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+#: SQL fragments mirroring the helpers above.
+SQL_SUM = "CAST(SUM(CAST({col} AS DECIMAL(12,2))) AS DOUBLE)"
+SQL_AVG = "CAST(SUM(CAST({col} AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)"
+
+
+@dataclass(frozen=True)
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # None => non-SQL-expressible (rows-only check)
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Reference core: the cleaning pipeline (P1, P2, P3/F3, S2)
+# ===========================================================================
+
+@_q(
+    "clean_pipeline",
+    """
+    SELECT t.*, CAST(month(t.ts) AS BIGINT) AS event_month
+    FROM (
+      SELECT DISTINCT * FROM events
+      WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+    ) t
+    """,
+    doc="reference spark-apps/clean_nyc_taxi_pipeline.py:7-13: dropna -> dropDuplicates -> derived month",
+)
+def _clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _load(spark, sf_dir, "events")
+    out = clean_pipeline(events, ts_col="ts", month_col="event_month")
+    return out.withColumn("event_month", F.col("event_month").cast("long"))
+
+
+# ===========================================================================
+# Projections / filters / scalar functions (P4-P11, F1-F6)
+# ===========================================================================
+
+@_q(
+    "filter_equality",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+    doc="P4 equality predicate (dags/nyc_taxi_pipeline_dag.py:145)",
+)
+def _filter_eq(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return R.filter_rows(events, F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@_q(
+    "filter_null_disjunction",
+    "SELECT event_id, event_type FROM events WHERE value IS NULL OR props IS NULL",
+    doc="P5 disjunctive null predicate (dags/nyc_taxi_pipeline_dag.py:195-198)",
+)
+def _filter_null(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return events.filter(F.col("value").isNull() | F.col("props").isNull()).select(
+        "event_id", "event_type"
+    )
+
+
+@_q(
+    "filter_hour_range",
+    """
+    SELECT event_id, user_id, CAST(hour(ts) AS BIGINT) AS event_hour
+    FROM events WHERE hour(ts) BETWEEN 7 AND 9
+    """,
+    doc="P6/F2 EXTRACT(HOUR) range predicate (dags/nyc_taxi_pipeline_dag.py:257-258)",
+)
+def _filter_range(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return events.filter(F.hour("ts").between(7, 9)).select(
+        "event_id", "user_id", F.hour("ts").cast("long").alias("event_hour")
+    )
+
+
+@_q(
+    "projection_rename_drop",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name, c_mktsegment
+    FROM customer
+    """,
+    doc="P7 rename + P8 drop + P10 projection (dags/nyc_taxi_pipeline_dag.py:84,87-88)",
+)
+def _project(spark, sf_dir):
+    (customer,) = _load(spark, sf_dir, "customer")
+    out = R.rename_columns(customer, {"c_custkey": "customer_id", "c_name": "customer_name"})
+    out = R.drop_columns(out, "c_acctbal", "c_nationkey")
+    return R.project(out, "customer_id", "customer_name", "c_mktsegment")
+
+
+@_q(
+    "constant_column_stamp",
+    "SELECT n_nationkey, n_name, '2025-08-29' AS load_date FROM nation",
+    doc="P11 constant stamp column (elt_dag transform_data)",
+)
+def _const(spark, sf_dir):
+    (nation,) = _load(spark, sf_dir, "nation")
+    return R.with_constant(nation.select("n_nationkey", "n_name"), "load_date", "2025-08-29")
+
+
+@_q(
+    "string_filter_generic",
+    "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
+    doc="P9 string-equality filter (elt_dag transform_data Type=='generic')",
+)
+def _str_filter(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == "en").select("doc_id", "lang", "source")
+
+
+@_q(
+    "time_bucket_enrich",
+    """
+    SELECT event_id, ts,
+      CASE WHEN hour(ts) BETWEEN 7 AND 9 THEN 'Morning Rush'
+           WHEN hour(ts) BETWEEN 17 AND 19 THEN 'Evening Rush'
+           ELSE 'Other' END AS time_bucket
+    FROM events
+    """,
+    doc="M1/F1/F2 ALTER+UPDATE CASE rewrite (dags/nyc_taxi_pipeline_dag.py:250-262)",
+)
+def _bucket(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return events.select("event_id", "ts", time_bucket("ts").alias("time_bucket"))
+
+
+@_q(
+    "datetime_parts",
+    """
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+    doc="F3 month/year + F5 strftime (spark-apps/clean_nyc_taxi_pipeline.py:2,13)",
+)
+def _parts(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@_q(
+    "string_trim",
+    """
+    SELECT c_custkey, trim(concat('  ', c_name, '  ')) AS trimmed_name,
+           upper(c_mktsegment) AS segment_upper
+    FROM customer
+    """,
+    doc="F6 trim (dags/nyc_taxi_pipeline_dag.py:84)",
+)
+def _trim(spark, sf_dir):
+    (customer,) = _load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed_name"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+    )
+
+
+@_q(
+    "json_extract_props",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS prop_k
+    FROM events
+    """,
+    doc="semi-structured props payload (events fixture; MapType/JSON mapping SURVEY §1.4)",
+)
+def _json(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("prop_k")
+    )
+
+
+# ===========================================================================
+# Aggregations (A1-A3, §2.4)
+# ===========================================================================
+
+@_q(
+    "row_count",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem",
+    doc="A1 COUNT(*) quality gate (dags/nyc_taxi_pipeline_dag.py:188-192)",
+)
+def _count(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@_q(
+    "filtered_count",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_finished FROM orders WHERE o_orderstatus = 'F'",
+    doc="A2 filtered COUNT (dags/nyc_taxi_pipeline_dag.py:195-201)",
+)
+def _fcount(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").agg(F.count(F.lit(1)).alias("n_finished"))
+
+
+@_q(
+    "null_matrix",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+      CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+      CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+      CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+      CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
+    FROM events
+    """,
+    doc="A3 null-count matrix in one pass (dags/nyc_taxi_pipeline_dag.py:95-96)",
+)
+def _nulls(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return Q.null_matrix(events)
+
+
+@_q(
+    "group_agg_stats",
+    f"""
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      {SQL_SUM.format(col='o_totalprice')} AS total_price,
+      {SQL_AVG.format(col='o_totalprice')} AS avg_price,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="§2.4 grouped agg (implied by README.md:198 'average fare by time buckets')",
+)
+def _group(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return R.grouped_agg(
+        orders,
+        ["o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(F.col("o_totalprice"), "total_price"),
+            _avg_money(F.col("o_totalprice"), "avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        ],
+    )
+
+
+@_q(
+    "time_bucket_rollup",
+    f"""
+    SELECT
+      CASE WHEN hour(ts) BETWEEN 7 AND 9 THEN 'Morning Rush'
+           WHEN hour(ts) BETWEEN 17 AND 19 THEN 'Evening Rush'
+           ELSE 'Other' END AS time_bucket,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {SQL_SUM.format(col='value')} AS total_value,
+      {SQL_AVG.format(col='value')} AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="the reference's README analytics goal: volume + averages by time bucket (README.md:198)",
+)
+def _rollup(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return (
+        events.withColumn("time_bucket", time_bucket("ts"))
+        .groupBy("time_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value"), "total_value"),
+            _avg_money(F.col("value"), "avg_value"),
+        )
+    )
+
+
+@_q(
+    "distinct_count",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    """,
+    doc="§2.4 distinct cardinality",
+)
+def _dcount(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@_q(
+    "approx_distinct",
+    None,  # HLL estimate is engine-specific; driver records rows-only
+    doc="§2.4 approx_count_distinct — the 100 TB cardinality path (HLL, no exact shuffle)",
+)
+def _adcount(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@_q(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      {SQL_SUM.format(col='l_quantity')} AS sum_qty,
+      {SQL_SUM.format(col='l_extendedprice')} AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(10,2))) * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+      {SQL_AVG.format(col='l_quantity')} AS avg_qty,
+      {SQL_AVG.format(col='l_extendedprice')} AS avg_price,
+      {SQL_AVG.format(col='l_discount')} AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary — the engine's flagship aggregate",
+)
+def _pricing(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(D2) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(10,2)")
+    )
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(10,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_money(F.col("l_quantity"), "sum_qty"),
+            _sum_money(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            _avg_money(F.col("l_quantity"), "avg_qty"),
+            _avg_money(F.col("l_extendedprice"), "avg_price"),
+            _avg_money(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# Joins (§2.6)
+# ===========================================================================
+
+@_q(
+    "join_broadcast_dims",
+    f"""
+    SELECT r_name, n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      {SQL_SUM.format(col='c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="the latent zone-lookup enrichment (README.md:3) as a broadcast join chain",
+)
+def _bjoin(spark, sf_dir):
+    customer, nation, region = _load(spark, sf_dir, "customer", "nation", "region")
+    dims = J.broadcast_enrich(
+        J.broadcast_enrich(customer, nation, F.col("c_nationkey") == F.col("n_nationkey"), "inner"),
+        region,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        "inner",
+    )
+    return dims.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _sum_money(F.col("c_acctbal"), "total_acctbal"),
+    )
+
+
+@_q(
+    "join_left_enrich",
+    """
+    SELECT o_orderkey, o_totalprice, c.c_name
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+    """,
+    doc="§2.6 left outer join with unmatched rows",
+)
+def _ljoin(spark, sf_dir):
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return J.equi_join(
+        orders, building, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select("o_orderkey", "o_totalprice", "c_name")
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="§2.6 left-semi (EXISTS)",
+)
+def _sjoin(spark, sf_dir):
+    customer, orders = _load(spark, sf_dir, "customer", "orders")
+    return J.semi_join(
+        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="§2.6 left-anti (NOT EXISTS) — the 'facts lacking a dimension row' gate",
+)
+def _ajoin(spark, sf_dir):
+    customer, orders = _load(spark, sf_dir, "customer", "orders")
+    return J.anti_join(
+        customer, orders, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "join_range_buckets",
+    """
+    SELECT b.bucket_label,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 1e9, 'high'))
+         AS b(lo, hi, bucket_label)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket_label
+    """,
+    doc="§2.6 theta/range join against a broadcast bucket table (BNLJ)",
+)
+def _rjoin(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 1e9, "high")],
+        ["lo", "hi", "bucket_label"],
+    )
+    joined = J.range_join(
+        li, buckets, (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+    )
+    return joined.groupBy("bucket_label").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@_q(
+    "sql_revenue_by_nation",
+    f"""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="SQL entry point over temp views (SURVEY §3.3) — TPC-H Q5-shaped",
+)
+def _sqlrev(spark, sf_dir):
+    load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """
+    )
+
+
+# ===========================================================================
+# Sorts / limits / set ops / windows (§2.7)
+# ===========================================================================
+
+@_q(
+    "top_k_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+    doc="§2.7 top-k as TakeOrderedAndProject (no global sort)",
+)
+def _topk(spark, sf_dir):
+    (customer,) = _load(spark, sf_dir, "customer")
+    return R.top_k(
+        customer.select("c_custkey", "c_name", "c_acctbal"),
+        10,
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    )
+
+
+@_q(
+    "ordered_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    doc="§2.7 ORDER BY + LIMIT",
+)
+def _olimit(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return R.ordered_limit(
+        orders.select("o_orderkey", "o_totalprice"),
+        20,
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@_q(
+    "set_union",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    doc="§2.7 UNION ALL",
+)
+def _union(spark, sf_dir):
+    (customer,) = _load(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_mktsegment")
+    return R.union_all(a, b)
+
+
+@_q(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="§2.7 INTERSECT (distinct)",
+)
+def _intersect(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return R.intersect(a, b)
+
+
+@_q(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="§2.7 EXCEPT (distinct)",
+)
+def _except(spark, sf_dir):
+    customer, orders = _load(spark, sf_dir, "customer", "orders")
+    return R.except_all(
+        customer.select("c_custkey"),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        distinct=True,
+    ).distinct()
+
+
+@_q(
+    "window_topk_per_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    doc="§2.7 ranked window + per-group top-k (WindowGroupLimit pushdown)",
+)
+def _wtopk(spark, sf_dir):
+    (customer,) = _load(spark, sf_dir, "customer")
+    out = W.ranked(
+        customer.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        out_col="rn",
+    )
+    return out.filter(F.col("rn") <= 3).withColumn("rn", F.col("rn").cast("long"))
+
+
+@_q(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id, value,
+      value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta
+    FROM events
+    """,
+    doc="§2.7 lag/lead — per-user delta series",
+)
+def _wlag(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    out = W.with_lag(events, "value", ["user_id"], [F.col("ts"), F.col("event_id")], out_col="__prev")
+    return out.select(
+        "event_id", "user_id", "value", (F.col("value") - F.col("__prev")).alias("value_delta")
+    )
+
+
+@_q(
+    "window_moving_avg",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS value_mavg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="§2.7 sliding average (exact decimal numerator for cross-engine parity)",
+)
+def _wmavg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast(D2)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("value_mavg3"),
+    )
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_running
+    FROM events
+    """,
+    doc="§2.7 running total",
+)
+def _wrun(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(D2)).over(w).cast("double").alias("value_running"),
+    )
+
+
+@_q(
+    "hourly_event_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {SQL_SUM.format(col='value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling-window agg, batch form of streaming/jobs.windowed_event_counts",
+)
+def _hourly(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value"), "total_value"),
+        )
+    )
+
+
+@_q(
+    "pivot_event_matrix",
+    """
+    SELECT user_id,
+      CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+      CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot with explicit value list (engine: df.pivot; oracle: conditional agg)",
+)
+def _pivot(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = events.groupBy("user_id").pivot("event_type", kinds).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+@_q(
+    "rollup_order_stats",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      {SQL_SUM.format(col='o_totalprice')} AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="grouping-set hierarchy (subtotals + grand total)",
+)
+def _grollup(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@_q(
+    "quality_gate_report",
+    """
+    SELECT 'row_count_gt_0' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS observed,
+           COUNT(*) > 0 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'null_keys_eq_0' AS check_name,
+           CAST(SUM(CASE WHEN event_id IS NULL OR ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS observed,
+           SUM(CASE WHEN event_id IS NULL OR ts IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM events
+    """,
+    doc="O3/O4 quality gates as a report (dags/nyc_taxi_pipeline_dag.py:184-202)",
+)
+def _gates(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    rc = events.agg(
+        F.lit("row_count_gt_0").alias("check_name"),
+        F.count(F.lit(1)).alias("observed"),
+        (F.count(F.lit(1)) > 0).alias("passed"),
+    )
+    nk = events.agg(
+        F.lit("null_keys_eq_0").alias("check_name"),
+        F.sum((F.col("event_id").isNull() | F.col("ts").isNull()).cast("bigint")).alias("observed"),
+        (
+            F.sum((F.col("event_id").isNull() | F.col("ts").isNull()).cast("bigint")) == 0
+        ).alias("passed"),
+    )
+    return rc.unionByName(nk)
+
+
+# ===========================================================================
+# LLM-pipeline: text analysis
+# ===========================================================================
+
+_STOP_SQL = "['" + "','".join(tx.STOPWORDS) + "']"
+
+
+@_q(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_computed,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(
+        CAST(list_sum(list_transform(
+              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> ''),
+              w -> CAST(ceil(length(w) / 6.0) AS BIGINT))) AS BIGINT)
+        + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+      AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish estimate (north-star text ops)",
+)
+def _toktext(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.bpe_token_estimate("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+@_q(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+      punct_cnt::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+      stop_cnt::DOUBLE / greatest(n_toks, 1) AS stopword_ratio,
+      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+        + greatest(1.0 - abs(stop_cnt::DOUBLE / greatest(n_toks, 1) - 0.4) / 0.4, 0.0) * 0.4
+        + (1.0 - least(punct_cnt::DOUBLE / greatest(length(text), 1) * 10.0, 1.0)) * 0.2
+        AS quality
+    FROM (
+      SELECT doc_id, text,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+        len(list_filter(string_split(lower(text), ' '), x -> list_contains({_STOP_SQL}, x))) AS stop_cnt,
+        len(string_split(lower(text), ' ')) AS n_toks
+      FROM documents
+    )
+    """,
+    doc="quality scoring: length/punct/stopword heuristics",
+)
+def _quality(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    arr = "['" + "','".join(markers) + "']"
+    return f"len(list_filter(string_split(lower(text), ' '), x -> list_contains({arr}, x)))"
+
+
+@_q(
+    "text_language_id",
+    f"""
+    SELECT doc_id, lang AS lang_label,
+      CASE
+        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+        ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang, text,
+        {_lang_score_sql(tx.LANG_MARKERS['en'])} AS s_en,
+        {_lang_score_sql(tx.LANG_MARKERS['de'])} AS s_de,
+        {_lang_score_sql(tx.LANG_MARKERS['es'])} AS s_es,
+        {_lang_score_sql(tx.LANG_MARKERS['fr'])} AS s_fr
+      FROM documents
+    )
+    """,
+    doc="language-ID marker-word heuristic (swap for fastText via pandas_udf in prod)",
+)
+def _langid(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        tx.language_id("text").alias("lang_pred"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprinting (md5 of normalized text; oracle-identical)",
+)
+def _fp(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint_md5("text").alias("fingerprint"))
+
+
+# ===========================================================================
+# LLM-pipeline: dedup
+# ===========================================================================
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="exact content dedup, deterministic survivor (hash-groupBy)",
+)
+def _dexact(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+    FROM (SELECT doc_id, lang,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+              i -> concat_ws(' ',
+                     list_extract(string_split(lower(text),' '), i),
+                     list_extract(string_split(lower(text),' '), i + 1)))) AS grams
+          FROM documents) a
+    JOIN (SELECT doc_id, lang,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+              i -> concat_ws(' ',
+                     list_extract(string_split(lower(text),' '), i),
+                     list_extract(string_split(lower(text),' '), i + 1)))) AS grams
+          FROM documents) b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.05
+    """,
+    doc="word-bigram Jaccard near-dup pairs, language-blocked (SQL-verifiable)",
+)
+def _djac(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.05)
+
+
+@_q(
+    "dedup_minhash",
+    None,  # xxhash64-based signatures are engine-specific → rows-only
+    doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",
+)
+def _dmin(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.minhash_dedup(docs, "text", "doc_id", jaccard_threshold=0.5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_q(
+    "dedup_simhash",
+    None,  # xxhash64-based signature → rows-only
+    doc="SimHash(64-bit) near-dup candidate pairs under Hamming<=3 (chunk-blocked)",
+)
+def _dsim(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", dd.simhash_signature("text").alias("simhash"))
+    return dd.simhash_candidate_pairs(sigs, "doc_id", "simhash", max_hamming=3)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine_sim
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) a
+    JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+      ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs (exact O(n^2) oracle form; LSH-blocked at scale)",
+)
+def _demb(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return sim.cosine_self_join_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# ===========================================================================
+# LLM-pipeline: similarity search
+# ===========================================================================
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The corpus vector with vec_id=0, as the standing query."""
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+@_q(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+      list_dot_product(embedding::DOUBLE[], q.qe)
+        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           * sqrt(list_dot_product(q.qe, q.qe))) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+    doc="brute-force cosine top-k (exact ANN baseline; map + TakeOrdered)",
+)
+def _stopk(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+@_q(
+    "similarity_lsh_topk",
+    None,  # hyperplane projections are engine-side constants → rows-only
+    doc="sign-random-projection LSH bucketed top-k (the pruned-scan path)",
+)
+def _slsh(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10, n_planes=4)
+
+
+@_q(
+    "similarity_ivf_topk",
+    None,  # KMeans index → rows-only
+    doc="IVF (KMeans coarse quantizer, nprobe=4) approximate top-k",
+)
+def _sivf(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    assigned, centroids = sim.build_ivf_index(emb, "embedding", n_lists=8)
+    return sim.ivf_search(assigned, centroids, "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+@_q(
+    "multimodal_payload_meta",
+    """
+    SELECT doc_id, 'image' AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="binary payload + typed metadata (JVM-side only: octet_length/md5, no decode)",
+)
+def _mmeta(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    out = mm.attach_media_meta(payload, "payload", "image")
+    return out.select(
+        "doc_id",
+        F.col("payload_meta.media_type").alias("media_type"),
+        F.col("payload_meta.size_bytes").alias("size_bytes"),
+        F.col("payload_meta.content_md5").alias("content_md5"),
+    )
+
+
+@_q(
+    "multimodal_image_decode",
+    None,  # stubbed codec (no image libs in container) → rows-only
+    doc="Arrow-batched image decode via mapInPandas (DeterministicFakeCodec stub)",
+)
+def _mdecode(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    return mm.decode_image_features(payload, "payload", "doc_id")
+
+
+# ===========================================================================
+# public accessors (driver contract)
+# ===========================================================================
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
