@@ -84,9 +84,19 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """S2: Parquet scan with transparent ns-timestamp repair."""
+    """S2: Parquet scan with transparent ns-timestamp repair.
+
+    Works in *any* caller's session: when the footer advertises
+    TIMESTAMP(NANOS) columns we set the runtime-settable SQL conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` before the read, so the
+    scan surfaces them as ns-since-epoch longs instead of throwing
+    PARQUET_TYPE_ILLEGAL, and then repair them to proper timestamps.
+    """
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
+    for c in nanos_cols:
         if c in df.columns:
             # integer ns -> us, then to timestamp; `div` is integral so
             # the full 64-bit value survives.
