@@ -40,6 +40,7 @@ __all__ = [
     "simhash_signature",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "jaccard_prefix_pairs",
     "keep_canonical",
 ]
 
@@ -179,22 +180,30 @@ def minhash_dedup(
         .withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
     )
     with_sig = with_sig.persist()
-    pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
-    sh = with_sig.select(F.col(id_col), F.col("__shingles"))
-    verified = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "__shingles": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+    try:
+        pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
+        sh = with_sig.select(F.col(id_col), F.col("__shingles"))
+        verified = (
+            pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__shingles": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "__shingles": "sh_b"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b")
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b")
-    )
-    doomed = verified.select(F.col("id_b").alias(id_col)).distinct()
-    result = df.join(doomed, on=id_col, how="left_anti").drop("__shingles", "__sig")
-    return result
+        # Materialize the (small) doomed-id set while the cached
+        # signatures are alive, then release executor storage — a
+        # long-lived driver calling this repeatedly must not accumulate
+        # cached shingle arrays.
+        doomed = (
+            verified.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint(eager=True)
+        )
+    finally:
+        with_sig.unpersist()
+    return df.join(doomed, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -246,15 +255,26 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup pairs under Hamming distance.
 
-    Blocking: split the 64-bit signature into 4 x 16-bit chunks; by
-    pigeonhole any pair within Hamming distance 3 agrees on >= 1 chunk,
-    so joining on (chunk_idx, chunk_value) finds all such pairs while
-    shuffling only (id, 4 small keys) per doc.  Verification computes
-    the exact Hamming distance via bit_count(xor).
+    Blocking: split the 64-bit signature into ``max_hamming + 1``
+    chunks; by pigeonhole any pair within the Hamming budget agrees on
+    >= 1 chunk, so joining on (chunk_idx, chunk_value) finds *all*
+    qualifying pairs while shuffling only (id, a few small keys) per
+    doc.  Verification computes the exact Hamming distance via
+    bit_count(xor) and filters *before* the pair-dedup so far pairs
+    never enter the distinct's exchange.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks; >16 chunks of a "
+            "64-bit signature over-fragments the blocking — use MinHash instead"
+        )
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(*[
-        F.shiftright(F.col(simhash_col), i * 16).bitwiseAND(F.lit(0xFFFF))
-        for i in range(4)
+        F.shiftright(F.col(simhash_col), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_chunks)
     ])
     blocked = df.select(
         F.col(id_col), F.col(simhash_col), F.posexplode(chunks).alias("chunk", "chunk_val")
@@ -272,8 +292,8 @@ def simhash_candidate_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col(f"a.{simhash_col}").bitwiseXOR(F.col(f"b.{simhash_col}"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -317,6 +337,75 @@ def ngram_jaccard_pairs(
             (
                 F.size(F.array_intersect("a.__grams", "b.__grams")).cast("double")
                 / F.size(F.array_union("a.__grams", "b.__grams")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs at scale via *prefix filtering* — the
+    production replacement for blocking ``ngram_jaccard_pairs`` on a
+    coarse attribute like language.
+
+    Theorem (PPJoin-style): sort each document's distinct gram set by a
+    global total order; if Jaccard(a, b) >= t then |a ∩ b| >= t·|a|, so
+    a and b must share at least one gram within the first
+    |a| - ceil(t·|a|) + 1 grams of each side.  Candidate generation
+    therefore explodes only that *prefix* (shrinking as t grows), joins
+    on the gram, and exact Jaccard verifies the candidates.  Unlike
+    attribute blocking this is lossless — every qualifying pair is
+    found — and the quadratic term is per-gram-bucket, bounded by token
+    frequency, not per-language.  Lexicographic gram order keeps the
+    operator SQL-expressible; a frequency-ascending order (rarest gram
+    first) is the classic skew refinement when a corpus has heavy-head
+    tokens.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("__grams"))
+    prefix_len = (
+        F.size("__grams") - F.ceil(F.lit(threshold) * F.size("__grams")) + 1
+    ).cast("int")
+    p = g.select(
+        F.col(id_col),
+        F.explode(F.slice(F.col("__grams"), 1, prefix_len)).alias("__gram"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__gram") == F.col("b.__gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(g.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")), "id_a")
+        .join(g.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__ga", "__gb")).cast("double")
+                / F.size(F.array_union("__ga", "__gb")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -29,6 +29,7 @@ __all__ = [
     "cosine_to_query",
     "brute_force_topk",
     "cosine_self_join_pairs",
+    "cosine_lsh_pairs",
     "hyperplane_lsh_bucket",
     "lsh_topk",
     "build_ivf_index",
@@ -107,6 +108,75 @@ def cosine_self_join_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    planes_per_band: int = 6,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-random-projection LSH —
+    the production-scale replacement for the unblocked
+    ``cosine_self_join_pairs``.
+
+    Candidate generation: each vector gets ``bands`` bucket ids (the
+    sign bits of ``planes_per_band`` fixed hyperplanes per band); a pair
+    is a candidate iff it collides in >= 1 band.  The self-join runs on
+    (band, bucket) keys carrying only (id, band, bucket) — the corpus
+    vectors never enter the shuffle.  Verification joins the (small)
+    candidate set back to the vectors and keeps exact cosine >= t.
+
+    Recall per band is (1 - theta/pi)^planes_per_band; more bands raise
+    recall, more planes shrink buckets.  At 100 TB use
+    planes_per_band=16 (65k+ buckets) and bands=8-16; the defaults here
+    are sized for the sf fixtures.  All hyperplanes are deterministic
+    (seeded PCG64) so an oracle can replicate the exact blocking.
+    """
+    planes = _hyperplanes(dim, planes_per_band * bands, seed)
+    band_buckets = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("bigint")
+        for i in range(planes_per_band):
+            p = F.array(*[F.lit(float(x)) for x in planes[b * planes_per_band + i]])
+            bit = F.when(
+                dot(F.col(vec_col), p) >= 0,
+                F.shiftleft(F.lit(1).cast("bigint"), i),
+            ).otherwise(F.lit(0).cast("bigint"))
+            bucket = bucket.bitwiseOR(bit)
+        band_buckets.append(bucket)
+    keys = df.select(
+        F.col(id_col), F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col))
+    return (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

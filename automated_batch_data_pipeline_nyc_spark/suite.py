@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import time_bucket
+from .functions import time_bucket, to_timestamp_coerce
 from .operators import dedup as dd
 from .operators import joins as J
 from .operators import quality as Q
@@ -42,6 +42,7 @@ from .operators import text as tx
 from .operators import windows as W
 from .operators.cleaning import clean_pipeline
 from .sources import load_tables, read_parquet
+from .sources.writers import write_parquet
 
 __all__ = ["QUERIES", "Query", "spark_queries", "oracle_queries"]
 
@@ -222,6 +223,32 @@ def _parts(spark, sf_dir):
         F.year("o_orderdate").cast("long").alias("order_year"),
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@_q(
+    "datetime_coerce",
+    """
+    SELECT o_orderkey, raw_ts, try_cast(raw_ts AS TIMESTAMP) AS parsed_ts
+    FROM (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0
+             THEN concat('bad-', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))
+             ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw_ts
+      FROM orders
+    )
+    """,
+    doc="F4 coercing datetime parse: garbage -> NULL, like pandas "
+        "to_datetime(errors='coerce') (dags/nyc_taxi_pipeline_dag.py:91-92)",
+)
+def _coerce(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    fmt = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    raw = F.when(F.col("o_orderkey") % 7 == 0, F.concat(F.lit("bad-"), fmt)).otherwise(fmt)
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_ts"),
+        to_timestamp_coerce(raw).alias("parsed_ts"),
     )
 
 
@@ -646,11 +673,13 @@ def _intersect(spark, sf_dir):
 )
 def _except(spark, sf_dir):
     customer, orders = _load(spark, sf_dir, "customer", "orders")
+    # except_all(distinct=True) is Spark's subtract — already distinct;
+    # no second .distinct() (one exchange, not two).
     return R.except_all(
         customer.select("c_custkey"),
         orders.select(F.col("o_custkey").alias("c_custkey")),
         distinct=True,
-    ).distinct()
+    )
 
 
 @_q(
@@ -854,9 +883,9 @@ _STOP_SQL = "['" + "','".join(tx.STOPWORDS) + "']"
       CAST(length(text) AS BIGINT) AS n_chars_computed,
       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       CAST(
-        CAST(list_sum(list_transform(
+        CAST(coalesce(list_sum(list_transform(
               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> ''),
-              w -> CAST(ceil(length(w) / 6.0) AS BIGINT))) AS BIGINT)
+              w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0) AS BIGINT)
         + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
       AS BIGINT) AS bpe_tokens
     FROM documents
@@ -996,11 +1025,49 @@ def _dexact(spark, sf_dir):
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.05
     """,
-    doc="word-bigram Jaccard near-dup pairs, language-blocked (SQL-verifiable)",
+    doc="word-bigram Jaccard pairs, language-blocked — small-sf oracle cross-check; "
+        "the production path is dedup_ngram_jaccard_prefix (lossless prefix filtering)",
 )
 def _djac(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=2, threshold=0.05)
+
+
+@_q(
+    "dedup_ngram_jaccard_prefix",
+    """
+    WITH g AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+        i -> concat_ws(' ',
+               list_extract(string_split(lower(text),' '), i),
+               list_extract(string_split(lower(text),' '), i + 1))))) AS grams
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+        unnest(grams[1:(len(grams) - CAST(ceil(0.8 * len(grams)) AS BIGINT) + 1)]) AS gram
+      FROM g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) >= 0.8
+    """,
+    doc="word-bigram Jaccard pairs via lossless prefix filtering — the 100 TB "
+        "engine path (candidate join bounded by gram frequency, no attribute block)",
+)
+def _djacpre(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.jaccard_prefix_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
 
 
 @_q(
@@ -1038,11 +1105,76 @@ def _dsim(spark, sf_dir):
     WHERE list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
     """,
-    doc="embedding-cosine near-dup pairs (exact O(n^2) oracle form; LSH-blocked at scale)",
+    doc="embedding-cosine pairs, exact O(n^2) form — small-sf oracle cross-check; "
+        "the production path is dedup_embedding_cosine_lsh (banded hyperplane LSH)",
 )
 def _demb(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
     return sim.cosine_self_join_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def _cosine_lsh_oracle(
+    dim: int = 64,
+    threshold: float = 0.4,
+    planes_per_band: int = 6,
+    bands: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle replicating ``cosine_lsh_pairs`` blocking exactly:
+    the hyperplanes are deterministic (seeded), inlined as literals in
+    both dialects, and the sign-bit arithmetic is the same IEEE ops in
+    the same order — so even the *approximate* LSH path is
+    hash-verifiable, not just rows-only."""
+    planes = sim._hyperplanes(dim, planes_per_band * bands, seed)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    band_selects = []
+    for b in range(bands):
+        bits = "\n          + ".join(
+            f"(CASE WHEN list_dot_product(emb, {lit(planes[b * planes_per_band + i])}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(planes_per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band,\n          {bits} AS bucket FROM e"
+        )
+    union = "\n      UNION ALL\n      ".join(band_selects)
+    cos = (
+        "list_dot_product(ea.emb, eb.emb) / (sqrt(list_dot_product(ea.emb, ea.emb))"
+        " * sqrt(list_dot_product(eb.emb, eb.emb)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    k AS (
+      {union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM k a JOIN k b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {threshold!r}
+    """
+
+
+@_q(
+    "dedup_embedding_cosine_lsh",
+    _cosine_lsh_oracle(),
+    doc="embedding-cosine near-dup pairs via banded sign-projection LSH — the "
+        "100 TB engine path (shuffle carries (id, band, bucket) only; candidates, "
+        "not the corpus, reach the verify join); blocking replicated in the oracle",
+)
+def _demblsh(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return sim.cosine_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.4, planes_per_band=6, bands=4
+    )
 
 
 # ===========================================================================
@@ -1134,6 +1266,51 @@ def _mdecode(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
     return mm.decode_image_features(payload, "payload", "doc_id")
+
+
+# ===========================================================================
+# Sink round-trip (S9/S10/M3 + dynamic partition overwrite)
+# ===========================================================================
+
+@_q(
+    "sink_roundtrip",
+    f"""
+    SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+      COUNT(*) AS n_items,
+      {SQL_SUM.format(col="l_extendedprice")} AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+    doc="S9+M3: month-partitioned Parquet sink, dynamic-partition overwrite of "
+        "one month (the incremental reload README.md:220-222 claims), re-read, "
+        "aggregate — hash-matched against the oracle over the ORIGINAL table, so "
+        "any write/read corruption or partition loss breaks the hash",
+)
+def _sinkrt(spark, sf_dir):
+    import tempfile
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_sink_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    enriched = lineitem.withColumn("ship_month", F.month("l_shipdate"))
+    # runtime-settable; makes mode='overwrite' rewrite only the
+    # partitions present in the incoming DataFrame.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    write_parquet(enriched, out, partition_by=["ship_month"], mode="overwrite")
+    # incremental reload: overwrite exactly one month's partition; every
+    # other partition must survive untouched for the hash to match.
+    write_parquet(
+        enriched.filter(F.col("ship_month") == 3),
+        out,
+        partition_by=["ship_month"],
+        mode="overwrite",
+    )
+    back = read_parquet(spark, out)
+    return back.groupBy(F.col("ship_month").cast("long").alias("ship_month")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
 
 
 # ===========================================================================
