@@ -1,0 +1,135 @@
+"""Streaming §2.8: the windowed-count stream must agree with batch.
+
+Strategy: stage the sf0.001 events table as plain parquet files (the
+stream source needs an explicit schema; the staging hop also repairs
+the fixture's TIMESTAMP(NANOS)), then
+
+1. complete-mode memory sink: the full windowed aggregate must equal
+   the identical batch aggregation exactly (counts exact, float sums
+   to 1e-9 relative — summation order differs across micro-batches);
+2. append-mode parquet sink with a 1-hour watermark: every emitted
+   (window, type) row must match the batch result exactly, and the
+   backlog run (availableNow, maxFilesPerTrigger=1) must emit at
+   least one closed window.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+from automated_batch_data_pipeline_nyc_spark.streaming import (
+    read_event_stream,
+    windowed_event_counts,
+    write_stream_to_parquet,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, tmp_path_factory):
+    """Stage events as 4 time-quartile files with ascending mtimes —
+    an incremental load arriving in (rough) event-time order.  The file
+    stream source picks files up in mtime order, so each micro-batch
+    only ever advances event time and the watermark never drops data
+    (a time-shuffled staging WOULD lose late rows — that's semantics,
+    not a bug, but it would make exact batch comparison impossible)."""
+    import glob
+    import os
+
+    src = str(tmp_path_factory.mktemp("events_stream_src"))
+    batch = read_parquet(spark, f"{SF_SMOKE}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    # several files => several micro-batches under maxFilesPerTrigger=1,
+    # so the watermark actually advances between triggers.
+    staging = str(tmp_path_factory.mktemp("events_stream_staging"))
+    batch.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    for i, part in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        dest = os.path.join(src, f"chunk_{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    yield src, batch
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _batch_expected(batch):
+    return (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _key(row):
+    return (row["window_start"], row["window_end"], row["event_type"])
+
+
+def test_windowed_counts_complete_mode_equals_batch(spark, staged_events):
+    src, batch = staged_events
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wec_complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {_key(r): r for r in spark.table("wec_complete").collect()}
+    want = {_key(r): r for r in _batch_expected(batch).collect()}
+    assert set(got) == set(want)
+    for k, row in want.items():
+        assert got[k]["n_events"] == row["n_events"], k
+        assert math.isclose(
+            got[k]["total_value"], row["total_value"], rel_tol=1e-9
+        ), k
+
+
+def test_append_parquet_sink_emits_closed_windows(spark, staged_events, tmp_path):
+    src, batch = staged_events
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = write_stream_to_parquet(
+        windowed_event_counts(stream, watermark="1 hour"), out, ckpt
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    emitted = {_key(r): r for r in spark.read.parquet(out).collect()}
+    # append mode withholds windows the watermark hasn't closed; with
+    # time-ordered input nothing is dropped as late, so the emitted set
+    # is exactly the batch windows closed by the final watermark
+    # (window_end <= max event time - 1h), value-exact per row.
+    assert emitted, "watermark never closed any window"
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    want = {
+        _key(r): r
+        for r in _batch_expected(batch).collect()
+        if (max_ts - r["window_end"]).total_seconds() >= 3600
+    }
+    assert set(emitted) == set(want)
+    for k, row in want.items():
+        assert emitted[k]["n_events"] == row["n_events"], k
+        assert math.isclose(
+            emitted[k]["total_value"], row["total_value"], rel_tol=1e-9
+        ), k
