@@ -1313,6 +1313,46 @@ def _sinkrt(spark, sf_dir):
     )
 
 
+@_q(
+    "csv_roundtrip",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+      {SQL_SUM.format(col="l_extendedprice")} AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="S3/S8+S13: CSV sink -> explicit-schema CSV scan round-trip (the "
+        "reference's Spark->CSV->Postgres hop, dags/nyc_taxi_pipeline_dag.py:70-92); "
+        "2-dp money survives the text hop exactly, so the oracle over the "
+        "ORIGINAL parquet catches any serialization loss",
+)
+def _csvrt(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.readers import read_csv
+    from .sources.writers import write_csv
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_csv_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_csv(lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice"), out)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

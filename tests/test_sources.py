@@ -1,0 +1,111 @@
+"""Reader/writer surface (S1-S15, M2/M3) — round-trip evidence for the
+source/sink rows of SURVEY.md §2 that no oracle query exercises."""
+
+from __future__ import annotations
+
+import glob
+import os
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+from automated_batch_data_pipeline_nyc_spark.sources.readers import (
+    fetch_url,
+    from_rows,
+    read_csv,
+    read_csv_glob,
+    read_sql_table,
+)
+from automated_batch_data_pipeline_nyc_spark.sources.writers import (
+    export_csv_single_file,
+    write_csv,
+    write_parquet,
+    write_table,
+)
+
+from .conftest import SF_SMOKE
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def nation(spark):
+    return read_parquet(spark, f"{SF_SMOKE}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_csv_write_read_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv(spark, out, schema=NATION_SCHEMA)
+    assert _rows(back) == _rows(nation)
+
+
+def test_csv_glob_read_and_empty_glob_raises(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv_glob(spark, f"{out}/part-*.csv", schema=NATION_SCHEMA)
+    assert back.count() == nation.count()
+    with pytest.raises(FileNotFoundError):
+        read_csv_glob(spark, str(tmp_path / "nope" / "*.csv"))
+
+
+def test_single_file_csv_export_is_one_deterministic_file(spark, nation, tmp_path):
+    out = str(tmp_path / "export")
+    export_csv_single_file(nation, out, order_by=["n_nationkey"])
+    parts = glob.glob(f"{out}/part-*.csv")
+    assert len(parts) == 1, "coalesce(1) must yield exactly one data file"
+    lines = pathlib.Path(parts[0]).read_text().strip().splitlines()
+    assert lines[0] == "n_nationkey,n_name,n_regionkey"
+    keys = [int(line.split(",")[0]) for line in lines[1:]]
+    assert keys == sorted(keys), "export must be ordered"
+
+
+def test_write_table_modes_and_sql_extract(spark, nation):
+    write_table(nation, "t_nation_modes", mode="overwrite")        # S11
+    write_table(nation, "t_nation_modes", mode="append")           # S10
+    assert spark.table("t_nation_modes").count() == 2 * nation.count()
+    write_table(nation, "t_nation_modes", mode="ignore")           # M2: no-op
+    assert spark.table("t_nation_modes").count() == 2 * nation.count()
+    # S5: catalog extract with predicate pushdown surface
+    sub = read_sql_table(spark, "t_nation_modes", predicate="n_regionkey = 0")
+    assert sub.count() == 2 * nation.filter("n_regionkey = 0").count()
+    spark.sql("DROP TABLE t_nation_modes")
+
+
+def test_partitioned_parquet_sink_prunes_partitions(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_part")
+    write_parquet(nation, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out).filter(F.col("n_regionkey") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune directories, not appear as a data filter
+    assert back.count() == nation.filter("n_regionkey = 1").count()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan
+
+
+def test_from_rows_local_source(spark):
+    df = from_rows(spark, [(1, "a"), (2, "b")], ["id", "tag"])
+    assert _rows(df) == [(1, "a"), (2, "b")]
+
+
+def test_fetch_url_file_scheme(tmp_path):
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"spark-graft")
+    dest = tmp_path / "fetched" / "payload.bin"
+    got = fetch_url(src.as_uri(), str(dest))
+    assert got == str(dest)
+    assert dest.read_bytes() == b"spark-graft"
