@@ -101,15 +101,53 @@ def shingle(text: Column | str, n: int = 5, word_grams: bool = True) -> Column:
     return F.array_distinct(grams)
 
 
+#: Universal-hash modulus: smallest prime > 2^32 (same family Spark ML's
+#: MinHashLSH uses); coefficients below stay < 2^31 so a*h+b < 2^63 and
+#: never overflows ANSI bigint arithmetic.
+_MH_PRIME = 4294967311
+
+
+def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal hash functions."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_hashes)
+    b = rng.integers(0, 1 << 31, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def _minhash_from_hashes(hashes: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature over already-hashed (bigint) shingles.
+
+    Each shingle is hashed ONCE (xxhash64); the k hash functions are
+    ``(a_i * h32 + b_i) mod p`` multiply-adds over the 32-bit-folded
+    value — O(k x m) long arithmetic per row instead of O(k x m)
+    *string* hashes, which is the difference between re-reading every
+    document k times and one pass.  No explode, no shuffle.
+    """
+    h32 = F.transform(hashes, lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF)))
+    return F.array(*[
+        F.array_min(F.transform(h32, lambda h: (h * a + b) % _MH_PRIME))
+        for a, b in _mh_coeffs(num_hashes)
+    ])
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    ``xxhash64(shingle, i)``.  k seeded-hash minima computed as
-    ``array_min(transform(...))`` — no explode, no shuffle; O(k x m)
-    JVM arithmetic per row."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    """MinHash signature of a (string) shingle array — see
+    ``_minhash_from_hashes`` for the one-hash-then-multiply scheme."""
+    return _minhash_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
     )
+
+
+# NOTE: a "hash tokens once, combine per-gram" shingle variant was
+# measured and REJECTED: referencing an array-typed expression from
+# inside a per-gram lambda makes Catalyst inline (re-evaluate) the whole
+# token-hash array for every gram — O(tokens^2) per document, ~7x slower
+# than simply building the gram strings.  Keep shingle() + one xxhash64
+# per gram; if this ever dominates again, the fix is a pandas_udf that
+# hashes token arrays in numpy, not deeper expression nesting.
 
 
 def lsh_candidate_pairs(
@@ -175,17 +213,25 @@ def minhash_dedup(
     connected-component clustering: any doc with a smaller near-dup
     survivor is removed.
     """
+    # Shingles are hashed ONCE to 64-bit longs; the signature derives
+    # its k functions by multiply-add over the hashes, and the exact
+    # verify intersects the hashed sets (long compares, dup-safe since
+    # array_intersect/union are distinct-set ops).  Strings never leave
+    # the first projection.
     with_sig = (
-        df.withColumn("__shingles", shingle(text_col, n=shingle_size))
-        .withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+        df.withColumn(
+            "__h",
+            F.transform(shingle(text_col, n=shingle_size), lambda s: F.xxhash64(s)),
+        )
+        .withColumn("__sig", _minhash_from_hashes(F.col("__h"), num_hashes))
     )
     with_sig = with_sig.persist()
     try:
         pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
-        sh = with_sig.select(F.col(id_col), F.col("__shingles"))
+        sh = with_sig.select(F.col(id_col), F.col("__h"))
         verified = (
-            pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__shingles": "sh_a"}), "id_a")
-            .join(sh.withColumnsRenamed({id_col: "id_b", "__shingles": "sh_b"}), "id_b")
+            pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__h": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "__h": "sh_b"}), "id_b")
             .withColumn(
                 "jaccard",
                 F.size(F.array_intersect("sh_a", "sh_b"))
