@@ -34,6 +34,8 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_media_meta",
     "decode_image_features",
+    "resize_images",
+    "extract_audio_features",
     "sample_video_frames",
     "DeterministicFakeCodec",
 ]
@@ -135,6 +137,96 @@ def decode_image_features(
             })
             out["aspect"] = out.width / out.height
             yield out
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    target: tuple[int, int] = (224, 224),
+    codec: DeterministicFakeCodec | None = None,
+) -> DataFrame:
+    """Binary-in/binary-out resize stage: (id, payload) ->
+    (id, payload, width, height).  The real kernel would be
+    PIL ``Image.resize`` + re-encode; the stub emits a deterministic
+    payload (md5-keyed stream truncated to a plausible thumbnail size)
+    so downstream binary plumbing — including writing the resized
+    column back to Parquet — is exercised for real.
+    """
+    codec = codec or DeterministicFakeCodec()
+    strict = codec.strict
+    tw, th = target
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ])
+
+    # closure-pure kernel (see decode_image_features note)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def resize(payload: bytes) -> bytes:
+            if strict:
+                raise NotImplementedError("image resize requires PIL (not installed)")
+            seed = hashlib.md5(payload).digest()
+            # deterministic fake thumbnail: repeat the digest to ~1KB
+            return (seed * 64)[: 16 + len(payload) % 1009]
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "payload": [resize(b) for b in pdf[payload_col]],
+                "width": tw,
+                "height": th,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    codec: DeterministicFakeCodec | None = None,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: id -> (duration_s,
+    sample_rate, rms).  Real kernel = librosa/soundfile; stubbed
+    deterministically from the payload hash."""
+    codec = codec or DeterministicFakeCodec()
+    strict = codec.strict
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ])
+
+    # closure-pure kernel (see decode_image_features note)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def features(payload: bytes) -> tuple[float, int, float]:
+            if strict:
+                raise NotImplementedError("audio decode requires librosa (not installed)")
+            h = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+            return round(0.5 + h % 3000 / 10.0, 1), [8000, 16000, 44100][h % 3], (h >> 8) % 10_000 / 10_000.0
+
+        for pdf in batches:
+            feats = [features(b) for b in pdf[payload_col]]
+            yield _pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "duration_s": [d for d, _, _ in feats],
+                "sample_rate": [s for _, s, _ in feats],
+                "rms": [r for _, _, r in feats],
+            })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 

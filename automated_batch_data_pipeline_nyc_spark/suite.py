@@ -1268,6 +1268,53 @@ def _mdecode(spark, sf_dir):
     return mm.decode_image_features(payload, "payload", "doc_id")
 
 
+@_q(
+    "multimodal_image_resize",
+    None,  # stubbed codec → rows-only
+    doc="binary-in/binary-out resize stage via mapInPandas (stubbed kernel); "
+        "aggregates output payload sizes so the binary column is fully computed",
+)
+def _mresize(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    resized = mm.resize_images(payload, "payload", "doc_id")
+    return resized.select(
+        "id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("resized_bytes"),
+    )
+
+
+@_q(
+    "multimodal_audio_features",
+    None,  # stubbed codec → rows-only
+    doc="Arrow-batched audio feature extraction via mapInPandas (stubbed kernel)",
+)
+def _maudio(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    return mm.extract_audio_features(payload, "payload", "doc_id")
+
+
+@_q(
+    "multimodal_video_frames",
+    None,  # stubbed codec → rows-only
+    doc="video frame sampling via mapInPandas: one row per sampled frame "
+        "(stubbed frame count/fingerprint)",
+)
+def _mframes(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    return mm.sample_video_frames(payload, "payload", "doc_id", every_nth=60)
+
+
 # ===========================================================================
 # Sink round-trip (S9/S10/M3 + dynamic partition overwrite)
 # ===========================================================================
