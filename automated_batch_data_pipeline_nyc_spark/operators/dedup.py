@@ -38,6 +38,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_dedup",
     "simhash_signature",
+    "with_simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "jaccard_prefix_pairs",
@@ -117,20 +118,29 @@ def _mh_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
-def _minhash_from_hashes(hashes: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature over already-hashed (bigint) shingles.
+def _fold32(hashes: Column) -> Column:
+    """Fold 64-bit shingle hashes to 32 bits (so a*h+b stays < 2^63)."""
+    return F.transform(hashes, lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF)))
+
+
+def _minhash_from_h32(h32: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature over 32-bit-folded shingle hashes.
 
     Each shingle is hashed ONCE (xxhash64); the k hash functions are
-    ``(a_i * h32 + b_i) mod p`` multiply-adds over the 32-bit-folded
-    value — O(k x m) long arithmetic per row instead of O(k x m)
-    *string* hashes, which is the difference between re-reading every
-    document k times and one pass.  No explode, no shuffle.
+    ``(a_i * h32 + b_i) mod p`` multiply-adds — O(k x m) long
+    arithmetic per row instead of O(k x m) *string* hashes.  Pass a
+    STAGED column (see ``with_simhash`` for why): each of the k minima
+    references the array, and an inline expression would be duplicated
+    k times.
     """
-    h32 = F.transform(hashes, lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF)))
     return F.array(*[
         F.array_min(F.transform(h32, lambda h: (h * a + b) % _MH_PRIME))
         for a, b in _mh_coeffs(num_hashes)
     ])
+
+
+def _minhash_from_hashes(hashes: Column, num_hashes: int = 128) -> Column:
+    return _minhash_from_h32(_fold32(hashes), num_hashes)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
@@ -223,7 +233,9 @@ def minhash_dedup(
             "__h",
             F.transform(shingle(text_col, n=shingle_size), lambda s: F.xxhash64(s)),
         )
-        .withColumn("__sig", _minhash_from_hashes(F.col("__h"), num_hashes))
+        .withColumn("__h32", _fold32(F.col("__h")))
+        .withColumn("__sig", _minhash_from_h32(F.col("__h32"), num_hashes))
+        .drop("__h32")
     )
     with_sig = with_sig.persist()
     try:
@@ -256,23 +268,17 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signature(text: Column | str, bits: int = 64) -> Column:
-    """SimHash: each token votes +1/-1 on every bit of its 64-bit hash;
-    the signature's bit i is 1 iff the vote sum is positive.
+def _simhash_from_hashes(hashes: Column, n: Column, bits: int = 64) -> Column:
+    """Signature from an ALREADY-STAGED token-hash array column.
 
-    Tokens are hashed ONCE into a long array; bit i's vote sum is then
-    ``2 * count(hashes with bit i set) > n`` via ``filter``+``size`` —
-    flat codegen-friendly expressions over a small array, measured ~2×
-    faster than the equivalent ``aggregate`` carrying a 64-long vote
-    accumulator through ``zip_with``.  Map-only, no explode, no Python.
+    bit i = 1 iff ``2 * count(hashes with bit i set) > n`` (vote sum
+    positive; ties -> 0).  The input MUST be a materialized column, not
+    an inline expression: Catalyst inlines expression trees into each
+    of the 64 per-bit uses, re-hashing every token 64 times (measured
+    ~12x slower).  ``with_simhash`` handles the staging.
     """
-    t = F.col(text) if isinstance(text, str) else text
-    toks = F.array_distinct(F.split(F.lower(t), "\\s+"))
-    hashes = F.transform(toks, lambda tok: F.xxhash64(tok))
-    n = F.size(hashes)
     sig = F.lit(0).cast("bigint")
     for i in range(bits):
-        # votes_i > 0  <=>  2 * ones_i > n   (ties -> bit 0, as before)
         ones = F.size(
             F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
         )
@@ -282,6 +288,39 @@ def simhash_signature(text: Column | str, bits: int = 64) -> Column:
         ).otherwise(F.lit(0).cast("bigint"))
         sig = sig.bitwiseOR(bit)
     return sig
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """SimHash per row: each distinct token votes +1/-1 on every bit of
+    its 64-bit hash; signature bit i is 1 iff the vote sum is positive.
+
+    Two-projection plan: project the token-hash array ONCE, then build
+    the 64 bit-votes against that column.  Keeping the hash array as a
+    real column is what stops Catalyst's expression inlining from
+    re-hashing the document per bit.  Map-only, no explode, no Python.
+    """
+    t = F.col(text_col)
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower(t), "\\s+")), lambda tok: F.xxhash64(tok)
+    )
+    staged = df.withColumn("__sh_hs", hashes).withColumn("__sh_n", F.size("__sh_hs"))
+    out = staged.withColumn(
+        out_col, _simhash_from_hashes(F.col("__sh_hs"), F.col("__sh_n"), bits)
+    )
+    return out.drop("__sh_hs", "__sh_n")
+
+
+def simhash_signature(text: Column | str, bits: int = 64) -> Column:
+    """Column-expression SimHash — prefer ``with_simhash`` in real
+    plans (this inline form re-evaluates the token hashing per bit when
+    Catalyst inlines it; kept for expression-level composition)."""
+    t = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower(t), "\\s+")), lambda tok: F.xxhash64(tok)
+    )
+    return _simhash_from_hashes(hashes, F.size(hashes), bits)
 
 
 def simhash_candidate_pairs(

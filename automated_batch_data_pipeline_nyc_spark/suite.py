@@ -1089,7 +1089,7 @@ def _dmin(spark, sf_dir):
 )
 def _dsim(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", dd.simhash_signature("text").alias("simhash"))
+    sigs = dd.with_simhash(docs, "text").select("doc_id", "simhash")
     return dd.simhash_candidate_pairs(sigs, "doc_id", "simhash", max_hamming=3)
 
 
