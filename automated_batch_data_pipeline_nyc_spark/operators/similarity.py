@@ -41,13 +41,18 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Deterministic left-to-right double dot product."""
+def _dot_raw(a: Column, b: Column) -> Column:
+    """Dot product over arrays that are ALREADY double-typed."""
     return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right double dot product."""
+    return _dot_raw(_as_double(a), _as_double(b))
 
 
 def l2_norm(a: Column) -> Column:
@@ -141,18 +146,22 @@ def cosine_lsh_pairs(
     (seeded PCG64) so an oracle can replicate the exact blocking.
     """
     planes = _hyperplanes(dim, planes_per_band * bands, seed)
+    # stage the double-cast vector ONCE; the planes_per_band x bands
+    # sign-bit dots then reference a column instead of re-casting the
+    # array per plane (Catalyst inlines expressions per use site).
+    staged = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vd"))
     band_buckets = []
     for b in range(bands):
         bucket = F.lit(0).cast("bigint")
         for i in range(planes_per_band):
             p = F.array(*[F.lit(float(x)) for x in planes[b * planes_per_band + i]])
             bit = F.when(
-                dot(F.col(vec_col), p) >= 0,
+                _dot_raw(F.col("__vd"), p) >= 0,
                 F.shiftleft(F.lit(1).cast("bigint"), i),
             ).otherwise(F.lit(0).cast("bigint"))
             bucket = bucket.bitwiseOR(bit)
         band_buckets.append(bucket)
-    keys = df.select(
+    keys = staged.select(
         F.col(id_col), F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
     )
     a, b = keys.alias("a"), keys.alias("b")

@@ -17,7 +17,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_csv", "export_csv_single_file", "write_table"]
+__all__ = [
+    "write_parquet",
+    "write_csv",
+    "export_csv_single_file",
+    "write_table",
+    "write_table_bucketed",
+]
 
 
 def write_parquet(
@@ -63,6 +69,28 @@ def export_csv_single_file(
     if order_by:
         df = df.orderBy(*order_by)
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_table_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+ optionally sorted) table sink — the co-located-join
+    layout: two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle exchange (and without even a sort when
+    ``sort_cols`` matches the join key).  This is the Spark-native
+    replacement for the reference's Postgres BTREE indexes on join/scan
+    keys (dags/nyc_taxi_pipeline_dag.py:56-58) for *repeated* large
+    joins — pay one clustered write, skip every future exchange.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
 
 
 def write_table(df: DataFrame, name: str, mode: str = "append") -> None:

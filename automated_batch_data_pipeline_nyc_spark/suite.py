@@ -1361,6 +1361,73 @@ def _sinkrt(spark, sf_dir):
 
 
 @_q(
+    "cube_order_counts",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+      {SQL_SUM.format(col="l_extendedprice")} AS revenue
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="§2.4 CUBE grouping sets (all 2^k key subsets in one shuffle)",
+)
+def _cube(spark, sf_dir):
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+@_q(
+    "grouped_median",
+    """
+    SELECT l_returnflag,
+      median(l_quantity) AS med_qty,
+      quantile_cont(l_quantity, 0.25) AS q1_qty,
+      quantile_cont(l_quantity, 0.75) AS q3_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="§2.4 exact median / continuous quantiles (linear interpolation is one "
+        "double op from identical sorted inputs -> bit-exact across engines)",
+)
+def _median(spark, sf_dir):
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3_qty"),
+    )
+
+
+@_q(
+    "window_rank_ntile",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+      CAST(rank() OVER w AS BIGINT) AS bal_rank,
+      CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+      CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+    doc="§2.7 rank/dense_rank (tie-stable) + ntile over a unique ordering",
+)
+def _rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (customer,) = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    wu = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(wu).cast("long").alias("bal_quartile"),
+    )
+
+
+@_q(
     "csv_roundtrip",
     f"""
     SELECT l_returnflag, COUNT(*) AS n_items,

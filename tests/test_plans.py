@@ -55,6 +55,37 @@ def test_window_topk_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan, "rank filter not pushed into the window sort"
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+    from automated_batch_data_pipeline_nyc_spark.sources.writers import write_table_bucketed
+
+    orders = read_parquet(spark, f"{SF_SMOKE}/orders.parquet")
+    customer = read_parquet(spark, f"{SF_SMOKE}/customer.parquet")
+    write_table_bucketed(
+        orders, "t_orders_b", ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"]
+    )
+    write_table_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_customer_b",
+        ["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    try:
+        joined = spark.table("t_orders_b").hint("merge").join(
+            spark.table("t_customer_b"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "co-bucketed join must not shuffle"
+        )
+        assert joined.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
 @pytest.mark.parametrize(
     "name",
     [
