@@ -15,7 +15,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-__all__ = ["ranked", "top_k_per_group", "with_lag", "moving_avg", "running_sum"]
+__all__ = [
+    "ranked",
+    "top_k_per_group",
+    "with_lag",
+    "moving_avg",
+    "running_sum",
+    "sessionize",
+]
 
 
 def _spec(partition_by: Sequence[str], order_by: Sequence[Column | str]) -> WindowSpec:
@@ -71,6 +78,39 @@ def moving_avg(
     out_col = out_col or f"{col}_mavg{window_rows}"
     spec = _spec(partition_by, order_by).rowsBetween(-(window_rows - 1), 0)
     return df.withColumn(out_col, F.avg(col).over(spec))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds *gap*.
+
+    Classic two-window formulation (both windows share one shuffle on
+    the user key): flag session starts with ``lag``, then
+    ``sum(flag)`` as a running session ordinal.  The tie-break column
+    makes the ordering total, so session ids are deterministic under
+    any partitioning — which is what lets a SQL oracle verify this
+    bit-for-bit.  The streaming twin (arbitrary-state sessionizer over
+    ``applyInPandasWithState``) lives in streaming/jobs.py.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = df.withColumn("__new_session", new_session)
+    run = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return out.withColumn(
+        "session_id", F.sum("__new_session").over(run).cast("long")
+    ).drop("__new_session")
 
 
 def running_sum(

@@ -1361,6 +1361,84 @@ def _sinkrt(spark, sf_dir):
 
 
 @_q(
+    "sessionize_events",
+    """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      COUNT(*) AS n_events,
+      min(ts) AS session_start,
+      max(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE ts IS NOT NULL
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+    doc="§2.7 gap-based sessionization (30-min inactivity): lag-flag + running "
+        "sum, one shuffle on user_id; deterministic via (ts, event_id) ordering",
+)
+def _sessions(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    s = W.sessionize(
+        events.filter(F.col("ts").isNotNull()), "user_id", "ts", "event_id"
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_q(
+    "corpus_prep",
+    f"""
+    WITH good AS (
+      SELECT * FROM documents d
+      WHERE d.lang = 'en'
+        AND least(length(d.text)::DOUBLE / 500.0, 1.0) * 0.4
+          + greatest(1.0 - abs(
+              len(list_filter(string_split(lower(d.text), ' '),
+                              x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                / greatest(len(string_split(lower(d.text), ' ')), 1) - 0.4) / 0.4, 0.0) * 0.4
+          + (1.0 - least((length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')))::DOUBLE
+                / greatest(length(d.text), 1) * 10.0, 1.0)) * 0.2 >= 0.5
+    )
+    SELECT doc_id, lang, source,
+      CAST(coalesce(list_sum(list_transform(
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> ''),
+            w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0) AS BIGINT)
+        + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS bpe_tokens
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM good
+    ) WHERE rn = 1
+    """,
+    doc="headline training-data prep pipeline: language filter -> quality "
+        "threshold -> exact dedup -> token accounting, all JVM-side, one pass "
+        "+ one dedup shuffle",
+)
+def _corpus(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    good = en.filter(tx.quality_score("text") >= 0.5)
+    deduped = dd.exact_dedup(good, "text", "doc_id")
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        tx.bpe_token_estimate("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+@_q(
     "cube_order_counts",
     f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
 from automated_batch_data_pipeline_nyc_spark.streaming import (
     read_event_stream,
+    sessionize_stream,
     windowed_event_counts,
     write_stream_to_parquet,
 )
@@ -133,3 +134,50 @@ def test_append_parquet_sink_emits_closed_windows(spark, staged_events, tmp_path
         assert math.isclose(
             emitted[k]["total_value"], row["total_value"], rel_tol=1e-9
         ), k
+
+
+def test_stateful_sessionizer_matches_batch_closed_sessions(spark, staged_events):
+    """applyInPandasWithState sessionizer vs the batch sessionize
+    operator: the stream emits a session when a later same-user event
+    closes it, so emitted sessions == batch sessions minus each user's
+    final (still-open) session."""
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import sessionize
+
+    src, batch = staged_events
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions_stream").collect()
+    }
+    s = sessionize(
+        batch.filter(F.col("user_id").isNotNull()), "user_id", "ts", "event_id"
+    )
+    agg = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    last = agg.groupBy("user_id").agg(F.max("session_id").alias("last_sid"))
+    closed = agg.join(
+        last,
+        (agg.user_id == last.user_id) & (agg.session_id == last.last_sid),
+        "left_anti",
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in closed.collect()
+    }
+    assert got == want
+    assert got, "no session ever closed — staging produced a degenerate stream"
