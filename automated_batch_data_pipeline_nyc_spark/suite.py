@@ -1361,6 +1361,110 @@ def _sinkrt(spark, sf_dir):
 
 
 @_q(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      c.c_name, CAST(o.n_orders AS BIGINT) AS n_orders
+    FROM customer c
+    FULL OUTER JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    doc="§2.6 full outer join (unmatched rows from both sides survive)",
+)
+def _fullouter(spark, sf_dir):
+    customer, orders = _load(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    j = customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+@_q(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    )
+    """,
+    doc="§2.7 unpivot/melt: wide metric columns -> long (metric, value) rows",
+)
+def _unpivot(spark, sf_dir):
+    (part,) = _load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retail", "size"], "metric", "value")
+
+
+@_q(
+    "fill_defaults",
+    """
+    SELECT event_id, coalesce(value, 0.0) AS value_filled,
+      coalesce(props, '{}') AS props_filled
+    FROM events
+    """,
+    doc="null repair: fillna with typed defaults (complement of P1 dropna)",
+)
+def _fillna(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return events.select("event_id", "value", "props").na.fill(
+        {"value": 0.0, "props": "{}"}
+    ).withColumnsRenamed({"value": "value_filled", "props": "props_filled"})
+
+
+@_q(
+    "word_counts",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 50
+    """,
+    doc="explode + groupBy wordcount (the canonical shuffle benchmark), "
+        "deterministic top-50 via (count, word) tie-break",
+)
+def _wordcount(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@_q(
+    "regexp_extract_supplier",
+    """
+    SELECT s_suppkey,
+      CAST(regexp_extract(s_name, 'Supplier#(\\d+)', 1) AS BIGINT) AS sup_num,
+      upper(s_name) AS name_upper,
+      substring(s_name, 1, 8) AS name_prefix
+    FROM supplier
+    """,
+    doc="string toolkit: regexp capture group, case map, substring",
+)
+def _regex(spark, sf_dir):
+    (supplier,) = _load(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        F.regexp_extract("s_name", r"Supplier#(\d+)", 1).cast("long").alias("sup_num"),
+        F.upper("s_name").alias("name_upper"),
+        F.substring("s_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@_q(
     "sessionize_events",
     """
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
