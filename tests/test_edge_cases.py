@@ -1,0 +1,133 @@
+"""Edge-case hardening: degenerate inputs every operator must survive.
+
+Empty frames, single rows, all-identical corpora, null keys — the
+shapes that show up at partition boundaries long before 100 TB does.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+from automated_batch_data_pipeline_nyc_spark.operators import similarity as sim
+from automated_batch_data_pipeline_nyc_spark.operators.windows import sessionize
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_exact_dedup_empty_and_identical(spark):
+    empty = _docs(spark, [])
+    assert dd.exact_dedup(empty, "text", "doc_id").count() == 0
+    same = _docs(spark, [(i, "same text") for i in range(10)])
+    out = dd.exact_dedup(same, "text", "doc_id").collect()
+    assert [(r["doc_id"], r["text"]) for r in out] == [(0, "same text")]
+
+
+def test_exact_dedup_idempotent(spark):
+    df = _docs(spark, [(1, "a"), (2, "a"), (3, "b"), (4, "")])
+    once = dd.exact_dedup(df, "text", "doc_id")
+    twice = dd.exact_dedup(once, "text", "doc_id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_minhash_dedup_single_row_and_empty_text(spark):
+    df = _docs(spark, [(1, "only document here")])
+    assert dd.minhash_dedup(df, "text", "doc_id").count() == 1
+    weird = _docs(spark, [(1, ""), (2, ""), (3, "real words in here now")])
+    out = dd.minhash_dedup(weird, "text", "doc_id")
+    # the two empty docs are perfect duplicates: one survives
+    assert out.count() == 2
+
+
+def test_simhash_pairs_on_identical_corpus(spark):
+    same = _docs(spark, [(i, "alpha beta gamma delta") for i in range(4)])
+    sigs = dd.with_simhash(same, "text").select("doc_id", "simhash")
+    pairs = dd.simhash_candidate_pairs(sigs, "doc_id", "simhash").collect()
+    # all C(4,2)=6 pairs at Hamming 0
+    assert len(pairs) == 6
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_simhash_max_hamming_guard(spark):
+    df = _docs(spark, [(1, "x")])
+    sigs = dd.with_simhash(df, "text").select("doc_id", "simhash")
+    with pytest.raises(ValueError, match="chunks"):
+        dd.simhash_candidate_pairs(sigs, "doc_id", "simhash", max_hamming=16)
+
+
+def test_jaccard_prefix_catches_all_pairs_vs_naive(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words appear in this one"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = _docs(spark, rows)
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in dd.jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(
+            df.withColumn("blk", F.lit(1)), "doc_id", "text", "blk", threshold=0.5
+        ).collect()
+    }
+    assert fast == naive, "prefix filtering must be lossless"
+
+
+def test_cosine_lsh_pairs_identical_vectors_always_collide(spark):
+    vec = [1.0, 0.0, 2.0, -1.0]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(3)] + [(9, [-5.0, 1.0, -2.0, 4.0])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    pairs = sim.cosine_lsh_pairs(
+        df, "vec_id", "embedding", dim=4, threshold=0.99, planes_per_band=4, bands=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1), (0, 2), (1, 2)}  # identical vectors share every bucket
+
+
+def test_sessionize_single_event_and_null_gap_boundaries(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    one = spark.createDataFrame([(7, t0, 1)], schema)
+    out = sessionize(one, "user_id", "ts", "event_id").collect()
+    assert out[0]["session_id"] == 1
+    # exactly-at-gap is the SAME session (strict > comparison)
+    rows = [
+        (7, t0, 1),
+        (7, t0 + datetime.timedelta(minutes=30), 2),
+        (7, t0 + datetime.timedelta(minutes=60, seconds=1), 3),
+    ]
+    out = (
+        sessionize(spark.createDataFrame(rows, schema), "user_id", "ts", "event_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [r["session_id"] for r in out] == [1, 1, 2]
