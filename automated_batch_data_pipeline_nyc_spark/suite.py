@@ -1361,6 +1361,135 @@ def _sinkrt(spark, sf_dir):
 
 
 @_q(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+      strftime(CAST(o_orderdate + to_days(90) AS DATE), '%Y-%m-%d') AS due_date,
+      strftime(CAST(o_orderdate + to_months(4) AS DATE), '%Y-%m-%d') AS review_date,
+      date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_95,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month_start
+    FROM orders
+    """,
+    doc="date arithmetic: interval add, add_months (both engines clamp to "
+        "month end), datediff, date_trunc; dates serialized as strings so the "
+        "hash compares calendar values, not engine date encodings. Oracle uses "
+        "to_days/to_months with UNEQUAL spans: DuckDB compares intervals at "
+        "1 month == 30 days, so +90 days and +3 months are CSE-merged into one "
+        "expression — a cross-engine trap worth pinning here",
+)
+def _datemath(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, 4), "yyyy-MM-dd").alias("review_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_95"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("order_month_start"),
+    )
+
+
+@_q(
+    "conditional_agg",
+    f"""
+    SELECT o_orderstatus,
+      CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+      CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      {SQL_SUM.format(col="CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")}
+        AS urgent_revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="conditional aggregation: count_if / filtered sums in one pass "
+        "(no self-joins for per-predicate metrics)",
+)
+def _condagg(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        _sum_money(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ),
+            "urgent_revenue",
+        ),
+    )
+
+
+@_q(
+    "having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS lifetime_value
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    doc="HAVING: post-aggregation predicate (filter above the agg, pushed "
+        "nowhere — the one filter that must NOT reach the scan)",
+)
+def _having(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(F.col("o_totalprice"), "lifetime_value"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@_q(
+    "exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    doc="correlated EXISTS — planned as a left-semi join (no row explosion)",
+)
+def _exists(spark, sf_dir):
+    customer, orders = _load(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(big, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      first_value(o_totalprice) OVER w AS first_price,
+      last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    doc="§2.7 first_value/last_value (unbounded frame for last — the classic "
+        "default-frame trap, handled identically in both engines)",
+)
+def _firstlast(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+    )
+
+
+@_q(
     "join_full_outer",
     """
     SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,

@@ -63,6 +63,16 @@ def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> Comparison:
         result.mismatches.append(f"columns {list(sp.columns)} != {list(od.columns)}")
         return result
     for c in sp.columns:
+        # the driver hashes typed values: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT -> pandas float)
+        # hash-mismatches even when the numbers agree — flag it here too
+        if (sp[c].dtype.kind in "iu") != (od[c].dtype.kind in "iu"):
+            result.ok = False
+            result.mismatches.append(
+                f"{c}: dtype kind {sp[c].dtype} != {od[c].dtype} (int/float drift)"
+            )
+            return result
+    for c in sp.columns:
         a, b = sp[c], od[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             af = a.astype(float).to_numpy()
