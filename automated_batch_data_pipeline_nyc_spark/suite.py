@@ -1361,6 +1361,113 @@ def _sinkrt(spark, sf_dir):
 
 
 @_q(
+    "string_agg_per_group",
+    """
+    SELECT c_nationkey,
+      string_agg(c_name, ',' ORDER BY c_name) AS member_csv,
+      COUNT(*) AS n_members
+    FROM (SELECT c_nationkey, c_name FROM customer WHERE c_acctbal > 9000) t
+    GROUP BY c_nationkey
+    """,
+    doc="ordered string aggregation (collect_list -> array_sort -> concat_ws; "
+        "sorted so the result is partitioning-invariant — bare collect_list "
+        "order is nondeterministic and would never hash-match)",
+)
+def _stragg(spark, sf_dir):
+    (customer,) = _load(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("member_csv"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@_q(
+    "grouping_sets_quantity",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      {SQL_SUM.format(col="l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    doc="§2.4 explicit GROUPING SETS (arbitrary key subsets, one pass)",
+)
+def _gsets(spark, sf_dir):
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+          {SQL_SUM.format(col="l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@_q(
+    "approx_quantiles",
+    None,  # t-digest/GK sketches are engine-specific → rows-only
+    doc="approximate quantiles (GK sketch; mergeable partials at scale, "
+        "bounded error vs the exact grouped_median path)",
+)
+def _aquant(spark, sf_dir):
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+    )
+
+
+@_q(
+    "schema_evolution_roundtrip",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      {SQL_SUM.format(col="o_totalprice")} AS revenue,
+      CAST(count(priority_class) AS BIGINT) AS n_with_new_col
+    FROM (
+      SELECT o_orderstatus, o_totalprice, NULL AS priority_class
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+    doc="schema evolution: v1 parquet without a column + v2 append with it, "
+        "read with mergeSchema — old rows surface NULL, aggregate hash-matched",
+)
+def _schemaevo(spark, sf_dir):
+    import tempfile
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_evo_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority_class"),
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_money(F.col("o_totalprice"), "revenue"),
+        F.count("priority_class").alias("n_with_new_col"),
+    )
+
+
+@_q(
     "date_arithmetic",
     """
     SELECT o_orderkey,
