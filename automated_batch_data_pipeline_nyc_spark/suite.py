@@ -1361,6 +1361,99 @@ def _sinkrt(spark, sf_dir):
 
 
 @_q(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+      CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+      CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+    FROM orders t
+    FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+    doc="MERGE/upsert on plain DataFrames: matched rows take the update, "
+        "unmatched target rows survive, new keys insert — one full-outer "
+        "shuffle (bucketed target would eliminate its side)",
+)
+def _merge(spark, sf_dir):
+    from .operators.incremental import merge_upsert
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("X"),
+            "o_totalprice": F.col("o_totalprice") + 100.0,
+        }
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+            {
+                "o_orderkey": F.col("o_orderkey") + 1000000,
+                "o_orderstatus": F.lit("N"),
+            }
+        )
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+@_q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+      CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+      END AS change_type,
+      coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+      coalesce(n.o_totalprice, o.o_totalprice) AS o_totalprice
+    FROM old o
+    FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="CDC-style snapshot diff: added/removed/changed rows via one "
+        "full-outer join with null-safe column comparison",
+)
+def _snapdiff(spark, sf_dir):
+    from .operators.incremental import snapshot_diff
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = old.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 100.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        old.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1000000
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@_q(
     "string_agg_per_group",
     """
     SELECT c_nationkey,
