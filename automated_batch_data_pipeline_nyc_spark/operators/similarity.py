@@ -30,6 +30,8 @@ __all__ = [
     "brute_force_topk",
     "cosine_self_join_pairs",
     "cosine_lsh_pairs",
+    "embedding_centroids_exploded",
+    "embedding_centroids_pandas",
     "hyperplane_lsh_bucket",
     "lsh_topk",
     "build_ivf_index",
@@ -243,6 +245,55 @@ def lsh_topk(
     return brute_force_topk(
         bucketed.filter(F.col("lsh_bucket") == qbucket), vec_col, query, k, id_col
     )
+
+
+def embedding_centroids_exploded(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label centroid as (label, dim, centroid) rows — JVM-side:
+    posexplode the vector, average per (label, dim).  One shuffle keyed
+    by (label, dim); partial aggregation makes the map side emit one
+    partial sum per key per partition, so the exchange carries
+    O(labels x dims) rows, not O(rows x dims).
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    return ex.groupBy("label", "dim").agg(F.avg("v").alias("centroid"))
+
+
+def embedding_centroids_pandas(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label centroid via Arrow-batched ``applyInPandas`` + numpy —
+    the §2.9 vectorized-UDAF shape (grouped map, whole group in one
+    pandas frame).  Returns (label, centroid array).  Prefer the
+    exploded JVM form when the result feeds SQL; use this shape when
+    the per-group computation genuinely needs numpy/scipy (PCA,
+    whitening, medoids).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType(), True),
+            T.StructField("centroid", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    # closure-pure kernel (numpy + pandas only)
+    def kernel(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        # float32 embeddings: accumulate in float64 like the JVM path
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return _pd.DataFrame(
+            {"label": [int(pdf[label_col].iloc[0])], "centroid": [mat.mean(axis=0).tolist()]}
+        )
+
+    return df.select(label_col, vec_col).groupBy(label_col).applyInPandas(kernel, schema)
 
 
 def build_ivf_index(

@@ -1207,6 +1207,38 @@ def _stopk(spark, sf_dir):
 
 
 @_q(
+    "embedding_centroids",
+    None,  # avg of doubles is summation-order-dependent → no bit-exact
+    # cross-engine oracle; correctness evidence is the pytest equivalence
+    # between this JVM path and the applyInPandas/numpy path
+    doc="per-label centroids, JVM path: posexplode + partial-agg avg per "
+        "(label, dim) — exchange carries O(labels x dims), not O(rows x dims)",
+)
+def _centroids(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return sim.embedding_centroids_exploded(emb, "label", "embedding")
+
+
+@_q(
+    "embedding_centroids_udaf",
+    None,  # grouped-map pandas UDAF → rows-only
+    doc="per-label centroids via Arrow applyInPandas + numpy (§2.9 grouped-map "
+        "UDAF shape; for when per-group math genuinely needs numpy)",
+)
+def _centroids_udaf(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    out = sim.embedding_centroids_pandas(emb, "label", "embedding")
+    # surface scalar columns (array column hashing is engine-specific)
+    return out.select(
+        "label",
+        F.size("centroid").alias("dim"),
+        F.round(F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "norm_sq_rounded"
+        ),
+    )
+
+
+@_q(
     "similarity_lsh_topk",
     None,  # hyperplane projections are engine-side constants → rows-only
     doc="sign-random-projection LSH bucketed top-k (the pruned-scan path)",

@@ -131,3 +131,25 @@ def test_sessionize_single_event_and_null_gap_boundaries(spark):
         .collect()
     )
     assert [r["session_id"] for r in out] == [1, 1, 2]
+
+
+def test_embedding_centroid_paths_agree(spark):
+    """JVM exploded-avg centroids == applyInPandas/numpy centroids
+    (within float tolerance — this equivalence is the correctness
+    evidence for both rows-only suite entries)."""
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    jvm = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in sim.embedding_centroids_exploded(emb, "label", "embedding").collect()
+    }
+    pdv = {
+        r["label"]: r["centroid"]
+        for r in sim.embedding_centroids_pandas(emb, "label", "embedding").collect()
+    }
+    assert {k for k, _ in jvm} == set(pdv)
+    for (label, dim), v in jvm.items():
+        assert math.isclose(v, pdv[label][dim], rel_tol=1e-9, abs_tol=1e-12), (label, dim)
