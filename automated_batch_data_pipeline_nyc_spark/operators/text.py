@@ -21,6 +21,7 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "language_id",
+    "with_language_id",
     "fingerprint_md5",
     "rolling_hash_fingerprint",
     "text_stats",
@@ -102,7 +103,11 @@ def language_id(text: Column | str, out_score: bool = False) -> Column:
     set; highest count wins, ties broken by fixed language order
     ('en' > 'de' > 'es' > 'fr'), 'und' (undetermined) when no marker
     hits.  A real pipeline would swap in fastText/CLD3 via a Pandas
-    UDF; the heuristic keeps the operator fully SQL-verifiable."""
+    UDF; the heuristic keeps the operator fully SQL-verifiable.
+
+    Expression form — the argmax references each count several times,
+    so Catalyst re-tokenizes per reference; prefer ``with_language_id``
+    (staged counts) in real plans."""
     toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
 
     def _marker_hits(markers: tuple[str, ...]) -> Column:
@@ -110,10 +115,16 @@ def language_id(text: Column | str, out_score: bool = False) -> Column:
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
     scores = {lang: _marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    return _best_lang(scores)
+
+
+def _best_lang(scores: dict[str, Column]) -> Column:
+    """Highest marker count wins; ties break by fixed language order
+    ('en' > 'de' > 'es' > 'fr'); no hits -> 'und'."""
     langs = list(LANG_MARKERS)
     best = None
     for lang in langs:
-        cond = (scores[lang] > 0)
+        cond = scores[lang] > 0
         for other in langs:
             if langs.index(other) < langs.index(lang):
                 cond = cond & (scores[lang] > scores[other])
@@ -121,6 +132,27 @@ def language_id(text: Column | str, out_score: bool = False) -> Column:
                 cond = cond & (scores[lang] >= scores[other])
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
     return best.otherwise(F.lit("und"))
+
+
+def with_language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Staged language ID: project the four marker-hit counts ONCE as
+    columns, then pick the argmax — the decision tree references each
+    count ~4 times, and inline expressions would re-tokenize the text
+    per reference (see the staging note in operators/dedup.py).
+    Prefer this over ``language_id`` in real plans."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    staged = df.withColumns(
+        {f"__hits_{lang}": _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    )
+    scores = {lang: F.col(f"__hits_{lang}") for lang in LANG_MARKERS}
+    return staged.withColumn(out_col, _best_lang(scores)).drop(
+        *[f"__hits_{lang}" for lang in LANG_MARKERS]
+    )
 
 
 def fingerprint_md5(text: Column | str) -> Column:

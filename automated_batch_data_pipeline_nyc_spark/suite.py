@@ -960,10 +960,10 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
 )
 def _langid(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    return docs.select(
+    return tx.with_language_id(docs, "text").select(
         "doc_id",
         F.col("lang").alias("lang_label"),
-        tx.language_id("text").alias("lang_pred"),
+        "lang_pred",
     )
 
 
@@ -1389,6 +1389,26 @@ def _sinkrt(spark, sf_dir):
     return back.groupBy(F.col("ship_month").cast("long").alias("ship_month")).agg(
         F.count(F.lit(1)).alias("n_items"),
         _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+@_q(
+    "fuzzy_levenshtein",
+    """
+    SELECT s_suppkey, s_name,
+      CAST(levenshtein(s_name, 'Supplier#000000042') AS BIGINT) AS edit_dist
+    FROM supplier
+    WHERE levenshtein(s_name, 'Supplier#000000042') <= 2
+    """,
+    doc="fuzzy string matching: edit distance to a probe (same DP recurrence "
+        "in both engines -> exact integer parity); at scale, pre-block on "
+        "length/prefix so the distance only runs inside candidate buckets",
+)
+def _fuzzy(spark, sf_dir):
+    (supplier,) = _load(spark, sf_dir, "supplier")
+    dist = F.levenshtein("s_name", F.lit("Supplier#000000042"))
+    return supplier.filter(dist <= 2).select(
+        "s_suppkey", "s_name", dist.cast("long").alias("edit_dist")
     )
 
 
