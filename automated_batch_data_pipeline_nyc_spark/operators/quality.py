@@ -18,7 +18,16 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["QualityGateError", "expect_nonempty", "expect_no_nulls", "expect", "null_matrix"]
+__all__ = [
+    "QualityGateError",
+    "expect_nonempty",
+    "expect_no_nulls",
+    "expect",
+    "expect_unique_key",
+    "expect_values_between",
+    "expect_referential_integrity",
+    "null_matrix",
+]
 
 
 class QualityGateError(AssertionError):
@@ -52,6 +61,67 @@ def expect(df: DataFrame, predicate: Column, name: str = "expectation") -> DataF
     bad = df.filter(~predicate).count()
     if bad:
         raise QualityGateError(f"{name}: {bad} rows violate predicate")
+    return df
+
+
+def expect_unique_key(
+    df: DataFrame, key_columns: Sequence[str], name: str = "dataset"
+) -> DataFrame:
+    """Gate: *key_columns* must be a unique key.  One groupBy shuffle;
+    the HAVING-style filter keeps only violating groups so the driver
+    sees at most a tiny result."""
+    dupes = (
+        df.groupBy(*key_columns)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    sample = dupes.take(3)
+    if sample:
+        keys = [tuple(r[c] for c in key_columns) for r in sample]
+        raise QualityGateError(f"{name}: duplicate keys on {list(key_columns)}, e.g. {keys}")
+    return df
+
+
+def expect_values_between(
+    df: DataFrame,
+    column: str,
+    lo,
+    hi,
+    name: str = "dataset",
+    allow_null: bool = True,
+) -> DataFrame:
+    """Gate: every (non-null unless ``allow_null=False``) value of
+    *column* must lie in [lo, hi].  Single conditional-count pass."""
+    viol = ~F.col(column).between(lo, hi)
+    if allow_null:
+        viol = viol & F.col(column).isNotNull()
+    else:
+        viol = viol | F.col(column).isNull()
+    bad = df.filter(viol).count()
+    if bad:
+        raise QualityGateError(f"{name}: {bad} rows with {column} outside [{lo}, {hi}]")
+    return df
+
+
+def expect_referential_integrity(
+    df: DataFrame,
+    fk_column: str,
+    dim: DataFrame,
+    pk_column: str,
+    name: str = "dataset",
+) -> DataFrame:
+    """Gate: every non-null fk value must exist in the dimension — a
+    left-anti join (orphans only reach the driver).  At scale the dim
+    side broadcasts when small, exactly like the enrich join it guards."""
+    orphans = (
+        df.filter(F.col(fk_column).isNotNull())
+        .join(dim.select(F.col(pk_column).alias(fk_column)), fk_column, "left_anti")
+    )
+    n = orphans.count()
+    if n:
+        raise QualityGateError(
+            f"{name}: {n} rows whose {fk_column} has no match in dimension {pk_column}"
+        )
     return df
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "from_rows",
     "load_tables",
     "fetch_url",
+    "fetch_url_manifest",
 ]
 
 #: Driver-provided fixture tables (TESTDATA.md).
@@ -185,6 +186,61 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def fetch_url_manifest(
+    manifest: DataFrame,
+    url_col: str = "url",
+    dest_col: str = "dest",
+    timeout: int = 60,
+) -> DataFrame:
+    """S1/S15 at scale: distributed ingest of a URL *manifest*.
+
+    The manifest (url, dest) DataFrame fans out across executors; each
+    partition fetches its rows sequentially (per-task parallelism comes
+    from partition count — ``manifest.repartition(n)`` to widen).
+    Returns (url, dest, ok, size_bytes, error) — a *result* DataFrame,
+    so quality gates can assert on failures before any downstream read.
+    The kernel is closure-pure (stdlib only) and works for any
+    urllib-supported scheme (http/https/file), which is also what makes
+    it testable offline with file:// URLs.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("dest", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ])
+
+    def kernel(batches):
+        import os as _os
+        import urllib.request
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for url, dest in zip(pdf[url_col], pdf[dest_col]):
+                try:
+                    _os.makedirs(_os.path.dirname(dest) or ".", exist_ok=True)
+                    size = 0
+                    with urllib.request.urlopen(url, timeout=timeout) as resp, open(
+                        dest, "wb"
+                    ) as fh:
+                        while chunk := resp.read(1 << 20):
+                            fh.write(chunk)
+                            size += len(chunk)
+                    out.append((url, dest, True, size, None))
+                except Exception as exc:  # record, don't kill the task
+                    out.append((url, dest, False, None, repr(exc)))
+            yield _pd.DataFrame(out, columns=["url", "dest", "ok", "size_bytes", "error"])
+
+    return manifest.select(
+        F.col(url_col).alias(url_col), F.col(dest_col).alias(dest_col)
+    ).mapInPandas(kernel, schema)
 
 
 def fetch_url(url: str, dest_path: str, timeout: int = 60) -> str:

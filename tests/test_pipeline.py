@@ -83,3 +83,31 @@ def test_failing_gate_halts_downstream(spark):
     with pytest.raises(ValueError, match="quality gate failed"):
         pipe.run(spark)
     assert not ran, "downstream stage must not run after a failed gate"
+
+
+def test_extended_quality_gates(spark, events):
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        QualityGateError,
+        expect_referential_integrity,
+        expect_unique_key,
+        expect_values_between,
+    )
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+
+    clean = events.dropna()
+    # unique key holds on event_id, fails on event_type
+    expect_unique_key(clean, ["event_id"])
+    with pytest.raises(QualityGateError, match="duplicate keys"):
+        expect_unique_key(clean, ["event_type"])
+    # range gate
+    expect_values_between(clean, "value", -1e9, 1e9)
+    with pytest.raises(QualityGateError, match="outside"):
+        expect_values_between(clean, "value", 0, 1)
+    # referential integrity: orders.o_custkey -> customer.c_custkey holds
+    orders = read_parquet(spark, f"{SF_SMOKE}/orders.parquet")
+    customer = read_parquet(spark, f"{SF_SMOKE}/customer.parquet")
+    expect_referential_integrity(orders, "o_custkey", customer, "c_custkey")
+    with pytest.raises(QualityGateError, match="no match"):
+        expect_referential_integrity(
+            orders, "o_custkey", customer.filter("c_custkey < 100"), "c_custkey"
+        )

@@ -109,3 +109,27 @@ def test_fetch_url_file_scheme(tmp_path):
     got = fetch_url(src.as_uri(), str(dest))
     assert got == str(dest)
     assert dest.read_bytes() == b"spark-graft"
+
+
+def test_fetch_url_manifest_distributed(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources.readers import fetch_url_manifest
+
+    srcs = []
+    for i in range(6):
+        p = tmp_path / f"src_{i}.bin"
+        p.write_bytes(b"payload-%d" % i)
+        srcs.append(p)
+    rows = [(s.as_uri(), str(tmp_path / "fetched" / f"out_{i}.bin")) for i, s in enumerate(srcs)]
+    rows.append(("file:///nonexistent/nope.bin", str(tmp_path / "fetched" / "nope.bin")))
+    manifest = spark.createDataFrame(rows, ["url", "dest"]).repartition(3)
+    result = fetch_url_manifest(manifest).collect()
+    by_url = {r["url"]: r for r in result}
+    assert len(result) == 7
+    ok = [r for r in result if r["ok"]]
+    assert len(ok) == 6
+    for i, s in enumerate(srcs):
+        r = by_url[s.as_uri()]
+        assert r["size_bytes"] == len(b"payload-%d" % i)
+        assert pathlib.Path(r["dest"]).read_bytes() == b"payload-%d" % i
+    bad = by_url["file:///nonexistent/nope.bin"]
+    assert not bad["ok"] and bad["error"]
