@@ -21,7 +21,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["equi_join", "broadcast_enrich", "semi_join", "anti_join", "range_join"]
+__all__ = [
+    "equi_join",
+    "broadcast_enrich",
+    "semi_join",
+    "anti_join",
+    "range_join",
+    "asof_join",
+]
 
 
 def equi_join(
@@ -52,6 +59,69 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Colum
 def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
     """NOT EXISTS — quality-gate shape: facts lacking a dimension row."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward AS-OF join: for every left row, the right row with the
+    greatest ``right_ts <= left_ts`` within the same ``by`` key (ties on
+    the boundary match; NULL values when no prior right row exists).
+
+    Spark has no native ASOF, and the naive theta join
+    (``l.ts >= r.ts`` then windowed max) explodes quadratically per
+    key.  This is the scalable *union trick*: tag both sides, union,
+    and carry the last non-null right value forward with
+    ``last(ignorenulls) OVER (by, ORDER BY ts, side)`` — ONE shuffle on
+    the key, linear in rows, same partitioning as any window.  The
+    right side must be unique per (by, right_ts) — pre-aggregate it if
+    not, or the carried value is partition-order-dependent.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts AFTER right at equal ts
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        *[F.col(c) for c in by],  # key columns survive on right rows
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in by
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_l.select(sorted(tagged_l.columns)).unionByName(
+        tagged_r.select(sorted(tagged_r.columns))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out
 
 
 def range_join(

@@ -1846,6 +1846,51 @@ def _regex(spark, sf_dir):
 
 
 @_q(
+    "asof_login_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    logins AS (
+      SELECT user_id, ts AS login_ts, max(event_id) AS login_event_id
+      FROM events
+      WHERE event_type = 'login' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+      l.login_ts AS asof_login_ts,
+      l.login_event_id AS asof_login_event_id
+    FROM purchases p
+    ASOF LEFT JOIN logins l
+      ON p.user_id = l.user_id AND l.login_ts <= p.ts
+    """,
+    doc="§2.6 backward AS-OF join (latest same-user login at-or-before each "
+        "purchase) — union + last(ignorenulls) carry-forward, ONE shuffle on "
+        "the key, linear per row; oracle is DuckDB's native ASOF JOIN",
+)
+def _asof(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    logins = (
+        base.filter(F.col("event_type") == "login")
+        .groupBy("user_id", F.col("ts").alias("login_ts"))
+        .agg(F.max("event_id").alias("login_event_id"))
+    )
+    return J.asof_join(
+        purchases,
+        logins,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="login_ts",
+        value_cols=["login_ts", "login_event_id"],
+    )
+
+
+@_q(
     "sessionize_events",
     """
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
