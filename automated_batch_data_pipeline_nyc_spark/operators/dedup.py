@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 __all__ = [
     "exact_dedup",
     "shingle",
@@ -227,9 +229,12 @@ def minhash_dedup(
     # its k functions by multiply-add over the hashes, and the exact
     # verify intersects the hashed sets (long compares, dup-safe since
     # array_intersect/union are distinct-set ops).  Strings never leave
-    # the first projection.
+    # the first projection.  The signature pipeline only needs (id,
+    # text) — project first so the persisted set stays narrow — and is
+    # spread across the cluster so a single-row-group input can't
+    # serialize the O(k x shingles) arithmetic on one task.
     with_sig = (
-        df.withColumn(
+        spread(df.select(F.col(id_col), F.col(text_col))).withColumn(
             "__h",
             F.transform(shingle(text_col, n=shingle_size), lambda s: F.xxhash64(s)),
         )
@@ -458,43 +463,54 @@ def jaccard_prefix_pairs(
     # shuffle rows stay small however long the grams are.  Set sizes
     # (and so Jaccard) are hash-collision-exact up to 2^-64 per gram
     # pair, far below any realistic corpus' error budget.
-    g = df.select(
+    # The gram-hash projection is referenced three times (prefix explode
+    # twice via the self-join, verify twice) — without staging, the
+    # whole corpus would be re-shingled per reference.  Persist it once
+    # (spread, so a single-row-group input can't serialize the gram
+    # computation on one task), materialize the small verified-pairs
+    # result eagerly, then release executor storage.
+    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.transform(grams, lambda s: F.xxhash64(s)).alias("__h"),
     )
-    prefix_len = (
-        F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h")) + 1
-    ).cast("int")
-    p = g.select(
-        F.col(id_col),
-        F.explode(F.slice(F.col("__h"), 1, prefix_len)).alias("__gram"),
-    )
-    a, b = p.alias("a"), p.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__gram") == F.col("b.__gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    g = g.persist()
+    try:
+        prefix_len = (
+            F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h")) + 1
+        ).cast("int")
+        p = g.select(
+            F.col(id_col),
+            F.explode(F.slice(F.col("__h"), 1, prefix_len)).alias("__gram"),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        a, b = p.alias("a"), p.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__gram") == F.col("b.__gram"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    return (
-        cand.join(g.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha")), "id_a")
-        .join(g.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("__ha", "__hb")).cast("double")
-                / F.size(F.array_union("__ha", "__hb")).cast("double")
-            ).alias("jaccard"),
+        pairs = (
+            cand.join(g.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha")), "id_a")
+            .join(g.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("__ha", "__hb")).cast("double")
+                    / F.size(F.array_union("__ha", "__hb")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
 
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

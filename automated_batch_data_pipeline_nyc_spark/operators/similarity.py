@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -151,7 +153,9 @@ def cosine_lsh_pairs(
     # stage the double-cast vector ONCE; the planes_per_band x bands
     # sign-bit dots then reference a column instead of re-casting the
     # array per plane (Catalyst inlines expressions per use site).
-    staged = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vd"))
+    # spread() so a single-row-group input can't serialize the bucket
+    # computation on one task (no-op when the scan already splits).
+    staged = spread(df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vd")))
     band_buckets = []
     for b in range(bands):
         bucket = F.lit(0).cast("bigint")

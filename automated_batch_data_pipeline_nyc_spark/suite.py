@@ -1089,6 +1089,9 @@ def _dmin(spark, sf_dir):
 )
 def _dsim(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
+    # spread: the 64 bit-vote expressions are the cost; a single-row-
+    # group scan would otherwise run them on one task.
+    docs = dd.spread(docs.select("doc_id", "text"))
     sigs = dd.with_simhash(docs, "text").select("doc_id", "simhash")
     return dd.simhash_candidate_pairs(sigs, "doc_id", "simhash", max_hamming=3)
 
