@@ -1,0 +1,105 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+Random sampling (``df.sample``, ``sampleBy``) is seed- and
+partitioning-dependent: re-running the pipeline, or running it on a
+cluster with a different split plan, selects different rows.  Training
+corpora need the opposite — a row's membership in train/test/sample
+must be a pure function of the row itself, so incremental reruns,
+backfills, and cross-engine audits agree.  Everything here buckets on
+an md5 of the row key:
+
+  ``bucket(key) = int(md5(key)[0:8 hex]) % denominator``
+
+which is uniform, stable across engines (hex parse is exact in both
+Spark and ANSI SQL), and map-only — no shuffle, no state, scales to
+any corpus size.  A 32-bit prefix keeps the value inside a BIGINT in
+every dialect.
+
+Reference has no sampling surface (its pipeline is
+take-everything, dags/nyc_taxi_pipeline_dag.py); these are the
+LLM-pipeline additions the task brief calls for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "train_test_split",
+    "mixture_sample",
+]
+
+
+def hash_bucket(key: Column | str, buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of ``key``.
+
+    Map-only and engine-portable: DuckDB's
+    ``('0x' || substring(md5(k),1,8))::BIGINT % buckets`` produces the
+    identical integer, so sampling decisions are auditable outside
+    Spark.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = 10_000
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash bucket — deterministic
+    across reruns, engines, and cluster layouts (unlike ``df.sample``).
+    The filter is a scan-level predicate: no shuffle at any scale.
+    """
+    return df.filter(hash_bucket(key_col, buckets) < int(fraction * buckets))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'test' by key hash.
+
+    Because membership is a function of the key alone, a document keeps
+    its split across pipeline versions and incremental loads — the
+    property that prevents train/test leakage when the corpus grows.
+    """
+    b = hash_bucket(key_col, buckets)
+    return df.withColumn(
+        out_col,
+        F.when(b < int(test_fraction * buckets), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-source sampling rates — the corpus-mixing primitive (e.g.
+    keep 100% of books, 30% of web, 5% of logs).
+
+    The rate lookup compiles to a CASE expression and the decision to a
+    scan predicate: map-only, pushdown-friendly, no shuffle.  Sources
+    not in ``fractions`` fall back to ``default_fraction``.
+    """
+    b = hash_bucket(key_col, buckets)
+    threshold: Column = F.lit(int(default_fraction * buckets))
+    for src, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(source_col) == src, F.lit(int(frac * buckets))
+        ).otherwise(threshold)
+    return df.filter(b < threshold)

@@ -24,6 +24,8 @@ __all__ = [
     "with_language_id",
     "fingerprint_md5",
     "rolling_hash_fingerprint",
+    "redact_pii",
+    "tf_idf_top_terms",
     "text_stats",
 ]
 
@@ -171,6 +173,81 @@ def rolling_hash_fingerprint(text: Column | str, modulus: int = 1_000_000_007, b
         codes,
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * base + c) % modulus,
+    )
+
+
+#: RE2-safe PII patterns (no backrefs / lookaround) so the identical
+#: regex runs in Spark (java.util.regex) and the SQL oracle (RE2).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails, phone-number-shaped digit runs, and IPv4 literals
+    to typed placeholder tags — the standard pre-training privacy
+    pass.  A chain of ``regexp_replace`` (applied in declaration order,
+    so an IP inside an already-redacted email cannot double-fire):
+    map-only, whole-stage codegen, scales with the scan.
+    """
+    out = F.col(text) if isinstance(text, str) else text
+    for pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_term_len: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    tf = in-document term count, idf = ln(N / doc-frequency); ties
+    break on the term string so the ranking is total and
+    SQL-verifiable.  Plan shape: one explode + two hash aggregations
+    (per-(doc, term) and per-term) + a broadcast of the corpus size +
+    one window limited to k (WindowGroupLimit prunes the sort).  The
+    doc-frequency table is keyed by term — at 100 TB it is the
+    vocabulary, orders of magnitude smaller than the corpus, and the
+    join against it is AQE-broadcastable for natural-language token
+    distributions.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda t: F.length(t) >= min_term_len,
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
     )
 
 

@@ -21,6 +21,7 @@ __all__ = [
     "with_lag",
     "moving_avg",
     "running_sum",
+    "rolling_time_window",
     "sessionize",
 ]
 
@@ -78,6 +79,37 @@ def moving_avg(
     out_col = out_col or f"{col}_mavg{window_rows}"
     spec = _spec(partition_by, order_by).rowsBetween(-(window_rows - 1), 0)
     return df.withColumn(out_col, F.avg(col).over(spec))
+
+
+def rolling_time_window(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    agg_col: str,
+    window_seconds: int = 3600,
+    prefix: str = "w",
+) -> DataFrame:
+    """Trailing time-RANGE window: per key, aggregate everything whose
+    timestamp falls in ``[ts - window_seconds, ts]`` — event-time
+    rolling counts/sums, the time-series "hypertable" primitive.
+
+    Unlike a ROWS frame, the extent is value-based: ties and gaps in
+    event time are handled exactly.  The frame is declared over
+    ``unix_micros`` so the bound arithmetic is integral (bit-exact
+    cross-engine, no sub-second truncation drift).  One shuffle on the
+    key; within partitions Spark keeps a sliding frame, so cost is
+    O(rows) amortized, not O(rows x frame).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    spec = (
+        Window.partitionBy(*partition_by)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.withColumns({
+        f"{prefix}_count": F.count("*").over(spec),
+        f"{prefix}_sum": F.sum(agg_col).over(spec),
+    })
 
 
 def sessionize(

@@ -33,8 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import time_bucket, to_timestamp_coerce
+from .operators import chunking as ch
 from .operators import dedup as dd
+from .operators import graph as gr
 from .operators import joins as J
+from .operators import sampling as sa
 from .operators import quality as Q
 from .operators import relational as R
 from .operators import similarity as sim
@@ -2075,6 +2078,333 @@ def _csvrt(spark, sf_dir):
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+# ===========================================================================
+# LLM-pipeline: deterministic sampling / splitting (operators/sampling.py)
+# ===========================================================================
+
+#: DuckDB twin of sampling.hash_bucket — hex-parse of the md5 prefix.
+_SQL_BUCKET = "(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 10000)"
+
+
+@_q(
+    "sample_hash_fraction",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_SQL_BUCKET.format(key="doc_id")} < 3000
+    """,
+    doc="deterministic 30% corpus sample by key-hash bucket — rerun/engine-stable "
+        "membership (unlike df.sample), scan-level predicate, no shuffle",
+)
+def _shash(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return sa.hash_sample(docs, "doc_id", 0.3).select("doc_id", "lang", "source")
+
+
+@_q(
+    "train_test_split_counts",
+    f"""
+    SELECT source, split, COUNT(*) AS n FROM (
+      SELECT source,
+        CASE WHEN {_SQL_BUCKET.format(key="doc_id")} < 1000
+             THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    GROUP BY source, split
+    """,
+    doc="leakage-safe train/test labeling: membership is a pure function of the "
+        "doc key, so a document keeps its split across corpus versions",
+)
+def _ttsplit(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return (
+        sa.train_test_split(docs, "doc_id", test_fraction=0.1)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "mixture_by_source",
+    f"""
+    SELECT source, COUNT(*) AS n FROM documents
+    WHERE {_SQL_BUCKET.format(key="doc_id")} <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2000 ELSE 1000 END
+    GROUP BY source
+    """,
+    doc="corpus-mixture sampling: per-source keep rates (100%/50%/20%/10%) as one "
+        "CASE-driven hash predicate — the dataset-weighting primitive, map-only",
+)
+def _mix(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    kept = sa.mixture_sample(
+        docs, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        default_fraction=0.1,
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# LLM-pipeline: chunking / packing (operators/chunking.py)
+# ===========================================================================
+
+@_q(
+    "chunk_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+        greatest(CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT), 1) AS n_chunks
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, toks, unnest(generate_series(1, n_chunks)) AS i FROM c
+    )
+    SELECT doc_id, i - 1 AS chunk_idx,
+      array_to_string(toks[(i-1)*56+1 : (i-1)*56+64], ' ') AS chunk_text,
+      len(toks[(i-1)*56+1 : (i-1)*56+64]) AS n_tokens
+    FROM e
+    """,
+    doc="context-window chunking: 64-token windows, 8-token overlap, tail kept — "
+        "map-side posexplode over computed offsets, no shuffle at any scale",
+)
+def _chunk(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    out = ch.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        "chunk_text",
+        F.col("n_tokens").cast("long"),
+    )
+
+
+@_q(
+    "pack_token_windows",
+    """
+    SELECT doc_id, source, n_tokens,
+      CAST(floor((CAST(cum - n_tokens AS DOUBLE)) / 2000.0) AS BIGINT) AS window_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC) AS cum
+      FROM (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents)
+    )
+    """,
+    doc="greedy context-window packing: per-source running token total, window id "
+        "by budget division — ONE shuffle on the packing key (window cumsum)",
+)
+def _pack(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    out = ch.pack_token_windows(
+        with_counts, "doc_id", "n_tokens", budget=2000, pack_by="source"
+    )
+    return out.select("doc_id", "source", "n_tokens", "window_id")
+
+
+# ===========================================================================
+# LLM-pipeline: duplicate-cluster resolution (operators/graph.py)
+# ===========================================================================
+
+#: gram/prefix CTE shared with dedup_ngram_jaccard_prefix's oracle.
+_SQL_PREFIX_PAIRS = """
+    g AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+        i -> concat_ws(' ',
+               list_extract(string_split(lower(text),' '), i),
+               list_extract(string_split(lower(text),' '), i + 1))))) AS grams
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+        unnest(grams[1:(len(grams) - CAST(ceil(0.8 * len(grams)) AS BIGINT) + 1)]) AS gram
+      FROM g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) >= 0.8
+    )
+"""
+
+
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE
+    {_SQL_PREFIX_PAIRS},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, mn) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    doc="duplicate-cluster resolution: connected components (iterative min-label "
+        "propagation, one shuffle per round, O(diameter) rounds) over the lossless "
+        "prefix-jaccard pair graph; singletons are their own component — the "
+        "transitive-closure step that turns near-dup PAIRS into canonical clusters",
+)
+def _dcc(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_prefix_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    out = gr.assign_components(
+        docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
+    )
+    return out.select("doc_id", "component")
+
+
+# ===========================================================================
+# LLM-pipeline: text enrichment round 2 (operators/text.py)
+# ===========================================================================
+
+@_q(
+    "redact_pii",
+    """
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            substring(text, 1, 40) || ' reach me: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-1234 or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+        '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+    FROM documents
+    """,
+    doc="PII scrubbing (emails / phone runs / IPv4 -> typed tags) over text with "
+        "synthetic injected PII so the redaction provably fires; RE2-safe patterns "
+        "run identically in Spark (java regex) and the oracle; map-only",
+)
+def _pii(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" reach me: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-1234 or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("seeded"),
+    )
+    return seeded.select("doc_id", tx.redact_pii("seeded").alias("redacted"))
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> len(x) >= 4)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT doc_id, term, CAST(round(tfidf, 6) AS DOUBLE) AS tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+        CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf,
+        row_number() OVER (
+          PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) DESC,
+                   tf.term ASC) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n) s
+    WHERE rk <= 3
+    """,
+    doc="top-3 characteristic terms per document by tf-idf: explode + two hash "
+        "aggs + broadcast corpus size + WindowGroupLimit top-k; the doc-frequency "
+        "side is the vocabulary (tiny vs corpus) — AQE-broadcastable at scale; "
+        "scores rounded to 6dp because libm ln() differs by 1 ULP across engines",
+)
+def _tfidf(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    out = tx.tf_idf_top_terms(docs, "doc_id", "text", k=3, min_term_len=4)
+    return out.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+
+
+# ===========================================================================
+# time-series: event-time RANGE windows (operators/windows.py)
+# ===========================================================================
+
+@_q(
+    "rolling_hour_window",
+    """
+    SELECT event_id, user_id,
+      CAST(COUNT(*) OVER w AS BIGINT) AS w_count,
+      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_cents
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing 1-hour event-time RANGE window per user (count + integer-cents "
+        "sum): value-based frame over unix_micros so bounds are integral and "
+        "bit-exact cross-engine; one shuffle on the user key, sliding-frame O(rows)",
+)
+def _rollhour(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    spec = (
+        Wn.partitionBy("user_id").orderBy(us).rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(spec).alias("w_count"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(spec).alias("w_cents"),
+    )
+
+
+@_q(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n,
+      CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events WHERE value IS NOT NULL
+    GROUP BY bucket
+    """,
+    doc="fixed-width value histogram (quality-monitoring primitive): bucket by "
+        "IEEE-exact floor division, min/max per bucket (order-independent), one agg",
+)
+def _hist(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
     )
 
 
