@@ -1,0 +1,173 @@
+"""Unit + edge-case tests for the round-2 LLM-pipeline operators:
+sampling, chunking/packing, connected components, PII, tf-idf,
+as-of join, time-range windows.  Oracle parity at the suite level is
+covered by test_oracle_parity; these pin the operator semantics on
+constructed inputs where the interesting boundaries are visible.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automated_batch_data_pipeline_nyc_spark.operators import chunking as ch
+from automated_batch_data_pipeline_nyc_spark.operators import graph as gr
+from automated_batch_data_pipeline_nyc_spark.operators import sampling as sa
+from automated_batch_data_pipeline_nyc_spark.operators.joins import asof_join
+from automated_batch_data_pipeline_nyc_spark.operators.text import redact_pii
+from automated_batch_data_pipeline_nyc_spark.operators.windows import rolling_time_window
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = set(r.k for r in sa.hash_sample(df, "k", 0.25).collect())
+    b = set(r.k for r in sa.hash_sample(df, "k", 0.25).collect())
+    assert a == b, "hash sample must be rerun-stable"
+    # fraction is approximate but must be in the right ballpark
+    assert 0.18 < len(a) / 2000 < 0.32
+    # a smaller fraction is a strict subset (nested thresholds)
+    c = set(r.k for r in sa.hash_sample(df, "k", 0.10).collect())
+    assert c <= a
+
+
+def test_train_test_split_partitions_everything(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    out = sa.train_test_split(df, "k", test_fraction=0.2)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert set(counts) == {"train", "test"}
+    # growing the corpus never reassigns an existing key's split
+    bigger = sa.train_test_split(spark.range(1000).withColumnRenamed("id", "k"), "k", 0.2)
+    small_map = {r.k: r.split for r in out.collect()}
+    big_map = {r.k: r.split for r in bigger.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_mixture_sample_rates(spark):
+    rows = [(i, "keep") for i in range(300)] + [(i + 1000, "drop") for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out = sa.mixture_sample(df, "src", "k", {"keep": 1.0}, default_fraction=0.0)
+    got = out.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == {"keep": 300}
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # exactly 2 chunks of 6/2
+            (2, "short"),                               # single sub-window doc
+            (3, " ".join(f"x{i}" for i in range(7))),   # tail chunk shorter
+        ],
+        ["doc_id", "text"],
+    )
+    out = ch.chunk_documents(df, "doc_id", "text", chunk_tokens=6, overlap=2)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # doc 1: starts at tokens 1 and 5 (stride 4): [t0..t5], [t4..t9]
+    assert rows[(1, 0)] == ("t0 t1 t2 t3 t4 t5", 6)
+    assert rows[(1, 1)] == ("t4 t5 t6 t7 t8 t9", 6)
+    assert rows[(2, 0)] == ("short", 1)
+    # doc 3 (7 tokens): chunks at 1 and 5 -> second is the 3-token tail
+    assert rows[(3, 1)] == ("x4 x5 x6", 3)
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    assert rows[(1, 0)][0].split()[-2:] == rows[(1, 1)][0].split()[:2]
+    with pytest.raises(ValueError):
+        ch.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_pack_token_windows_budget(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 900), (2, "s", 900), (3, "s", 900), (4, "s", 2500), (5, "t", 10)],
+        ["doc_id", "src", "n_tok"],
+    )
+    out = ch.pack_token_windows(df, "doc_id", "n_tok", budget=2000, pack_by="src")
+    got = {r.doc_id: r.window_id for r in out.collect()}
+    # cum-before-doc: 0, 900, 1800, 2700 -> windows 0,0,0,1; other key restarts
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_singleton(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)], ["id_a", "id_b"]
+    )
+    comp = {r.node: r.component for r in gr.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_assign_components_covers_isolated_nodes(spark):
+    df = spark.range(8).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(5, 7)], ["id_a", "id_b"])
+    out = gr.assign_components(df, "doc_id", pairs)
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 5}
+    # canonical dedup: keep component representatives only
+    kept = out.filter(F.col("doc_id") == F.col("component")).count()
+    assert kept == 7
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert gr.connected_components(pairs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PII / text
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_all_types(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+x@ex-1.co, call +1 (555) 010-1234, host 10.0.0.7 end",)], ["t"]
+    )
+    out = df.select(redact_pii("t").alias("r")).head().r
+    assert out == "mail <EMAIL>, call <PHONE>, host <IP> end"
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_boundary_and_missing(spark):
+    ts = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(5)), (3, 2, ts(10))], ["event_id", "uid", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 100), (1, ts(9), 200), (2, ts(11), 300)], ["uid", "rts", "val"]
+    )
+    out = asof_join(left, right, by=["uid"], left_ts="ts", right_ts="rts", value_cols=["val"])
+    got = {r.event_id: r.asof_val for r in out.collect()}
+    # event 1: latest rts<=10 is 9 -> 200; event 2: boundary tie rts==5 matches
+    # -> 100; event 3: no rts<=10 for uid 2 -> NULL
+    assert got == {1: 200, 2: 100, 3: None}
+
+
+# ---------------------------------------------------------------------------
+# time-range window
+# ---------------------------------------------------------------------------
+
+def test_rolling_time_window_range_not_rows(spark):
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base, 1.0),
+        (2, 1, base + datetime.timedelta(minutes=30), 1.0),
+        (3, 1, base + datetime.timedelta(minutes=61), 1.0),  # evicts row 1
+        (4, 1, base + datetime.timedelta(hours=5), 1.0),     # alone in frame
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "uid", "ts", "v"])
+    out = rolling_time_window(df, ["uid"], "ts", "v", window_seconds=3600)
+    got = {r.event_id: r.w_count for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}

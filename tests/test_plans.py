@@ -103,3 +103,34 @@ def test_no_unblocked_pair_joins_in_production_paths(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chunking_is_map_only(spark):
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange" not in plan, "chunking must not shuffle — posexplode is map-side"
+    assert "Generate posexplode" in plan or "Generate" in plan
+
+
+def test_hash_sample_is_scan_level_filter(spark):
+    plan = _plan(spark, "sample_hash_fraction")
+    assert "Exchange" not in plan, "hash sampling is a map-only predicate"
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan, "top-k rank filter not pushed into the sort"
+
+
+def test_rolling_window_single_shuffle(spark):
+    plan = _plan(spark, "rolling_hour_window")
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "time-range window must shuffle exactly once, on the partition key"
+    )
+
+
+def test_asof_join_single_shuffle_no_theta_join(spark):
+    plan = _plan(spark, "asof_login_attribution")
+    # the union trick must not plan a range/theta join: no nested-loop,
+    # no cartesian — just window exchanges on the key.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
