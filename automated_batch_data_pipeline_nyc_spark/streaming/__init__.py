@@ -1,4 +1,7 @@
 from .jobs import (
+    dedup_stream,
+    enrich_stream_static,
+    foreach_batch_upsert,
     read_event_stream,
     sessionize_stream,
     windowed_event_counts,
@@ -6,6 +9,9 @@ from .jobs import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "enrich_stream_static",
+    "foreach_batch_upsert",
     "read_event_stream",
     "sessionize_stream",
     "windowed_event_counts",

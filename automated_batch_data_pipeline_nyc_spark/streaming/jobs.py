@@ -26,6 +26,9 @@ __all__ = [
     "read_event_stream",
     "windowed_event_counts",
     "sessionize_stream",
+    "enrich_stream_static",
+    "dedup_stream",
+    "foreach_batch_upsert",
     "write_stream_to_parquet",
 ]
 
@@ -141,6 +144,89 @@ def sessionize_stream(
     return clean.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension
+    table.
+
+    The static side is re-planned per micro-batch (so slowly-changing
+    dims refresh without restarting the query) and is broadcast when
+    small — no stream-side shuffle, no state store.  This is the
+    streaming rendition of the reference's lookup-enrichment joins.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes — bounded state, unlike plain
+    ``dropDuplicates`` on a stream which retains every key forever.
+    The at-least-once file/queue sources plus this operator give
+    effectively-once rows downstream.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    table: str,
+    key_cols: list[str],
+    checkpoint: str,
+    order_col: str,
+    available_now: bool = True,
+):
+    """Streaming MERGE: apply each micro-batch as an upsert into a
+    warehouse table via :func:`..operators.incremental.merge_upsert`.
+
+    ``foreachBatch`` is the idiomatic bridge from a stream to any
+    batch-only sink: the micro-batch DataFrame is deduplicated on the
+    key (latest ``order_col`` wins) and merged.  Exactly-once comes
+    from the checkpoint: a replayed batch re-merges the same rows,
+    and MERGE is idempotent on the key.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.incremental import merge_upsert
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not spark.catalog.tableExists(table):
+            batch.limit(0).write.saveAsTable(table)
+        # collapse the micro-batch to one row per key (latest order_col
+        # wins) so the MERGE join is unambiguous.
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        current = spark.table(table)
+        merged = merge_upsert(current, latest, key_cols)
+        # overwrite via staging table: Spark cannot overwrite a table
+        # from a plan that reads the same table.
+        merged.write.mode("overwrite").saveAsTable(f"{table}__staged")
+        spark.table(f"{table}__staged").write.mode("overwrite").saveAsTable(table)
+        spark.sql(f"DROP TABLE IF EXISTS {table}__staged")
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def write_stream_to_parquet(

@@ -181,3 +181,104 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, staged_events
     }
     assert got == want
     assert got, "no session ever closed — staging produced a degenerate stream"
+
+
+def test_stream_static_join_equals_batch(spark, staged_events, tmp_path):
+    """Stream-static enrichment: joining each micro-batch against a
+    static dim must produce exactly the batch join's rows."""
+    from automated_batch_data_pipeline_nyc_spark.streaming import enrich_stream_static
+
+    src, batch = staged_events
+    dim = (
+        batch.select("user_id").distinct().filter(F.col("user_id").isNotNull())
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    enriched = enrich_stream_static(
+        stream.filter(F.col("user_id").isNotNull()), dim, on="user_id"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_ss_join").groupBy("tier").count().collect()
+    want = (
+        batch.filter(F.col("user_id").isNotNull())
+        .join(dim, "user_id")
+        .groupBy("tier")
+        .count()
+        .collect()
+    )
+    assert {r.tier: r["count"] for r in got} == {r.tier: r["count"] for r in want}
+
+
+def test_streaming_dedup_within_watermark(spark, staged_events, tmp_path):
+    """Re-delivered events (same event_id) collapse to one row."""
+    import glob
+    import os
+    import shutil as sh
+
+    from automated_batch_data_pipeline_nyc_spark.streaming import dedup_stream
+
+    src, batch = staged_events
+    # duplicate every file: at-least-once delivery simulation; copies
+    # get later mtimes so they arrive in later micro-batches while the
+    # originals are still inside the watermark horizon.
+    dup_src = str(tmp_path / "dup_src")
+    os.makedirs(dup_src)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+        sh.copy(f, os.path.join(dup_src, f"a_{i}.parquet"))
+        sh.copy(f, os.path.join(dup_src, f"b_{i}.parquet"))
+        os.utime(os.path.join(dup_src, f"a_{i}.parquet"), (1_700_000_000 + i, ) * 2)
+        os.utime(os.path.join(dup_src, f"b_{i}.parquet"), (1_700_000_100 + i, ) * 2)
+    stream = read_event_stream(spark, dup_src, max_files_per_trigger=2)
+    deduped = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="10 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.table("t_dedup_stream").count()
+    assert n == batch.count(), "every re-delivered event_id must collapse to one row"
+
+
+def test_foreach_batch_upsert_latest_wins(spark, staged_events, tmp_path):
+    """Streaming MERGE sink: the final table holds one row per user
+    with that user's latest event."""
+    from automated_batch_data_pipeline_nyc_spark.streaming import foreach_batch_upsert
+
+    src, batch = staged_events
+    clean = batch.filter(F.col("user_id").isNotNull())
+    stream = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("user_id").isNotNull()
+    )
+    try:
+        q = foreach_batch_upsert(
+            stream,
+            "t_user_latest",
+            ["user_id"],
+            checkpoint=str(tmp_path / "ckpt"),
+            order_col="ts",
+        )
+        q.awaitTermination(180)
+        got = spark.table("t_user_latest")
+        assert got.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+        # spot-check: each user's stored ts is their max event ts
+        from pyspark.sql import functions as FF
+
+        want = clean.groupBy("user_id").agg(FF.max("ts").alias("max_ts"))
+        bad = (
+            got.join(want, "user_id")
+            .filter(FF.col("ts") != FF.col("max_ts"))
+            .count()
+        )
+        assert bad == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_user_latest")
