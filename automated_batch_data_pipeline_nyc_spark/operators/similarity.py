@@ -27,6 +27,8 @@ from .util import spread
 __all__ = [
     "dot",
     "l2_norm",
+    "l2_normalize",
+    "quantize_int8",
     "cosine",
     "cosine_to_query",
     "brute_force_topk",
@@ -67,6 +69,43 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
+    """Unit-normalize a vector column (map-only).  After normalization,
+    cosine reduces to a plain dot product — the precompute that halves
+    ANN query cost at serving time.
+
+    DataFrame-level on purpose: the norm MUST be staged as a column
+    before the per-element division, or Catalyst inlines the whole
+    norm aggregate into every element's expression — O(d^2) per vector
+    (the expression-inlining trap, see with_simhash).
+    """
+    staged = df.withColumn("__l2n", l2_norm(F.col(vec_col)))
+    out = staged.withColumn(
+        out_col,
+        F.transform(_as_double(F.col(vec_col)), lambda x: x / F.col("__l2n")),
+    )
+    return out.drop("__l2n")
+
+
+def quantize_int8(a: Column, scale: int = 127) -> Column:
+    """Symmetric int8 quantization: ``clamp(floor(x*scale + 0.5))`` per
+    component — the 4x storage/bandwidth shrink (float32 -> int8) that
+    makes billion-vector ANN indexes fit the page cache.
+
+    ``floor(x+0.5)`` instead of ``round`` because round-half rules
+    differ across engines while floor is IEEE-deterministic — the
+    quantized codes are bit-identical anywhere.  Expects unit-normalized
+    input (components in [-1, 1]); the clamp guards the general case.
+    """
+    return F.transform(
+        _as_double(a),
+        lambda x: F.least(
+            F.greatest(F.floor(x * scale + F.lit(0.5)), F.lit(-float(scale))),
+            F.lit(float(scale)),
+        ).cast("int"),
+    )
 
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: list[float], out_col: str = "cosine_sim") -> DataFrame:

@@ -2408,6 +2408,101 @@ def _hist(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS norm, v FROM e),
+    u AS (SELECT vec_id, norm, list_transform(v, x -> x / norm) AS uv FROM n),
+    q AS (SELECT vec_id, norm,
+            list_transform(uv, x ->
+              CAST(least(greatest(floor(x * 127 + 0.5), -127.0), 127.0) AS INT)) AS qv
+          FROM u)
+    SELECT vec_id, norm,
+      CAST(list_min(qv) AS BIGINT) AS q_min,
+      CAST(list_max(qv) AS BIGINT) AS q_max,
+      CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+      CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+    doc="ANN storage path: l2-normalize then symmetric int8-quantize every "
+        "embedding (4x shrink; floor(x*127+0.5) is engine-deterministic unlike "
+        "round-half rules); verified via per-vector code statistics — map-only",
+)
+def _equant(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    normed = sim.l2_normalize(emb, "embedding", out_col="unit_vec")
+    staged = normed.withColumn("__q", sim.quantize_int8(F.col("unit_vec")))
+    return staged.select(
+        "vec_id",
+        sim.l2_norm(F.col("embedding")).alias("norm"),
+        F.array_min("__q").cast("long").alias("q_min"),
+        F.array_max("__q").cast("long").alias("q_max"),
+        F.aggregate("__q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size(F.filter("__q", lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
+    )
+
+
+@_q(
+    "clip_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+        quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+      least(greatest(e.value, s.lo), s.hi) AS clipped
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+    doc="winsorize: clip values to the per-group [p05, p95] band — exact "
+        "percentiles (interpolation matches quantile_cont bit-for-bit), tiny "
+        "stats side broadcast back; at 100 TB swap percentile for approx_percentile",
+)
+def _clip(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull())
+    stats = base.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return base.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("clipped"),
+    )
+
+
+@_q(
+    "window_percentile_ranks",
+    """
+    SELECT event_id, event_type, value,
+      percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)
+    """,
+    doc="§2.7 distribution-position windows: percent_rank + cume_dist per group "
+        "— tie-aware (deterministic without a tiebreak column), one shuffle",
+)
+def _prank(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = Wn.partitionBy("event_type").orderBy(F.asc("value"))
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
