@@ -2409,6 +2409,27 @@ def _hist(spark, sf_dir):
 
 
 @_q(
+    "window_percentile_ranks_dist",
+    """
+    SELECT event_id, event_type, value,
+      percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)
+    """,
+    doc="distributed percent_rank/cume_dist: identical numbers to the exact "
+        "window form, but computed from the (group, value) histogram so no "
+        "whole group is ever sorted in one task — the 100 TB path when the "
+        "partition key has low cardinality (exact form measured 9.5x "
+        "super-linear on the 10x fixture step; this form stays parallel)",
+)
+def _prank_dist(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull())
+    out = W.distributed_percent_rank(base, "event_type", "value")
+    return out.select("event_id", "event_type", "value", "pr", "cd")
+
+
+@_q(
     "embedding_quantize",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
