@@ -33,6 +33,8 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "read_csv_glob",
+    "read_json",
+    "read_orc",
     "read_sql_table",
     "from_rows",
     "load_tables",
@@ -123,6 +125,27 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", infer_schema)
     return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan.
+
+    An explicit ``schema`` is non-optional at scale: without one Spark
+    runs a full inference pass over every file before the real scan
+    (2x the 100 TB read), and inferred types drift run-to-run with the
+    data.  Inference is still allowed here for exploration.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (predicate pushdown, column pruning, row-group skipping via ORC
+    stripe statistics)."""
+    return spark.read.orc(path)
 
 
 def read_csv_glob(spark: SparkSession, pattern: str, **kwargs) -> DataFrame:

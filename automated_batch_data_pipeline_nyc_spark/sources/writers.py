@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 __all__ = [
     "write_parquet",
     "write_csv",
+    "write_json",
+    "write_orc",
     "export_csv_single_file",
     "write_table",
     "write_table_bucketed",
@@ -50,6 +52,27 @@ def write_parquet(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """S8/S13: parallel CSV write (one part per partition)."""
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines write (one part per partition).  Interchange format —
+    ~5-10x parquet's bytes and no pushdown on re-read; use for hand-off
+    to non-columnar consumers, never as the pipeline's storage layer."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC write — parquet-equivalent columnar sink for ORC-standard
+    warehouses (Hive/Trino estates)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.orc(path)
 
 
 def export_csv_single_file(

@@ -2524,6 +2524,79 @@ def _prank(spark, sf_dir):
     )
 
 
+@_q(
+    "json_roundtrip",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="JSON-lines sink -> explicit-schema scan round-trip (interchange-format "
+        "hop); doubles survive Jackson shortest-repr serialization exactly, "
+        "verified by the decimal-money aggregate against the ORIGINAL table",
+)
+def _jsonrt(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.readers import read_json
+    from .sources.writers import write_json
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_json_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_json(orders.select("o_orderkey", "o_orderstatus", "o_totalprice"), out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_json(spark, out, schema=schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@_q(
+    "orc_roundtrip",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="partitioned ORC sink -> scan round-trip: the parquet-equivalent "
+        "columnar path for ORC-standard warehouses, incl. partition pruning "
+        "layout; verified against the ORIGINAL table",
+)
+def _orcrt(spark, sf_dir):
+    import tempfile
+
+    from .sources.readers import read_orc
+    from .sources.writers import write_orc
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_orc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_orc(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        out,
+        partition_by=["o_orderpriority"],
+    )
+    back = read_orc(spark, out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "total_price"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
