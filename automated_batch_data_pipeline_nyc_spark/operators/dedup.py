@@ -38,6 +38,7 @@ __all__ = [
     "shingle",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "minhash_pairs",
     "minhash_dedup",
     "simhash_signature",
     "with_simhash",
@@ -206,7 +207,7 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_dedup(
+def minhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -216,14 +217,13 @@ def minhash_dedup(
     shingle_size: int = 5,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
-    """End-to-end MinHash near-dedup.
+    """Verified MinHash near-dup pairs (id_a < id_b).
 
-    Returns the deduplicated DataFrame: for every near-duplicate pair
-    (verified on *exact* shingle-set Jaccard, not just the LSH bucket),
-    the higher-id document is dropped.  "Keep lowest id per duplicate
-    relation" is a deterministic single-pass approximation of
-    connected-component clustering: any doc with a smaller near-dup
-    survivor is removed.
+    LSH banding proposes candidates; *exact* shingle-set Jaccard (over
+    the hashed shingles) verifies them — so the only approximation is
+    LSH recall, never false positives.  The pair set is materialized
+    eagerly (it is candidate-sized, tiny next to the corpus) so the
+    cached signature/shingle storage can be released before returning.
     """
     # Shingles are hashed ONCE to 64-bit longs; the signature derives
     # its k functions by multiply-add over the hashes, and the exact
@@ -257,15 +257,48 @@ def minhash_dedup(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b")
         )
-        # Materialize the (small) doomed-id set while the cached
-        # signatures are alive, then release executor storage — a
-        # long-lived driver calling this repeatedly must not accumulate
-        # cached shingle arrays.
-        doomed = (
-            verified.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint(eager=True)
-        )
+        # Materialize while the cached signatures are alive, then
+        # release executor storage — a long-lived driver calling this
+        # repeatedly must not accumulate cached shingle arrays.
+        return verified.localCheckpoint(eager=True)
     finally:
         with_sig.unpersist()
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.7,
+    transitive: bool = False,
+) -> DataFrame:
+    """End-to-end MinHash near-dedup.
+
+    Returns the deduplicated DataFrame.  Default survivor rule: any doc
+    with a smaller-id near-dup is dropped — a deterministic single-pass
+    under-approximation of clustering (A~B, B~C, A!~C drops both B and
+    C).  With ``transitive=True``, duplicate relations are resolved to
+    connected components first (see :mod:`.graph`) and exactly one doc
+    — the cluster minimum — survives per cluster: the correct semantics
+    when near-dup chains are long (boilerplate families, mirrors).
+    """
+    pairs = minhash_pairs(
+        df, text_col, id_col, num_hashes, bands, rows_per_band,
+        shingle_size, jaccard_threshold,
+    )
+    if transitive:
+        from .graph import connected_components
+
+        comp = connected_components(pairs)
+        doomed = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, on=id_col, how="left_anti")
 
 

@@ -1086,6 +1086,20 @@ def _dmin(spark, sf_dir):
 
 
 @_q(
+    "dedup_minhash_transitive",
+    None,  # xxhash64-based signatures are engine-specific → rows-only
+    doc="MinHash near-dedup with connected-component survivor resolution: "
+        "exactly one doc (the cluster min) survives per transitive duplicate "
+        "cluster — pairs → min-label CC → anti-join",
+)
+def _dmincc(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.minhash_dedup(
+        docs, "text", "doc_id", jaccard_threshold=0.5, transitive=True
+    ).select("doc_id", "lang", "source")
+
+
+@_q(
     "dedup_simhash",
     None,  # xxhash64-based signature → rows-only
     doc="SimHash(64-bit) near-dup candidate pairs under Hamming<=3 (chunk-blocked)",
@@ -2594,6 +2608,53 @@ def _orcrt(spark, sf_dir):
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _sum_money(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@_q(
+    "scalar_function_battery",
+    """
+    SELECT s_suppkey,
+      lpad(s_name, 30, '*') AS padded,
+      rpad(left(s_name, 8), 12, '.') AS padded_r,
+      translate(s_name, 'aeiou', 'AEIOU') AS translated,
+      repeat(right(s_name, 2), 3) AS repeated,
+      reverse(s_name) AS reversed,
+      ascii(s_name) AS first_code,
+      chr(65 + CAST(s_suppkey % 26 AS INT)) AS letter,
+      nullif(CAST(s_suppkey % 7 AS BIGINT), 0) AS nullable_mod,
+      ((CAST(s_suppkey AS BIGINT) - 50) % 7 + 7) % 7 AS pmod7,
+      CAST(sign(s_acctbal) AS DOUBLE) AS bal_sign,
+      split_part(s_name, '#', 2) AS name_part,
+      CAST(strpos(s_name, 'er') AS BIGINT) AS er_pos,
+      sha256(s_name) AS digest,
+      CAST(bit_count(CAST(s_suppkey AS BIGINT)) AS INT) AS key_bits
+    FROM supplier
+    """,
+    doc="§2.3 scalar battery: 14 string/math built-ins verified at once against "
+        "the oracle (the dialect-safe intersection; initcap/overlay/"
+        "substring_index have no DuckDB twin and are excluded) — all map-only, "
+        "whole-stage codegen",
+)
+def _battery(spark, sf_dir):
+    (supplier,) = _load(spark, sf_dir, "supplier")
+    name, key = F.col("s_name"), F.col("s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.lpad(name, 30, "*").alias("padded"),
+        F.rpad(F.substring(name, 1, 8), 12, ".").alias("padded_r"),
+        F.translate(name, "aeiou", "AEIOU").alias("translated"),
+        F.repeat(F.substring(name, -2, 2), 3).alias("repeated"),
+        F.reverse(name).alias("reversed"),
+        F.ascii(name).alias("first_code"),
+        F.char(F.lit(65) + (key % 26).cast("int")).alias("letter"),
+        F.nullif((key % 7).cast("long"), F.lit(0)).alias("nullable_mod"),
+        F.pmod(key.cast("long") - 50, F.lit(7)).alias("pmod7"),
+        F.signum("s_acctbal").cast("double").alias("bal_sign"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_part"),
+        F.locate("er", name).cast("long").alias("er_pos"),
+        F.sha2(name, 256).alias("digest"),
+        F.bit_count(key.cast("long")).alias("key_bits"),
     )
 
 

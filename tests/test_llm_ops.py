@@ -171,3 +171,40 @@ def test_rolling_time_window_range_not_rows(spark):
     out = rolling_time_window(df, ["uid"], "ts", "v", window_seconds=3600)
     got = {r.event_id: r.w_count for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# transitive minhash dedup
+# ---------------------------------------------------------------------------
+
+def test_minhash_transitive_keeps_one_per_chain(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    # a chain of shingle-overlapping docs: consecutive pairs are near-dups
+    # but the chain ends are not — transitive resolution must keep ONE.
+    # consecutive docs share ~78% of shingles (offset 2 of 20 tokens);
+    # chain ends share almost nothing.  bands=32 x rows=4 targets
+    # J~0.42, so every consecutive pair is found (LSH is deterministic
+    # with the fixed seed) while the ends are not a pair.
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(words[0:20])),
+        (2, " ".join(words[2:22])),
+        (3, " ".join(words[4:24])),
+        (4, " ".join(words[6:26])),
+        (50, "completely different content about other things entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(bands=32, rows_per_band=4, jaccard_threshold=0.5)
+    kept_transitive = sorted(
+        r.doc_id
+        for r in dd.minhash_dedup(
+            df, "text", "doc_id", transitive=True, **kw
+        ).collect()
+    )
+    assert kept_transitive == [1, 50]
+    # the single-pass rule keeps a superset (chain ends may both survive)
+    kept_fast = sorted(
+        r.doc_id for r in dd.minhash_dedup(df, "text", "doc_id", **kw).collect()
+    )
+    assert set(kept_transitive) <= set(kept_fast)
