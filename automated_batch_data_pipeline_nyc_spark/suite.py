@@ -1866,26 +1866,26 @@ def _regex(spark, sf_dir):
 
 
 @_q(
-    "asof_login_attribution",
+    "asof_click_attribution",
     """
     WITH purchases AS (
       SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
     ),
-    logins AS (
-      SELECT user_id, ts AS login_ts, max(event_id) AS login_event_id
+    clicks AS (
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
       FROM events
-      WHERE event_type = 'login' AND ts IS NOT NULL AND user_id IS NOT NULL
+      WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
       GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id, p.ts,
-      l.login_ts AS asof_login_ts,
-      l.login_event_id AS asof_login_event_id
+      l.click_ts AS asof_click_ts,
+      l.click_event_id AS asof_click_event_id
     FROM purchases p
-    ASOF LEFT JOIN logins l
-      ON p.user_id = l.user_id AND l.login_ts <= p.ts
+    ASOF LEFT JOIN clicks l
+      ON p.user_id = l.user_id AND l.click_ts <= p.ts
     """,
-    doc="§2.6 backward AS-OF join (latest same-user login at-or-before each "
+    doc="§2.6 backward AS-OF join (latest same-user click at-or-before each "
         "purchase) — union + last(ignorenulls) carry-forward, ONE shuffle on "
         "the key, linear per row; oracle is DuckDB's native ASOF JOIN",
 )
@@ -1895,18 +1895,18 @@ def _asof(spark, sf_dir):
     purchases = base.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    logins = (
-        base.filter(F.col("event_type") == "login")
-        .groupBy("user_id", F.col("ts").alias("login_ts"))
-        .agg(F.max("event_id").alias("login_event_id"))
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
     )
     return J.asof_join(
         purchases,
-        logins,
+        clicks,
         by=["user_id"],
         left_ts="ts",
-        right_ts="login_ts",
-        value_cols=["login_ts", "login_event_id"],
+        right_ts="click_ts",
+        value_cols=["click_ts", "click_event_id"],
     )
 
 
@@ -2655,6 +2655,89 @@ def _battery(spark, sf_dir):
         F.locate("er", name).cast("long").alias("er_pos"),
         F.sha2(name, 256).alias("digest"),
         F.bit_count(key.cast("long")).alias("key_bits"),
+    )
+
+
+@_q(
+    "resample_gap_fill",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM b),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+    types AS (SELECT DISTINCT event_type FROM b),
+    c AS (SELECT hour, event_type, COUNT(*) AS n FROM b GROUP BY hour, event_type)
+    SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
+    doc="time-series resample with gap filling: dense hour x type spine "
+        "(sequence+explode from the observed span — driver-side-free) left-joined "
+        "with the sparse counts, missing cells zero-filled; the spine side is "
+        "spans x types (tiny, broadcast), the corpus only ever hash-aggregates",
+)
+def _resample(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    b = events.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+    span = b.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = span.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = b.select("event_type").distinct()
+    counts = b.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+    )
+
+
+@_q(
+    "funnel_signup_purchase",
+    """
+    WITH l AS (
+      SELECT user_id, min(ts) AS first_signup FROM events
+      WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN l ON l.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= l.first_signup
+      GROUP BY e.user_id
+    )
+    SELECT l.user_id, l.first_signup, p.first_purchase,
+      (p.first_purchase IS NOT NULL) AS converted
+    FROM l LEFT JOIN p USING (user_id)
+    """,
+    doc="two-step funnel: first signup, then first purchase at-or-after it, "
+        "per-user conversion flag — two keyed aggregations + one join, no "
+        "window over raw history (min() composes with partial aggregation)",
+)
+def _funnel(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return signups.join(purchases, "user_id", "left").select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
     )
 
 

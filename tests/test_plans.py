@@ -129,7 +129,7 @@ def test_rolling_window_single_shuffle(spark):
 
 
 def test_asof_join_single_shuffle_no_theta_join(spark):
-    plan = _plan(spark, "asof_login_attribution")
+    plan = _plan(spark, "asof_click_attribution")
     # the union trick must not plan a range/theta join: no nested-loop,
     # no cartesian — just window exchanges on the key.
     assert "CartesianProduct" not in plan
