@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from ..functions import month_of_year
 
-__all__ = ["clean_pipeline", "drop_null_rows", "dedup_exact_rows", "with_derived_month"]
+__all__ = [
+    "clean_pipeline",
+    "drop_null_rows",
+    "dedup_exact_rows",
+    "with_derived_month",
+    "enforce_schema",
+]
 
 
 def drop_null_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
@@ -60,3 +66,36 @@ def clean_pipeline(
     for name, col in (extra_columns or {}).items():
         out = out.withColumn(name, col)
     return out
+
+
+def enforce_schema(
+    df: DataFrame,
+    schema,
+    drop_extra: bool = True,
+    fail_on_missing: bool = True,
+) -> DataFrame:
+    """Align an incoming frame to a contract schema: project columns in
+    the contract's order, cast each to the contracted type, drop (or
+    reject) extras, and NULL-fill or reject missing columns.
+
+    The ingest-time guard a long-lived pipeline needs once producers
+    evolve independently (the reference's autodetect-everywhere posture
+    — dags/nyc_taxi_pipeline_dag.py:119 — silently propagates drift
+    instead).  Casting uses Spark ``cast`` semantics (non-coercible
+    values become NULL, surfaced by the quality gates downstream).
+    Map-only: projections and casts never shuffle.
+    """
+    in_cols = set(df.columns)
+    contract = {f.name: f.dataType for f in schema.fields}
+    missing = [c for c in contract if c not in in_cols]
+    if missing and fail_on_missing:
+        raise ValueError(f"enforce_schema: missing columns {missing}")
+    extra = [c for c in df.columns if c not in contract]
+    if extra and not drop_extra:
+        raise ValueError(f"enforce_schema: unexpected columns {extra}")
+    return df.select(
+        *[
+            (F.col(name) if name in in_cols else F.lit(None)).cast(dtype).alias(name)
+            for name, dtype in contract.items()
+        ]
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "export_csv_single_file",
     "write_table",
     "write_table_bucketed",
+    "compact_parquet",
 ]
 
 
@@ -122,3 +123,44 @@ def write_table(df: DataFrame, name: str, mode: str = "append") -> None:
     External-DB parity would be ``df.write.jdbc(url, table, mode=mode)``
     with ``batchsize`` standing in for pandas ``method='multi'``."""
     df.write.mode(mode).saveAsTable(name)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    min_files: int = 1,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_mb`` files.  Returns the output file count.
+
+    Streaming sinks and incremental loads accrete thousands of tiny
+    files per directory; at 100 TB the resulting scan-planning and
+    task-startup overhead (one task per file below
+    ``maxPartitionBytes``) dominates real work, and object-store
+    listings slow every query.  Periodic compaction is the standard
+    counter-measure (what table formats run as 'OPTIMIZE').
+
+    Sizing is driver-side file listing only (no data read); the rewrite
+    is one coalesce-shaped job.  ``coalesce`` (not ``repartition``)
+    avoids a shuffle: partitions are merged, never split.  The rewrite
+    goes through a staging directory then an atomic-ish rename, so a
+    failed compaction never destroys the input.
+    """
+    import math
+    import os
+    import shutil
+
+    size_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                size_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(min_files, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "__precompact"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return n_files

@@ -133,3 +133,50 @@ def test_fetch_url_manifest_distributed(spark, tmp_path):
         assert pathlib.Path(r["dest"]).read_bytes() == b"payload-%d" % i
     bad = by_url["file:///nonexistent/nope.bin"]
     assert not bad["ok"] and bad["error"]
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources.writers import compact_parquet
+
+    import glob
+
+    path = str(tmp_path / "fragmented")
+    # 40 tiny files — the streaming-sink accretion pattern
+    spark.range(10000).repartition(40).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 40
+    before = spark.read.parquet(path).selectExpr("sum(id)").head()[0]
+    n = compact_parquet(spark, path, target_file_mb=128)
+    files_after = glob.glob(f"{path}/part-*.parquet")
+    assert len(files_after) == n == 1
+    assert spark.read.parquet(path).selectExpr("sum(id)").head()[0] == before
+
+
+def test_enforce_schema_alignment(spark):
+    from pyspark.sql import types as T
+
+    from automated_batch_data_pipeline_nyc_spark.operators.cleaning import enforce_schema
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [("7", "1.5", "x", True)], ["id", "amount", "extra", "flag"]
+    )
+    out = enforce_schema(src, contract, fail_on_missing=False)
+    assert out.columns == ["id", "amount", "note"]
+    row = out.head()
+    assert row.id == 7 and row.amount == 1.5 and row.note is None
+    assert [f.dataType for f in out.schema.fields] == [
+        T.LongType(), T.DoubleType(), T.StringType()
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        enforce_schema(src, contract)  # 'note' missing, fail_on_missing=True
+    with _pt.raises(ValueError):
+        enforce_schema(src.select("id", "amount", "flag"), contract,
+                       drop_extra=False, fail_on_missing=False)
