@@ -2741,6 +2741,48 @@ def _funnel(spark, sf_dir):
     )
 
 
+@_q(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      CAST(MIN(value) AS DOUBLE) AS vmin,
+      CAST(MAX(value) AS DOUBLE) AS vmax
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="skew-safe two-stage aggregation: pre-aggregate on (key, salt) so no "
+        "reducer sees more than ~1/B of a hot key, then combine partials — "
+        "result provably identical to the plain GROUP BY (the oracle IS the "
+        "plain form); decomposable aggs only, integer-cents sum for exactness",
+)
+def _salted(spark, sf_dir):
+    from .operators import skew as sk
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).withColumn(
+        "cents_part", F.floor(F.col("value") * 100).cast("long")
+    )
+    return sk.salted_two_stage_agg(
+        base,
+        ["event_type"],
+        {
+            "n": ("count", "event_type"),
+            "cents": ("sum", "cents_part"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt_buckets=16,
+    ).select(
+        "event_type",
+        F.col("n").cast("long"),
+        F.col("cents").cast("long"),
+        F.col("vmin").cast("double"),
+        F.col("vmax").cast("double"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
