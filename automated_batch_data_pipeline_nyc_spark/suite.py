@@ -1258,10 +1258,47 @@ def _centroids_udaf(spark, sf_dir):
     )
 
 
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 4, k: int = 10, seed: int = 42) -> str:
+    """DuckDB oracle replicating ``lsh_topk`` exactly: the seeded
+    hyperplanes are inlined as literals, sign-bit buckets computed with
+    the same IEEE ops in the same order for both the corpus and the
+    query vector, so even the approximate pruned-scan path is
+    hash-verifiable."""
+    planes = sim._hyperplanes(dim, n_planes, seed)
+
+    def lit(vec: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    bits_vec = "\n        + ".join(
+        f"(CASE WHEN list_dot_product(e.emb, {lit(planes[i])}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    bits_q = "\n        + ".join(
+        f"(CASE WHEN list_dot_product(q.qe, {lit(planes[i])}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    cos = (
+        "list_dot_product(e.emb, q.qe) / (sqrt(list_dot_product(e.emb, e.emb))"
+        " * sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT e.vec_id, {cos} AS cosine_sim
+    FROM e, q
+    WHERE ({bits_vec}) = ({bits_q})
+    ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
 @_q(
     "similarity_lsh_topk",
-    None,  # hyperplane projections are engine-side constants → rows-only
-    doc="sign-random-projection LSH bucketed top-k (the pruned-scan path)",
+    _lsh_topk_oracle(),
+    doc="sign-random-projection LSH bucketed top-k (the pruned-scan path, "
+        "~n/2^planes of the corpus scored); deterministic seeded hyperplanes "
+        "replicated in the oracle so the approximate path is hash-verified too",
 )
 def _slsh(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
