@@ -1,0 +1,127 @@
+"""Property-based differential tests (hypothesis).
+
+Each property pits a distributed operator against an independent
+reference implementation (pure Python / pandas) on randomized inputs —
+the failure modes constructed examples miss live at parameter
+boundaries (overlap == chunk-1, singleton groups, tie timestamps).
+
+max_examples is deliberately small: every example runs Spark jobs, so
+these buy breadth per example, not per thousand.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from automated_batch_data_pipeline_nyc_spark.operators import chunking as ch
+from automated_batch_data_pipeline_nyc_spark.operators import graph as gr
+from automated_batch_data_pipeline_nyc_spark.operators.joins import asof_join
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=150),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+def test_chunking_reconstructs_document(spark, n_tokens, chunk, overlap_frac):
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    tokens = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(tokens))], ["doc_id", "text"])
+    rows = sorted(
+        ch.chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap)
+        .collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # every chunk fits the window and no chunk is empty
+    assert all(1 <= r.n_tokens <= chunk for r in rows)
+    # stitching chunks back (dropping each successor's overlap) yields
+    # the document exactly — nothing lost, nothing duplicated
+    rebuilt = rows[0].chunk_text.split(" ")
+    for r in rows[1:]:
+        rebuilt.extend(r.chunk_text.split(" ")[overlap:])
+    # the final chunk may re-cover tokens already emitted (tail rule);
+    # reconstruction therefore compares as a prefix-free merge instead
+    # when the last chunk starts before the previous end
+    starts = [i * stride for i in range(len(rows))]
+    expected = list(tokens)
+    if rebuilt != expected:
+        # tolerate only the documented tail overlap: rebuild by position
+        by_pos = {}
+        for start, r in zip(starts, rows):
+            for j, tok in enumerate(r.chunk_text.split(" ")):
+                by_pos.setdefault(start + j, tok)
+        assert [by_pos[i] for i in range(n_tokens)] == expected
+        assert max(by_pos) == n_tokens - 1
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.component for r in gr.connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # normalize: component id must be the min member in both
+    comp_min: dict[int, int] = {}
+    for n, c in want.items():
+        comp_min[c] = min(comp_min.get(c, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    left_ts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    right_ts=st.sets(st.integers(0, 50), min_size=1, max_size=15),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    left_rows = [(i, 1, t) for i, t in enumerate(left_ts)]
+    right_rows = [(1, t, t * 100) for t in sorted(right_ts)]
+    left = spark.createDataFrame(left_rows, ["event_id", "uid", "ts"])
+    right = spark.createDataFrame(right_rows, ["uid", "rts", "val"])
+    out = asof_join(
+        left, right, by=["uid"], left_ts="ts", right_ts="rts", value_cols=["val"]
+    )
+    got = {r.event_id: r.asof_val for r in out.collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "uid", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["uid", "rts", "val"]).sort_values("rts")
+    merged = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="uid", direction="backward"
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
