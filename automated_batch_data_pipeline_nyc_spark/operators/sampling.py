@@ -33,6 +33,7 @@ __all__ = [
     "hash_sample",
     "train_test_split",
     "mixture_sample",
+    "shuffle_shards",
 ]
 
 
@@ -103,3 +104,41 @@ def mixture_sample(
             F.col(source_col) == src, F.lit(int(frac * buckets))
         ).otherwise(threshold)
     return df.filter(b < threshold)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 1024,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering, as
+    (shard, position-within-shard) — reproducible across reruns,
+    engines, and cluster layouts.
+
+    A training dataloader needs the corpus in a fixed pseudo-random
+    order, but a single global ``row_number`` over the hash would put
+    the whole corpus through ONE window task.  Instead the keyed hash
+    is split into a shard id (modulo) and a within-shard rank
+    (``row_number`` partitioned by shard, ordered by the hash with the
+    key as tie-break): with ``n_shards`` at or above cluster
+    parallelism, every shard sorts independently and the concatenation
+    ``shard asc, pos asc`` IS the global shuffled order.  Changing
+    ``seed`` re-deals the entire permutation.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    staged = df.withColumn("__h", h).withColumn(
+        shard_col, (F.col("__h") % n_shards).cast("bigint")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
+    return staged.withColumn(pos_col, F.row_number().over(w).cast("bigint")).drop("__h")

@@ -27,6 +27,12 @@ __all__ = [
     "redact_pii",
     "tf_idf_top_terms",
     "text_stats",
+    "ngram_array",
+    "repetition_metrics",
+    "contamination_flags",
+    "url_host",
+    "registered_domain",
+    "domain_stats",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -249,6 +255,169 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def ngram_array(tokens_col: Column | str, n: int) -> Column:
+    """Word n-grams from a STAGED token-array column, as space-joined
+    strings (so the identical gram is reproducible in SQL with
+    ``array_to_string(t[i:i+n-1], ' ')``).
+
+    Pass a *column reference* to an already-projected token array, not
+    an inline ``split(...)`` expression — the transform references the
+    array once per gram position and Catalyst inlines expression trees
+    per use site (see the staging note in operators/dedup.py).
+    Guarded for short documents: fewer than ``n`` tokens yields an
+    empty array (Spark's ``sequence(1, 0)`` would otherwise descend).
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document.
+
+    Natural text has a heavy-tailed but diverse n-gram distribution;
+    boilerplate, SEO spam, and templated pages repeat themselves.  The
+    standard pre-training filters (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A.1.1) threshold on exactly these ratios:
+
+    - ``dup_token_frac``   — 1 − distinct/total tokens,
+    - ``top_gram_frac``    — occurrences of the single most frequent
+      word n-gram over all n-gram occurrences,
+    - ``dup_gram_frac``    — 1 − distinct/total n-grams.
+
+    Plan shape: the token array is staged once, then two explode →
+    hash-aggregate branches (token-level and gram-level) joined on the
+    doc id.  Partial aggregation runs map-side, per-doc cardinality is
+    bounded by document length, and the join keys are both the doc id —
+    scan-shaped at any corpus size.  All ratios are single IEEE double
+    divisions of exact BIGINT counts, so the SQL oracle matches
+    bit-for-bit.
+    """
+    toks = df.select(id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t"))
+    tok_stats = (
+        toks.select(id_col, F.explode("__t").alias("tok"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+    )
+    gram_counts = (
+        toks.select(id_col, F.explode(ngram_array("__t", n)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    gram_stats = gram_counts.groupBy(id_col).agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        tok_stats.join(gram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.lit(1.0) - dbl("n_distinct_tokens") / F.greatest(dbl("n_tokens"), F.lit(1.0))).alias("dup_token_frac"),
+            (dbl("top_c") / F.greatest(dbl("n_grams"), F.lit(1.0))).alias("top_gram_frac"),
+            (F.lit(1.0) - dbl("n_distinct_grams") / F.greatest(dbl("n_grams"), F.lit(1.0))).alias("dup_gram_frac"),
+        )
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing any word
+    ``n``-gram with a benchmark/eval set — the standard pre-training
+    hygiene pass (GPT-3 paper §C uses 13-gram overlap; the default here
+    is smaller because the fixture vocabulary is tiny).
+
+    Returns ``(id_col, contaminated BIGINT 0/1)`` for every input row.
+
+    Scale shape: the benchmark side (eval suites: thousands of docs) is
+    distinct-ed and **broadcast**, so the corpus-side probe is a
+    map-only broadcast-semi-join on the exploded grams — no corpus
+    shuffle.  The only wide op is the final distinct of contaminated
+    ids, bounded by corpus row count.  Gram extraction stages the token
+    array once (Catalyst inlining).
+    """
+    bench_grams = (
+        bench_df.select(F.split(F.lower(F.col(text_col)), " ").alias("__t"))
+        .select(F.explode(ngram_array("__t", n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    ).select(id_col, F.explode(ngram_array("__t", n)).alias("gram"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(1).cast("bigint"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce("contaminated", F.lit(0).cast("bigint")).alias("contaminated"))
+    )
+
+
+#: RE2-safe URL pieces (no lookaround) so the identical regex runs in
+#: Spark (java.util.regex) and the DuckDB oracle (RE2).
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+_REG_DOMAIN_RE = "([a-z0-9-]+\\.[a-z0-9-]+)$"
+
+
+def url_host(url: Column | str) -> Column:
+    """Hostname from a URL (scheme-mandatory, port/path/query stripped).
+    ``parse_url`` exists in Spark but not in every SQL dialect; a
+    shared RE2-safe regex keeps the operator auditable cross-engine."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(F.lower(u), _HOST_RE, 1)
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Last two DNS labels — the C4-style grouping key for per-domain
+    curation decisions (a public-suffix list would refine this; the
+    two-label form is the deterministic, dependency-free core)."""
+    h = F.col(host) if isinstance(host, str) else host
+    return F.regexp_extract(h, _REG_DOMAIN_RE, 1)
+
+
+def domain_stats(df: DataFrame, url_col: str, weight_col: str | None = None) -> DataFrame:
+    """Per-registered-domain corpus statistics (doc count, distinct
+    hosts, mean document weight) — the C4/RefinedWeb curation view that
+    drives per-domain keep/downsample decisions.
+
+    One hash aggregation keyed by domain; host/domain extraction is
+    map-only regexp.  Domain cardinality is tiny relative to the corpus
+    (web-scale: ~10^7 domains vs 10^10 docs), so the aggregate output
+    is dashboard-sized at any input scale.
+    """
+    staged = df.withColumn("__host", url_host(url_col)).withColumn(
+        "__domain", registered_domain(F.col("__host"))
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.countDistinct("__host").alias("n_hosts"),
+    ]
+    if weight_col is not None:
+        aggs.append(
+            (F.sum(F.col(weight_col)).cast("double") / F.count("*")).alias("avg_weight")
+        )
+    return staged.groupBy(F.col("__domain").alias("domain")).agg(*aggs)
 
 
 def text_stats(df: DataFrame, text_col: str) -> DataFrame:

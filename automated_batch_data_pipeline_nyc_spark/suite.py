@@ -2821,6 +2821,134 @@ def _salted(spark, sf_dir):
 
 
 # ===========================================================================
+# LLM-pipeline: corpus curation round 2b (repetition / decontamination /
+# domain curation / deterministic shuffle)
+# ===========================================================================
+
+@_q(
+    "repetition_scores",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tstats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+      FROM tok GROUP BY doc_id),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+    gc AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram FROM idx)
+      GROUP BY doc_id, gram),
+    gstats AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams,
+             COUNT(*) AS n_distinct_grams
+      FROM gc GROUP BY doc_id)
+    SELECT ts.doc_id, ts.n_tokens,
+      CAST(1 AS DOUBLE) - CAST(ts.n_distinct AS DOUBLE)
+        / greatest(CAST(ts.n_tokens AS DOUBLE), CAST(1 AS DOUBLE)) AS dup_token_frac,
+      CAST(gs.top_c AS DOUBLE)
+        / greatest(CAST(gs.n_grams AS DOUBLE), CAST(1 AS DOUBLE)) AS top_gram_frac,
+      CAST(1 AS DOUBLE) - CAST(gs.n_distinct_grams AS DOUBLE)
+        / greatest(CAST(gs.n_grams AS DOUBLE), CAST(1 AS DOUBLE)) AS dup_gram_frac
+    FROM tstats ts LEFT JOIN gstats gs USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality metrics (dup-token fraction, top-bigram "
+        "fraction, dup-bigram fraction) per document: staged token array, two "
+        "explode->hash-agg branches joined on doc id; ratios are single double "
+        "divisions of exact counts — the standard boilerplate/spam filter inputs",
+)
+def _repetition(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.repetition_metrics(docs, "doc_id", "text", n=2)
+
+
+@_q(
+    "decontaminate_overlap",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i FROM toks),
+    grams AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram FROM idx),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram))
+    SELECT d.doc_id,
+      CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="benchmark decontamination (GPT-3 §C n-gram overlap, n=4 on the tiny-"
+        "vocab fixture): the benchmark gram set (docs with id % 97 == 0) is "
+        "distinct-ed and broadcast, the corpus probe is a map-only broadcast "
+        "semi-join on exploded grams — no corpus-side shuffle at any scale",
+)
+def _decon(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return tx.contamination_flags(docs, bench, "doc_id", "text", n=4)
+
+
+@_q(
+    "domain_stats",
+    """
+    WITH seeded AS (
+      SELECT doc_id, n_chars,
+        'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+          || CAST(doc_id % 3 AS VARCHAR) || '.com/docs/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    hosts AS (
+      SELECT doc_id, n_chars,
+        regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+      FROM seeded)
+    SELECT regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_weight
+    FROM hosts GROUP BY domain
+    """,
+    doc="C4-style per-registered-domain curation stats over synthetic injected "
+        "URLs (so extraction provably fires): RE2-safe host + two-label domain "
+        "regex shared with the oracle, one hash agg keyed by domain — the "
+        "aggregate is dashboard-sized at any corpus scale",
+)
+def _domains(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://cdn"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".site"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return tx.domain_stats(seeded, "url", weight_col="n_chars")
+
+
+@_q(
+    "shuffle_shard_assign",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT AS hv
+      FROM documents)
+    SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
+      CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="deterministic global shuffle for training-data ordering: keyed md5 -> "
+        "(shard, within-shard rank); shards sort independently (row_number "
+        "partitioned by shard, NOT a single global window task) and the "
+        "concatenation shard asc, pos asc IS the seeded permutation — "
+        "reproducible across engines, reruns, and cluster layouts",
+)
+def _shuffle(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    out = sa.shuffle_shards(docs.select("doc_id"), "doc_id", n_shards=16, seed=7)
+    return out.select("doc_id", "shard", "pos")
+
+
+# ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
 

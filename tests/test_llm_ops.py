@@ -208,3 +208,92 @@ def test_minhash_transitive_keeps_one_per_chain(spark):
         r.doc_id for r in dd.minhash_dedup(df, "text", "doc_id", **kw).collect()
     )
     assert set(kept_transitive) <= set(kept_fast)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation round 2b: repetition / decontamination / domains / shuffle
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_values(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import text as tx
+
+    rows = [
+        (1, "a b a b a b"),          # 6 tokens, 2 distinct; bigrams: ab x3, ba x2
+        (2, "x y z w"),              # all distinct
+        (3, "solo"),                 # single token -> no bigrams (NULL gram stats)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in tx.repetition_metrics(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 6
+    assert r1.dup_token_frac == pytest.approx(1 - 2 / 6)
+    assert r1.top_gram_frac == pytest.approx(3 / 5)
+    assert r1.dup_gram_frac == pytest.approx(1 - 2 / 5)
+    r2 = got[2]
+    assert r2.dup_token_frac == 0.0 and r2.dup_gram_frac == 0.0
+    assert r2.top_gram_frac == pytest.approx(1 / 3)
+    r3 = got[3]
+    assert r3.n_tokens == 1 and r3.top_gram_frac is None  # short-doc guard
+
+
+def test_contamination_flags_overlap_only(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),   # shares a 4-gram with bench
+            (2, "completely different words here now"),
+            (3, "quick brown fox jumps elsewhere"),  # only a 3-gram overlap
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix the quick brown fox suffix")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in tx.contamination_flags(docs, bench, "doc_id", "text", n=4).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_url_host_and_registered_domain(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import text as tx
+
+    rows = [
+        (1, "https://cdn1.media.Example.COM/path/x?q=1"),
+        (2, "http://example.org"),
+        (3, "https://host.with.port.net:8443/x"),
+        (4, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    out = df.select(
+        "i",
+        tx.url_host("url").alias("host"),
+        tx.registered_domain(tx.url_host("url")).alias("dom"),
+    )
+    got = {r.i: (r.host, r.dom) for r in out.collect()}
+    assert got[1] == ("cdn1.media.example.com", "example.com")
+    assert got[2] == ("example.org", "example.org")
+    assert got[3] == ("host.with.port.net", "port.net")  # port stripped by [^:] class
+    assert got[4] == ("", "")
+
+
+def test_shuffle_shards_deterministic_and_complete(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import sampling as sa
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    a = sa.shuffle_shards(df, "k", n_shards=8, seed=1).collect()
+    b = sa.shuffle_shards(df, "k", n_shards=8, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    # every row present exactly once; pos is 1..count within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for shard, ps in by_shard.items():
+        assert 0 <= shard < 8
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # a different seed re-deals the permutation
+    c = sa.shuffle_shards(df, "k", n_shards=8, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
