@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "snapshot_diff"]
+__all__ = ["merge_upsert", "snapshot_diff", "scd2_apply"]
 
 
 def merge_upsert(
@@ -93,3 +93,95 @@ def snapshot_diff(
             ],
         )
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    effective_ts: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+    close_missing: bool = False,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: merge a full *snapshot* into a
+    versioned *history* table at ``effective_ts``.
+
+    History carries ``(keys…, attrs…, valid_from, valid_to, is_current)``;
+    the snapshot carries ``(keys…, attrs…)``.  Per key:
+
+    - attrs changed  → the current row is **closed** (``valid_to`` =
+      effective_ts, ``is_current`` = false) and a new current row opens,
+    - new key        → a new current row opens,
+    - unchanged      → the current row passes through untouched,
+    - key missing from the snapshot → closed only when
+      ``close_missing=True`` (source-deletes tracked as closures).
+
+    Non-current (already-closed) history rows pass through by
+    definition — they are immutable.
+
+    Plan shape: ONE full-outer shuffle of the *current* slice against
+    the snapshot on the key (closed history is union-ed around it,
+    never shuffled), then each joined row emits 0-2 output rows via an
+    ``inline`` over a compacted struct array — no second join, no
+    window.  Change detection is column-wise null-safe equality
+    (codegen-friendly), as in :func:`snapshot_diff`.  With history
+    stored bucketed on the key the current-side shuffle also
+    disappears.
+    """
+    scd_cols = [from_col, to_col, current_col]
+    cols = history.columns
+    attr_cols = [c for c in cols if c not in keys and c not in scd_cols]
+    if set(snapshot.columns) != set(list(keys) + attr_cols):
+        raise ValueError("scd2_apply: snapshot must carry exactly keys + attrs")
+
+    past = history.filter(~F.col(current_col))
+    cur = history.filter(F.col(current_col))
+
+    c = cur.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__c_{a}") for a in attr_cols],
+        F.col(from_col).alias("__c_from"),
+    ).withColumn("__in_c", F.lit(True))
+    s = snapshot.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__s_{a}") for a in attr_cols],
+    ).withColumn("__in_s", F.lit(True))
+    j = c.join(s, on=list(keys), how="full_outer")
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(f"__c_{a}").eqNullSafe(F.col(f"__s_{a}"))
+    in_c = F.col("__in_c").isNotNull()
+    in_s = F.col("__in_s").isNotNull()
+    eff = F.lit(effective_ts).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+
+    def _row(attr_side: str, vfrom, vto, is_cur: bool):
+        return F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(f"__{attr_side}_{a}").alias(a) for a in attr_cols],
+            vfrom.alias(from_col),
+            vto.alias(to_col),
+            F.lit(is_cur).alias(current_col),
+        )
+
+    keep_cur = F.when(
+        in_c & ((in_s & ~changed) | (~in_s & F.lit(not close_missing))),
+        _row("c", F.col("__c_from"), null_ts, True),
+    )
+    close_cur = F.when(
+        in_c & ((in_s & changed) | (~in_s & F.lit(close_missing))),
+        _row("c", F.col("__c_from"), eff, False),
+    )
+    open_new = F.when(in_s & (~in_c | changed), _row("s", eff, null_ts, True))
+
+    emitted = j.select(
+        F.explode(
+            F.filter(
+                F.array(keep_cur, close_cur, open_new), lambda r: r.isNotNull()
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    return past.select(*cols).unionByName(emitted.select(*cols))

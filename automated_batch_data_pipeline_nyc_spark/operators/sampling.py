@@ -34,6 +34,8 @@ __all__ = [
     "train_test_split",
     "mixture_sample",
     "shuffle_shards",
+    "sample_n_per_group",
+    "downsample_to_token_budget",
 ]
 
 
@@ -142,3 +144,78 @@ def shuffle_shards(
     )
     w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
     return staged.withColumn(pos_col, F.row_number().over(w).cast("bigint")).drop("__h")
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic "reservoir": exactly min(n, |group|) rows per group,
+    chosen by the key's md5 order — the stratified eyeball/eval sample
+    that stays identical across reruns and engines (a true reservoir
+    sample is RNG- and scan-order-dependent).
+
+    One shuffle on the group key; the per-group sort is bounded by
+    group size and Spark rewrites ``row_number <= n`` into a
+    WindowGroupLimit (per-partition top-n push-down), so no group is
+    ever fully sorted.  Ties on the hash break by the key itself, so
+    the selection is total.
+    """
+    from pyspark.sql import Window
+
+    h = hash_bucket(key_col, buckets)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def downsample_to_token_budget(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weight_col: str,
+    budgets: Mapping[str, int],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample each source to ~a token (weight) budget — the
+    corpus-mixing primitive stated in tokens ("200B web, 30B code")
+    rather than row fractions.
+
+    Per source, keep fraction = min(1, budget / total_weight), applied
+    as a deterministic hash-bucket filter on the row key (the weight
+    totals decide the *rate*; membership stays a pure function of the
+    key, so reruns and incremental backfills agree).  Sources without a
+    budget are kept whole.
+
+    Plan shape: one tiny aggregate (one row per source) broadcast back
+    onto the scan, then a map-only filter — the corpus itself is never
+    shuffled, so this scales with the scan at any corpus size.
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__total")
+    )
+    budget_expr: Column = F.lit(None).cast("double")
+    for src, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(source_col) == src, F.lit(float(b))).otherwise(
+            budget_expr
+        )
+    rates = totals.select(
+        source_col,
+        F.when(
+            budget_expr.isNull() | (F.col("__total") <= budget_expr), F.lit(buckets)
+        )
+        .otherwise(F.floor(budget_expr / F.col("__total") * buckets))
+        .cast("bigint")
+        .alias("__keep_below"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket(key_col, buckets) < F.col("__keep_below"))
+        .drop("__keep_below")
+    )

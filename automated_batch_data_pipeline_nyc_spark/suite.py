@@ -2948,6 +2948,120 @@ def _shuffle(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+@_q(
+    "scd2_orders_history",
+    """
+    WITH hist AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price,
+        TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+        CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    snap AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+        o_totalprice + CASE WHEN o_orderkey % 5 = 0
+          THEN CAST(1.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS price
+      FROM orders)
+    SELECT k, status, price, valid_from, valid_to, is_current
+    FROM hist WHERE k % 5 <> 0
+    UNION ALL
+    SELECT k, status, price, valid_from,
+      TIMESTAMP '2026-02-01 00:00:00', FALSE
+    FROM hist WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, status, price, TIMESTAMP '2026-02-01 00:00:00',
+      CAST(NULL AS TIMESTAMP), TRUE
+    FROM snap WHERE (k % 5 = 0 AND k % 3 <> 0) OR k % 3 = 0
+    """,
+    doc="SCD type-2 merge: snapshot (orderkey%5 prices bumped, orderkey%3 rows "
+        "brand-new) applied to a current history at an effective timestamp — "
+        "changed keys close + reopen, new keys open, unchanged pass through; "
+        "ONE full-outer shuffle of the current slice, 0-2 output rows per key "
+        "via inline over a compacted struct array (no second join, no window); "
+        "the oracle states the expected history as three explicit unions",
+)
+def _scd2(spark, sf_dir):
+    from .operators.incremental import scd2_apply
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    hist = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1.5)).otherwise(F.lit(0.0))
+        ).alias("price"),
+    )
+    return scd2_apply(hist, snap, ["k"], "2026-02-01 00:00:00")
+
+
+@_q(
+    "sample_per_group",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+        row_number() OVER (
+          PARTITION BY o_orderstatus
+          ORDER BY ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10000,
+                   o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 10
+    """,
+    doc="deterministic per-group reservoir: exactly min(10, |group|) orders per "
+        "status, selected by md5-of-key order (rerun- and engine-stable, unlike "
+        "RNG reservoir sampling); row_number<=n rewrites to WindowGroupLimit so "
+        "no group is fully sorted",
+)
+def _sample_grp(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return sa.sample_n_per_group(base, "o_orderstatus", "o_orderkey", 10)
+
+
+@_q(
+    "token_budget_mixture",
+    """
+    WITH totals AS (
+      SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS total
+      FROM documents GROUP BY source),
+    rates AS (
+      SELECT source,
+        CASE
+          WHEN budget IS NULL OR total <= budget THEN 10000
+          ELSE CAST(floor(budget / total * 10000) AS BIGINT)
+        END AS keep_below
+      FROM (
+        SELECT source, total,
+          CASE WHEN source = 'src0' THEN CAST(4000 AS DOUBLE)
+               WHEN source = 'src1' THEN CAST(2000 AS DOUBLE)
+               ELSE NULL END AS budget
+        FROM totals) b)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < r.keep_below
+    """,
+    doc="token-budget corpus mixing: per-source keep rate = min(1, budget / "
+        "total_weight) from one dashboard-sized aggregate broadcast back onto "
+        "the scan, membership by deterministic key hash — the corpus is never "
+        "shuffled; budgets are stated in weight units (tokens), not row counts",
+)
+def _budget_mix(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", "n_chars")
+    out = sa.downsample_to_token_budget(
+        base, "source", "doc_id", "n_chars", {"src0": 4000, "src1": 2000}
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

@@ -55,3 +55,72 @@ def test_snapshot_diff_classifies_all_transitions(spark):
 def test_snapshot_diff_identical_snapshots_empty(spark):
     df = _df(spark, [(1, "a", 1.0), (2, None, None)])
     assert snapshot_diff(df, df, ["k"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SCD type 2
+# ---------------------------------------------------------------------------
+
+def _scd2_hist(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_scd2_apply_transitions(spark):
+    import datetime as dt
+
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import scd2_apply
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 2, 1)
+    hist = _scd2_hist(
+        spark,
+        [
+            (1, "a", t0, None, True),     # unchanged in snapshot
+            (2, "b", t0, None, True),     # changed in snapshot
+            (3, "c", t0, None, True),     # missing from snapshot
+            (2, "old", dt.datetime(2025, 6, 1), t0, False),  # closed row: immutable
+        ],
+    )
+    snap = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["k", "v"])
+
+    out = scd2_apply(hist, snap, ["k"], "2026-02-01 00:00:00").collect()
+    rows = {(r.k, r.v): r for r in out}
+    assert len(out) == 6
+    # unchanged key passes through still-open
+    assert rows[(1, "a")].valid_to is None and rows[(1, "a")].is_current
+    # changed key: old version closed at t1, new version open from t1
+    assert rows[(2, "b")].valid_to == t1 and not rows[(2, "b")].is_current
+    assert rows[(2, "B")].valid_from == t1 and rows[(2, "B")].is_current
+    # missing key stays open (close_missing=False)
+    assert rows[(3, "c")].is_current and rows[(3, "c")].valid_to is None
+    # new key opens at t1
+    assert rows[(4, "d")].valid_from == t1 and rows[(4, "d")].is_current
+    # pre-existing closed row untouched
+    assert rows[(2, "old")].valid_to == t0 and not rows[(2, "old")].is_current
+
+    # with close_missing=True the missing key is closed instead
+    out2 = scd2_apply(hist, snap, ["k"], "2026-02-01 00:00:00", close_missing=True)
+    r3 = [r for r in out2.collect() if r.k == 3][0]
+    assert r3.valid_to == t1 and not r3.is_current
+
+
+def test_scd2_apply_rejects_schema_drift(spark):
+    import datetime as dt
+
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import scd2_apply
+
+    hist = _scd2_hist(spark, [(1, "a", dt.datetime(2026, 1, 1), None, True)])
+    bad = spark.createDataFrame([(1, "a", 9)], ["k", "v", "extra"])
+    with pytest.raises(ValueError, match="keys \\+ attrs"):
+        scd2_apply(hist, bad, ["k"], "2026-02-01 00:00:00")

@@ -297,3 +297,36 @@ def test_shuffle_shards_deterministic_and_complete(spark):
     # a different seed re-deals the permutation
     c = sa.shuffle_shards(df, "k", n_shards=8, seed=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_sample_n_per_group_exact_counts(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import sampling as sa
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(55)], ["k", "g"]
+    )
+    out = sa.sample_n_per_group(df, "g", "k", 7)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 7, "small": 5}  # min(n, |group|)
+    # deterministic across reruns
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in sa.sample_n_per_group(df, "g", "k", 7).collect())
+    assert a == b
+
+
+def test_downsample_to_token_budget_rates(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import sampling as sa
+
+    # source "w": 100 rows x weight 10 = 1000 total, budget 250 -> keep ~25%
+    # source "b": 20 rows, no budget -> kept whole
+    rows = [(i, "w", 10) for i in range(100)] + [(1000 + i, "b", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "src", "wt"])
+    out = sa.downsample_to_token_budget(df, "src", "k", "wt", {"w": 250}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r.k)
+    assert sorted(by_src["b"]) == sorted(1000 + i for i in range(20))
+    assert 10 <= len(by_src["w"]) <= 40  # ~25 of 100, hash-uniform tolerance
+    # a source whose budget exceeds its total is kept whole
+    out2 = sa.downsample_to_token_budget(df, "src", "k", "wt", {"w": 99999})
+    assert out2.filter(F.col("src") == "w").count() == 100
