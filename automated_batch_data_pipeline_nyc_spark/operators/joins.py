@@ -28,6 +28,7 @@ __all__ = [
     "anti_join",
     "range_join",
     "asof_join",
+    "interval_overlap_join",
 ]
 
 
@@ -135,3 +136,57 @@ def range_join(
     the big side never shuffles (SURVEY.md §2.6)."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=condition)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket_seconds: int = 3600,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-overlap join for TWO LARGE sides — the operator Spark
+    lacks (a raw non-equi condition plans as a broadcast nested loop,
+    which requires one side to fit in memory).
+
+    Both sides explode their [start, end] interval into the fixed-width
+    time buckets it touches, the join becomes an **equi-join on
+    (keys…, bucket)** — shuffle-partitionable, AQE-skew-splittable —
+    and the exact inclusive overlap predicate
+    ``l.start <= r.end AND r.start <= l.end`` re-filters within the
+    bucket.  A pair whose intervals share several buckets would emit
+    duplicates, so each pair is emitted ONLY in the latest of the two
+    start buckets (``greatest(l_bucket0, r_bucket0)``) — always a
+    common bucket when intervals overlap — which removes the need for
+    a distinct-shuffle afterwards.
+
+    All bucket and predicate arithmetic runs on ``unix_micros``
+    integers (exact, and matching DuckDB's ``epoch_us`` truncation of
+    nanosecond timestamps).  Pick ``bucket_seconds`` at or above the
+    typical interval length: the blow-up factor is
+    ``1 + interval/bucket`` per row, and per-bucket population bounds
+    the join's worst partition.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"interval_overlap_join: ambiguous columns {sorted(overlap)}")
+    w = int(bucket_seconds) * 1_000_000
+
+    def _staged(df: DataFrame, rng: tuple[str, str], s: str, e: str) -> DataFrame:
+        staged = df.withColumn(s, F.unix_micros(F.col(rng[0]))).withColumn(
+            e, F.unix_micros(F.col(rng[1]))
+        )
+        return staged.withColumn(
+            "__bucket",
+            F.explode(F.sequence(F.expr(f"{s} div {w}"), F.expr(f"{e} div {w}"))),
+        )
+
+    L = _staged(left, left_range, "__ls", "__le")
+    R = _staged(right, right_range, "__rs", "__re")
+    j = L.join(R, on=[*keys, "__bucket"])
+    j = j.filter((F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le")))
+    j = j.filter(
+        F.col("__bucket") == F.greatest(F.expr(f"__ls div {w}"), F.expr(f"__rs div {w}"))
+    )
+    return j.drop("__ls", "__le", "__rs", "__re", "__bucket")

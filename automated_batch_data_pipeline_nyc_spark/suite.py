@@ -3062,6 +3062,49 @@ def _budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+@_q(
+    "interval_overlap_pairs",
+    """
+    WITH l AS (
+      SELECT event_id AS err_id, epoch_us(ts) AS ls
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL),
+    r AS (
+      SELECT event_id AS pur_id, epoch_us(ts) AS rs
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+    SELECT err_id, pur_id
+    FROM l JOIN r ON ls <= rs + 600000000 AND rs <= ls + 600000000
+    """,
+    doc="interval-overlap join with BOTH sides large (error vs purchase events "
+        "within +-10 min): intervals explode into fixed-width time buckets, the "
+        "join runs as an equi-join on the bucket (shuffle-partitionable, AQE-"
+        "skew-splittable — NOT a broadcast nested loop), each pair emitted once "
+        "in the later start bucket so no distinct pass; integer-microsecond "
+        "arithmetic matches the oracle's epoch_us exactly",
+)
+def _interval_overlap(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    ten_min_us = 600_000_000
+
+    def _side(etype: str, id_alias: str, s: str, e: str):
+        return (
+            events.filter((F.col("event_type") == etype) & F.col("ts").isNotNull())
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(s),
+                F.timestamp_micros(F.unix_micros("ts") + ten_min_us).alias(e),
+            )
+        )
+
+    out = J.interval_overlap_join(
+        _side("error", "err_id", "err_start", "err_end"),
+        _side("purchase", "pur_id", "pur_start", "pur_end"),
+        ("err_start", "err_end"),
+        ("pur_start", "pur_end"),
+        bucket_seconds=600,
+    )
+    return out.select("err_id", "pur_id")
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

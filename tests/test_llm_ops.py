@@ -330,3 +330,34 @@ def test_downsample_to_token_budget_rates(spark):
     # a source whose budget exceeds its total is kept whole
     out2 = sa.downsample_to_token_budget(df, "src", "k", "wt", {"w": 99999})
     assert out2.filter(F.col("src") == "w").count() == 100
+
+
+def test_interval_overlap_join_semantics(spark):
+    import datetime as dt
+
+    from automated_batch_data_pipeline_nyc_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    t = lambda m: dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0), t(10)), (2, t(30), t(40)), (3, t(50), t(120))],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, t(10), t(12)),   # touches lid=1 at the endpoint (inclusive)
+         (20, t(41), t(45)),   # gap after lid=2 -> no match
+         (30, t(60), t(61)),   # inside lid=3's long interval
+         (40, t(119), t(130))],  # overlaps lid=3's tail
+        ["rid", "rs", "re"],
+    )
+    out = interval_overlap_join(
+        left, right, ("ls", "le"), ("rs", "re"), bucket_seconds=300
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(1, 10), (3, 30), (3, 40)]
+    # multi-bucket overlaps emit exactly once (no duplicate pairs)
+    assert len(pairs) == len(set(pairs))
+    # ambiguous column names are rejected
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_overlap_join(left, left, ("ls", "le"), ("ls", "le"))

@@ -134,3 +134,12 @@ def test_asof_join_single_shuffle_no_theta_join(spark):
     # no cartesian — just window exchanges on the key.
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_is_partitioned_equi_join(spark):
+    plan = _plan(spark, "interval_overlap_pairs")
+    # the bucket trick must plan a partitioned equi-join on the bucket
+    # key, NOT a broadcast nested loop over the raw theta condition.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
