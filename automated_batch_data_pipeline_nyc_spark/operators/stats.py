@@ -1,0 +1,90 @@
+"""Moment-based statistics with exact, order-independent accumulation.
+
+``stddev_samp`` / ``var_samp`` / ``corr`` built-ins accumulate doubles
+(Welford-style), so their last bits depend on partitioning and engine —
+unverifiable cross-engine and non-reproducible across cluster layouts.
+For integer-valued measures (cents, counts) the second moments
+``(n, Σx, Σx², Σy, Σy², Σxy)`` are EXACT in DECIMAL, decomposable
+(partial sums merge associatively → map-side combine before the
+exchange, one shuffle of six numbers per group), and the closed-form
+conversion to variance / correlation is a short fixed sequence of
+IEEE-double ops — bit-identical on any engine, any partitioning, any
+scale.
+
+This is the textbook pattern for distributed analytics at 100 TB:
+ship sufficient statistics, not data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["exact_second_moments"]
+
+#: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
+#: inside DECIMAL(25,0) and corpus-scale sums inside DECIMAL(38,0).
+_D = "decimal(12,0)"
+
+
+def exact_second_moments(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    prefix_x: str = "x",
+    prefix_y: str = "y",
+) -> DataFrame:
+    """Per-group ``n, mean, var_samp, stddev_samp`` for two
+    integer-valued columns plus their sample correlation, via exact
+    decimal moments.
+
+    ``x_col`` / ``y_col`` must be integer-valued (cast your money to
+    cents first): the six power sums are then exact and
+    order-independent, and every derived statistic is a deterministic
+    double expression over them —
+
+      ``var  = (n·Σx² − (Σx)²) / (n·(n−1))``
+      ``corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))``
+
+    — reproducible bit-for-bit in ANSI SQL (each decimal sum casts to
+    double correctly-rounded, after which the formula is fixed-order
+    IEEE arithmetic).  Single-row groups yield NULL variance/corr
+    (sample denominators), matching SQL semantics.
+    """
+    x = F.col(x_col).cast(_D)
+    y = F.col(y_col).cast(_D)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("__sx").cast("double"), F.col("__sxx").cast("double")
+    sy, syy = F.col("__sy").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+
+    def _var(s: Column, ss: Column) -> Column:
+        return F.when(
+            F.col("n") > 1, (n * ss - s * s) / (n * (n - F.lit(1.0)))
+        )
+
+    corr_num = n * sxy - sx * sy
+    corr_den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        (sx / n).alias(f"mean_{prefix_x}"),
+        _var(sx, sxx).alias(f"var_{prefix_x}"),
+        F.sqrt(_var(sx, sxx)).alias(f"stddev_{prefix_x}"),
+        (sy / n).alias(f"mean_{prefix_y}"),
+        _var(sy, syy).alias(f"var_{prefix_y}"),
+        F.when((F.col("n") > 1) & (corr_den != 0), corr_num / corr_den).alias(
+            f"corr_{prefix_x}{prefix_y}"
+        ),
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "url_host",
     "registered_domain",
     "domain_stats",
+    "token_divergence_stats",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -432,3 +433,51 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
         "lang_pred": language_id(text_col),
         "fingerprint": fingerprint_md5(text_col),
     })
+
+
+def token_divergence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token-distribution statistics: Shannon entropy and
+    KL divergence against the corpus unigram distribution —
+    ``(id, n_tokens, entropy, kl_vs_corpus)``.
+
+    Low entropy flags repetitive/templated text (complementary to
+    :func:`repetition_metrics`); high KL flags domain outliers whose
+    vocabulary diverges from the corpus (ads, boilerplate, wrong-corpus
+    contamination) — both standard pre-training quality signals.
+
+    Plan shape: one explode → per-(doc, token) count, a window sum for
+    per-doc totals (already partitioned by doc id — no extra shuffle),
+    a corpus-unigram aggregate (vocabulary-sized → AQE-broadcastable
+    join) and a scalar total, then one final per-doc aggregation.
+    Scores are rounded to 6dp: the sums involve ``ln`` (libm differs by
+    1 ULP across engines) and float addition order is
+    partition-dependent.
+    """
+    from pyspark.sql import Window
+
+    tc = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    corpus = tc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    total = corpus.agg(F.sum("cc").alias("t"))
+    scored = (
+        tc.withColumn("n", n)
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("n"),
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+            (F.col("cc").cast("double") / F.col("t").cast("double")).alias("q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.first("n").cast("bigint").alias("n_tokens"),
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_vs_corpus"),
+    )

@@ -3105,6 +3105,99 @@ def _interval_overlap(spark, sf_dir):
     return out.select("err_id", "pur_id")
 
 
+@_q(
+    "token_divergence",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    withn AS (
+      SELECT doc_id, tok, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM tc GROUP BY tok),
+    tot AS (SELECT SUM(cc) AS t FROM corpus),
+    scored AS (
+      SELECT w.doc_id, w.n,
+        CAST(w.c AS DOUBLE) / CAST(w.n AS DOUBLE) AS p,
+        CAST(corpus.cc AS DOUBLE) / CAST(tot.t AS DOUBLE) AS q
+      FROM withn w JOIN corpus USING (tok) CROSS JOIN tot)
+    SELECT doc_id,
+      CAST(MIN(n) AS BIGINT) AS n_tokens,
+      CAST(round(-SUM(p * ln(p)), 6) AS DOUBLE) AS entropy,
+      CAST(round(SUM(p * ln(p / q)), 6) AS DOUBLE) AS kl_vs_corpus
+    FROM scored GROUP BY doc_id
+    """,
+    doc="per-document token-distribution entropy (repetitiveness) and KL "
+        "divergence vs the corpus unigram distribution (domain-outlier score): "
+        "explode -> per-(doc,token) counts, window totals on the same doc-id "
+        "partitioning, vocabulary-sized corpus join (AQE-broadcastable), one "
+        "final per-doc agg; 6dp rounding absorbs libm ln ULP and float "
+        "summation-order drift",
+)
+def _tok_div(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.token_divergence_stats(docs, "doc_id", "text")
+
+
+@_q(
+    "exact_moment_stats",
+    """
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(floor(l_extendedprice * 100) AS BIGINT) AS px,
+        CAST(floor(l_quantity) AS BIGINT) AS qy
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(px AS DECIMAL(12,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(px AS DECIMAL(12,0)) * CAST(px AS DECIMAL(12,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(qy AS DECIMAL(12,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(qy AS DECIMAL(12,0)) * CAST(qy AS DECIMAL(12,0))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(px AS DECIMAL(12,0)) * CAST(qy AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+      FROM base GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, n,
+      sx / CAST(n AS DOUBLE) AS mean_price,
+      CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS var_price,
+      sqrt(CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END) AS stddev_price,
+      sy / CAST(n AS DOUBLE) AS mean_qty,
+      CASE WHEN n > 1 THEN (CAST(n AS DOUBLE) * syy - sy * sy)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS var_qty,
+      CASE WHEN n > 1
+             AND sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+               * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) <> 0
+        THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+             * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr_priceqty
+    FROM m
+    """,
+    doc="distributed variance / stddev / correlation via EXACT decimal second "
+        "moments (ship sufficient statistics, not data): six order-independent "
+        "decimal sums per group (map-side combinable, one six-number shuffle), "
+        "then a fixed IEEE-double closed form — bit-identical on any engine or "
+        "partitioning, unlike Welford-accumulated stddev_samp/corr built-ins",
+)
+def _moments(spark, sf_dir):
+    from .operators.stats import exact_second_moments
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("px"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qy"),
+    )
+    out = exact_second_moments(
+        base, ["l_returnflag", "l_linestatus"], "px", "qy",
+        prefix_x="price", prefix_y="qty",
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        "mean_price", "var_price", "stddev_price",
+        "mean_qty", "var_qty", "corr_priceqty",
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

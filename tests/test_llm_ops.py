@@ -361,3 +361,50 @@ def test_interval_overlap_join_semantics(spark):
     # ambiguous column names are rejected
     with pytest.raises(ValueError, match="ambiguous"):
         interval_overlap_join(left, left, ("ls", "le"), ("ls", "le"))
+
+
+def test_token_divergence_entropy_and_kl(spark):
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x x y y")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in tx.token_divergence_stats(docs, "doc_id", "text").collect()
+    }
+    assert got[1].entropy == 0.0  # single repeated token
+    assert got[2].entropy == pytest.approx(math.log(4), abs=1e-6)  # uniform over 4
+    assert got[3].entropy == pytest.approx(math.log(2), abs=1e-6)
+    # doc 2's distribution is farther from the corpus (a-heavy) than doc 1's
+    assert got[2].kl_vs_corpus > 0
+    for r in got.values():
+        assert r.kl_vs_corpus >= 0  # Gibbs' inequality
+
+
+def test_exact_second_moments_matches_statistics(spark):
+    import statistics
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        exact_second_moments,
+    )
+
+    xs = [120, 340, 560, 780, 200]
+    ys = [1, 2, 3, 4, 2]
+    rows = [("g", x, y) for x, y in zip(xs, ys)] + [("solo", 7, 7)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {
+        r.g: r
+        for r in exact_second_moments(df, ["g"], "x", "y").collect()
+    }
+    g = got["g"]
+    assert g.n == 5
+    assert g.mean_x == pytest.approx(statistics.mean(xs))
+    assert g.var_x == pytest.approx(statistics.variance(xs))
+    assert g.stddev_x == pytest.approx(statistics.stdev(xs))
+    assert g.corr_xy == pytest.approx(statistics.correlation(xs, ys))
+    # sample statistics are undefined for a single observation
+    s = got["solo"]
+    assert s.var_x is None and s.corr_xy is None
