@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_second_moments"]
+__all__ = ["exact_second_moments", "group_linear_fit"]
 
 #: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
 #: inside DECIMAL(25,0) and corpus-scale sums inside DECIMAL(38,0).
@@ -87,4 +87,57 @@ def exact_second_moments(
         F.when((F.col("n") > 1) & (corr_den != 0), corr_num / corr_den).alias(
             f"corr_{prefix_x}{prefix_y}"
         ),
+    )
+
+
+def group_linear_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit ``y = slope·x + intercept``
+    with ``r2``, closed-form from the same exact decimal moments as
+    :func:`exact_second_moments` — no iteration, no ML library, one
+    map-side-combinable shuffle of six numbers per group.
+
+      ``slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``
+      ``intercept = Σy/n − slope · (Σx/n)``
+      ``r2        = (n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²) · (n·Σy²−(Σy)²))``
+
+    ``x_col`` / ``y_col`` must be integer-valued (cents, counts) so the
+    power sums are exact; every derived value is then a fixed-order
+    IEEE-double sequence — bit-reproducible on any partitioning or
+    engine.  Degenerate groups (n < 2, constant x) yield NULL slope and
+    intercept; constant y additionally nulls ``r2`` (0/0).
+
+    This is the distributed-regression textbook shape: a million
+    per-group fits cost one aggregation, not a million ML jobs.
+    """
+    x = F.col(x_col).cast(_D)
+    y = F.col(y_col).cast(_D)
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y).alias("__sy"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("__sx").cast("double"), F.col("__sxx").cast("double")
+    sy, syy = F.col("__sy").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    fit_ok = (F.col("n") > 1) & (denx != 0)
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.when(fit_ok, slope).alias("slope"),
+        F.when(fit_ok, sy / n - slope * (sx / n)).alias("intercept"),
+        F.when(fit_ok & (deny != 0), (num * num) / (denx * deny)).alias("r2"),
     )

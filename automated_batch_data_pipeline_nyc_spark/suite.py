@@ -3198,6 +3198,106 @@ def _moments(spark, sf_dir):
     )
 
 
+@_q(
+    "group_linear_fit",
+    """
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(floor(l_quantity) AS BIGINT) AS x,
+        CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(12,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y AS DECIMAL(12,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(y AS DECIMAL(12,0)) * CAST(y AS DECIMAL(12,0))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+      FROM base GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, n,
+      CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) <> 0 THEN
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+      CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) <> 0 THEN
+        sy / CAST(n AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx)) * (sx / CAST(n AS DOUBLE))
+        END AS intercept,
+      CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) <> 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) <> 0 THEN
+        ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+             * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+    FROM m
+    """,
+    doc="per-group closed-form OLS (price-cents vs quantity): slope/intercept/"
+        "r2 derived from the six exact decimal power sums — a million per-group "
+        "regressions cost ONE map-side-combinable aggregation (no ML library, "
+        "no iteration), and the fixed IEEE closed form is bit-identical "
+        "cross-engine",
+)
+def _linfit(spark, sf_dir):
+    from .operators.stats import group_linear_fit
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_quantity")).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return group_linear_fit(base, ["l_returnflag", "l_linestatus"], "x", "y")
+
+
+def _morton_sql(cols: list[str], bits: int = 16) -> str:
+    """The exact shift/mask OR-chain of ``operators.layout.morton_code``
+    in DuckDB syntax — integer bit ops, so parity is exact."""
+    k = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * k + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+@_q(
+    "zorder_bucket_stats",
+    f"""
+    WITH z AS (
+      SELECT CAST(l_partkey % 256 AS BIGINT) AS a,
+             CAST(l_suppkey % 256 AS BIGINT) AS b
+      FROM lineitem),
+    c AS (SELECT a, b, {_morton_sql(["a", "b"], bits=8)} AS zcode FROM z)
+    SELECT zcode >> 8 AS zbucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      MIN(a) AS min_a, MAX(a) AS max_a,
+      MIN(b) AS min_b, MAX(b) AS max_b
+    FROM c GROUP BY zbucket
+    """,
+    doc="Z-order (Morton) layout key + per-z-bucket min/max stats — the "
+        "multi-column file-skipping layout (Delta OPTIMIZE ZORDER BY, from "
+        "first principles): bit-interleave is a flat codegen'd shift/mask OR "
+        "chain, and the per-bucket stats SHOW the skipping win (min/max narrow "
+        "in BOTH dimensions at once); bit-exact BIGINT oracle",
+)
+def _zorder(spark, sf_dir):
+    from .operators.layout import morton_code
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    z = li.select(
+        (F.col("l_partkey") % 256).cast("long").alias("a"),
+        (F.col("l_suppkey") % 256).cast("long").alias("b"),
+    ).withColumn("zcode", morton_code(["a", "b"], bits=8))
+    return z.groupBy(F.shiftright("zcode", 8).alias("zbucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

@@ -408,3 +408,65 @@ def test_exact_second_moments_matches_statistics(spark):
     # sample statistics are undefined for a single observation
     s = got["solo"]
     assert s.var_x is None and s.corr_xy is None
+
+
+def test_group_linear_fit_matches_polyfit(spark):
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        group_linear_fit,
+    )
+
+    xs = [1, 2, 3, 4, 5, 6]
+    ys = [210, 405, 590, 820, 1010, 1180]  # ~ y = 196x + 16
+    rows = (
+        [("g", x, y) for x, y in zip(xs, ys)]
+        + [("constx", 5, 1), ("constx", 5, 2)]  # vertical line: no fit
+        + [("consty", 1, 9), ("consty", 2, 9)]  # horizontal: fit, r2 NULL
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r.g: r for r in group_linear_fit(df, ["g"], "x", "y").collect()}
+
+    slope, intercept = np.polyfit(xs, ys, 1)
+    g = got["g"]
+    assert g.slope == pytest.approx(slope)
+    assert g.intercept == pytest.approx(intercept)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert g.r2 == pytest.approx(r * r)
+    assert got["constx"].slope is None and got["constx"].r2 is None
+    assert got["consty"].slope == 0.0 and got["consty"].intercept == 9.0
+    assert got["consty"].r2 is None  # 0/0
+
+
+def test_morton_code_interleaves_bits(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.layout import (
+        morton_code,
+        zorder_layout,
+    )
+
+    df = spark.createDataFrame(
+        [(0b11, 0b01), (0, 0), (0b101, 0b010)], ["x", "y"]
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", morton_code(["x", "y"], bits=4)).collect()
+    }
+    # x bits land at even positions, y bits at odd: z = interleave(x, y)
+    assert got[(0b11, 0b01)] == 0b0111  # x0=1,y0=1,x1=1,y1=0
+    assert got[(0, 0)] == 0
+    assert got[(0b101, 0b010)] == 0b011001  # pairs (x0=1,y0=0)(x1=0,y1=1)(x2=1,y2=0)
+    # 3-column interleave: bit i of col j at position 3i + j
+    df3 = spark.createDataFrame([(1, 1, 1)], ["a", "b", "c"])
+    (r,) = df3.withColumn("z", morton_code(["a", "b", "c"], bits=2)).collect()
+    assert r.z == 0b111
+
+    with pytest.raises(ValueError, match="63 bits"):
+        morton_code(["a", "b", "c", "d"], bits=16)
+
+    # layout: globally range-ordered by zcode across partitions
+    big = spark.range(500).selectExpr("id % 23 AS x", "id % 17 AS y")
+    laid = zorder_layout(big, ["x", "y"], bits=8, n_files=4)
+    codes = [r.zcode for r in laid.select("zcode").collect()]
+    # collect preserves partition order, and each partition is sorted;
+    # range partitioning makes the concatenation globally sorted
+    assert codes == sorted(codes)
