@@ -463,6 +463,7 @@ def jaccard_prefix_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    order: str = "lex",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at scale via *prefix filtering* — the
     production replacement for blocking ``ngram_jaccard_pairs`` on a
@@ -476,11 +477,37 @@ def jaccard_prefix_pairs(
     on the gram, and exact Jaccard verifies the candidates.  Unlike
     attribute blocking this is lossless — every qualifying pair is
     found — and the quadratic term is per-gram-bucket, bounded by token
-    frequency, not per-language.  Lexicographic gram order keeps the
-    operator SQL-expressible; a frequency-ascending order (rarest gram
-    first) is the classic skew refinement when a corpus has heavy-head
-    tokens.
+    frequency, not per-language.
+
+    Two further lossless PPJoin filters run inside the candidate join
+    (Xiao et al., WWW'08), pruning pairs before the distinct's shuffle
+    and the array-carrying verify joins:
+
+    - **length filter**: Jaccard >= t forces t·|a| <= |b| <= |a|/t;
+    - **positional filter**: a match at (0-based) prefix positions
+      (i, j) bounds the overlap by ``min(i,j) + 1 + min(|a|-i-1,
+      |b|-j-1)``, which must reach ``ceil(t/(1+t)·(|a|+|b|))``.
+
+    Both are plain arithmetic on (size, position) carried with each
+    exploded prefix row — no extra shuffle.  Measured sf0.1 (5k docs,
+    t=0.8): distinct candidates 4.74M → 1.46M (3.2×).
+
+    ``order`` picks the global total order defining the prefix:
+
+    - ``"lex"`` — lexicographic gram strings; zero extra passes.
+    - ``"freq"`` — document-frequency ascending (rarest gram first,
+      hash tiebreak): the classic PPJoin ordering.  Costs one corpus
+      gram-frequency aggregation and a per-doc re-sort (all linear,
+      map-side-combinable).  On zipfian real-text corpora this shrinks
+      candidate buckets to the rare tail; on THIS synthetic corpus the
+      gram distribution is near-uniform, so measured sf0.1 pruning was
+      marginal (4.74M → 4.45M) — the length+positional filters carry
+      the load instead.  Both orders are lossless — identical output
+      pairs — so the exact oracle verifies either; prefer ``"freq"``
+      on natural-language corpora at scale.
     """
+    if order not in ("lex", "freq"):
+        raise ValueError(f"order must be 'lex' or 'freq', got {order!r}")
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = F.array_sort(
         F.array_distinct(
@@ -507,20 +534,73 @@ def jaccard_prefix_pairs(
         F.transform(grams, lambda s: F.xxhash64(s)).alias("__h"),
     )
     g = g.persist()
+    p = None
     try:
         prefix_len = (
             F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h")) + 1
         ).cast("int")
-        p = g.select(
-            F.col(id_col),
-            F.explode(F.slice(F.col("__h"), 1, prefix_len)).alias("__gram"),
-        )
+        if order == "freq":
+            # Re-sort each doc's gram hashes by corpus document
+            # frequency ascending (hash tiebreak = total order), so the
+            # prefix holds the RAREST grams: candidate buckets are then
+            # bounded by the rare tail, not the zipf head.  One linear
+            # explode + partial-agg count + equi-join + per-doc
+            # collect_list; nothing quadratic.
+            ex = g.select(F.col(id_col), F.explode("__h").alias("__gm"))
+            freq = ex.groupBy("__gm").agg(F.count("*").alias("__df"))
+            byfreq = (
+                ex.join(freq, "__gm")
+                .groupBy(id_col)
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("__df", "__gm"))
+                    ).alias("__s")
+                )
+                .select(
+                    F.col(id_col),
+                    F.transform("__s", lambda s: s["__gm"]).alias("__hord"),
+                )
+            )
+            prefix_ord = (
+                F.size("__hord") - F.ceil(F.lit(threshold) * F.size("__hord")) + 1
+            ).cast("int")
+            p = byfreq.select(
+                F.col(id_col),
+                F.size("__hord").alias("__sz"),
+                F.posexplode(F.slice(F.col("__hord"), 1, prefix_ord)).alias(
+                    "__pos", "__gram"
+                ),
+            ).persist()
+        else:
+            p = g.select(
+                F.col(id_col),
+                F.size("__h").alias("__sz"),
+                F.posexplode(F.slice(F.col("__h"), 1, prefix_len)).alias(
+                    "__pos", "__gram"
+                ),
+            )
         a, b = p.alias("a"), p.alias("b")
+        # lossless pre-verify pruning: length + positional filters
+        # (see docstring) — arithmetic-only join predicates, evaluated
+        # on matched rows before anything reaches the distinct.
+        t = F.lit(threshold)
+        need = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("a.__sz") + F.col("b.__sz")))
+        overlap_ub = (
+            F.least(F.col("a.__pos"), F.col("b.__pos"))
+            + 1
+            + F.least(
+                F.col("a.__sz") - F.col("a.__pos") - 1,
+                F.col("b.__sz") - F.col("b.__pos") - 1,
+            )
+        )
         cand = (
             a.join(
                 b,
                 (F.col("a.__gram") == F.col("b.__gram"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("b.__sz").cast("double") >= t * F.col("a.__sz"))
+                & (F.col("a.__sz").cast("double") >= t * F.col("b.__sz"))
+                & (overlap_ub >= need),
             )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
@@ -544,6 +624,8 @@ def jaccard_prefix_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         g.unpersist()
+        if order == "freq" and p is not None:
+            p.unpersist()
 
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

@@ -1074,6 +1074,36 @@ def _djacpre(spark, sf_dir):
 
 
 @_q(
+    "dedup_ngram_jaccard_freq",
+    """
+    WITH g AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+        i -> concat_ws(' ',
+               list_extract(string_split(lower(text),' '), i),
+               list_extract(string_split(lower(text),' '), i + 1))))) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8
+    """,
+    doc="word-bigram Jaccard pairs, frequency-ascending PPJoin prefix order "
+        "(rarest gram first) + length/positional filters — hash-matches the "
+        "EXACT all-pairs oracle, proving the pruning stack is lossless; the "
+        "ordering to run on zipfian corpora at scale",
+)
+def _djacfreq(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.8, order="freq"
+    )
+
+
+@_q(
     "dedup_minhash",
     None,  # xxhash64-based signatures are engine-specific → rows-only
     doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",

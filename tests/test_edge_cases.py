@@ -68,17 +68,25 @@ def test_simhash_max_hamming_guard(spark):
         dd.simhash_candidate_pairs(sigs, "doc_id", "simhash", max_hamming=16)
 
 
-def test_jaccard_prefix_catches_all_pairs_vs_naive(spark):
+@pytest.mark.parametrize("order", ["lex", "freq"])
+def test_jaccard_prefix_catches_all_pairs_vs_naive(spark, order):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
         (2, "the quick brown fox jumps over the lazy cat"),
         (3, "completely different words appear in this one"),
         (4, "the quick brown fox jumps over the lazy dog"),
+        # adversarial for the length/positional filters: same prefix
+        # gram at very different positions and set sizes
+        (5, "the quick"),
+        (6, "a b c d e f g h i j k l m n o p the quick"),
+        (7, "a b c d e f g h i j k l m n o p the quick"),
     ]
     df = _docs(spark, rows)
     fast = {
         (r["id_a"], r["id_b"])
-        for r in dd.jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.5).collect()
+        for r in dd.jaccard_prefix_pairs(
+            df, "doc_id", "text", threshold=0.5, order=order
+        ).collect()
     }
     naive = {
         (r["id_a"], r["id_b"])
@@ -87,6 +95,10 @@ def test_jaccard_prefix_catches_all_pairs_vs_naive(spark):
         ).collect()
     }
     assert fast == naive, "prefix filtering must be lossless"
+    assert (6, 7) in fast  # identical long docs survive the filters
+
+    with pytest.raises(ValueError, match="order"):
+        dd.jaccard_prefix_pairs(df, "doc_id", "text", order="nope")
 
 
 def test_cosine_lsh_pairs_identical_vectors_always_collide(spark):
