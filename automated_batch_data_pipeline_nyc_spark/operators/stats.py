@@ -22,7 +22,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_second_moments", "group_linear_fit"]
+__all__ = [
+    "exact_second_moments",
+    "group_linear_fit",
+    "categorical_mutual_information",
+]
 
 #: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
 #: inside DECIMAL(25,0) and corpus-scale sums inside DECIMAL(38,0).
@@ -140,4 +144,52 @@ def group_linear_fit(
         F.when(fit_ok, slope).alias("slope"),
         F.when(fit_ok, sy / n - slope * (sx / n)).alias("intercept"),
         F.when(fit_ok & (deny != 0), (num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+def categorical_mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Association between two categorical columns: entropies H(X),
+    H(Y), H(X,Y), mutual information MI = H(X)+H(Y)−H(X,Y) and
+    normalized MI (MI / min(H(X), H(Y))) — one row, values in nats.
+
+    The standard feature-redundancy / leakage screen in training-data
+    curation: NMI ≈ 1 flags a column pair that encodes the same signal
+    (drop one), NMI ≈ 0 justifies treating them as independent strata.
+
+    Plan shape: ONE corpus-wide shuffle to the contingency cells
+    ``(x, y, count)`` (map-side combined, |X|·|Y| rows), margins via
+    three window sums over that tiny cell frame, one final single-row
+    aggregate.  Nothing but exact counts crosses the big shuffle;
+    ``ln`` appears only in the last, cell-sized step, and scores are
+    rounded to 6dp (libm ULP + float summation order are
+    engine/partitioning-dependent).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(x_col, y_col).agg(F.count("*").alias("c"))
+    s = cells.select(
+        F.col("c").cast("double").alias("c"),
+        F.sum("c").over(Window.partitionBy(x_col)).cast("double").alias("nx"),
+        F.sum("c").over(Window.partitionBy(y_col)).cast("double").alias("ny"),
+        F.sum("c").over(Window.partitionBy()).cast("double").alias("n"),
+    )
+    p = F.col("c") / F.col("n")
+    # grouping the cell sum by x recovers Σ_x (nx/n)·ln(nx/n), etc.
+    hx = -F.sum(p * F.log(F.col("nx") / F.col("n")))
+    hy = -F.sum(p * F.log(F.col("ny") / F.col("n")))
+    hxy = -F.sum(p * F.log(p))
+    mi = hx + hy - hxy
+    return s.agg(
+        F.lit(x_col).alias("x_col"),
+        F.lit(y_col).alias("y_col"),
+        F.min("n").cast("bigint").alias("n"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        F.round(hxy, 6).alias("h_xy"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.when(
+            F.least(hx, hy) > 0, F.round(mi / F.least(hx, hy), 6)
+        ).alias("nmi"),
     )

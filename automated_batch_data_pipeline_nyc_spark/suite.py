@@ -1277,7 +1277,7 @@ def _centroids(spark, sf_dir):
 )
 def _centroids_udaf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
-    out = sim.embedding_centroids_pandas(emb, "label", "embedding")
+    out = sim.embedding_centroids_pandas(emb, "label", "embedding", n_tasks=8)
     # surface scalar columns (array column hashing is engine-specific)
     return out.select(
         "label",
@@ -1342,7 +1342,9 @@ def _slsh(spark, sf_dir):
 )
 def _sivf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
-    assigned, centroids = sim.build_ivf_index(emb, "embedding", n_lists=8)
+    assigned, centroids = sim.build_ivf_index(
+        emb, "embedding", n_lists=8, fit_fraction=0.25
+    )
     return sim.ivf_search(assigned, centroids, "embedding", _query_vec(spark, sf_dir), k=10)
 
 
@@ -3326,6 +3328,44 @@ def _zorder(spark, sf_dir):
         F.min("b").alias("min_b"),
         F.max("b").alias("max_b"),
     )
+
+
+@_q(
+    "mutual_information",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS c0
+      FROM orders GROUP BY x, y),
+    s AS (
+      SELECT CAST(c0 AS DOUBLE) AS c,
+        CAST(SUM(c0) OVER (PARTITION BY x) AS DOUBLE) AS nx,
+        CAST(SUM(c0) OVER (PARTITION BY y) AS DOUBLE) AS ny,
+        CAST(SUM(c0) OVER () AS DOUBLE) AS n
+      FROM cells)
+    SELECT 'o_orderstatus' AS x_col, 'o_orderpriority' AS y_col,
+      CAST(MIN(n) AS BIGINT) AS n,
+      CAST(round(-SUM((c / n) * ln(nx / n)), 6) AS DOUBLE) AS h_x,
+      CAST(round(-SUM((c / n) * ln(ny / n)), 6) AS DOUBLE) AS h_y,
+      CAST(round(-SUM((c / n) * ln(c / n)), 6) AS DOUBLE) AS h_xy,
+      CAST(round((-SUM((c / n) * ln(nx / n))) + (-SUM((c / n) * ln(ny / n)))
+        - (-SUM((c / n) * ln(c / n))), 6) AS DOUBLE) AS mi_nats,
+      CASE WHEN least(-SUM((c / n) * ln(nx / n)), -SUM((c / n) * ln(ny / n))) > 0
+        THEN CAST(round(((-SUM((c / n) * ln(nx / n))) + (-SUM((c / n) * ln(ny / n)))
+          - (-SUM((c / n) * ln(c / n))))
+          / least(-SUM((c / n) * ln(nx / n)), -SUM((c / n) * ln(ny / n))), 6) AS DOUBLE)
+        END AS nmi
+    FROM s
+    """,
+    doc="categorical association screen: H(X), H(Y), H(X,Y), mutual "
+        "information and normalized MI between order status and priority — "
+        "one corpus shuffle to contingency cells, margins as window sums over "
+        "the tiny cell frame; 6dp rounding absorbs ln ULP + summation order",
+)
+def _mi(spark, sf_dir):
+    from .operators.stats import categorical_mutual_information
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    return categorical_mutual_information(orders, "o_orderstatus", "o_orderpriority")
 
 
 # ===========================================================================

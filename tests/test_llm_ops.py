@@ -470,3 +470,35 @@ def test_morton_code_interleaves_bits(spark):
     # collect preserves partition order, and each partition is sorted;
     # range partitioning makes the concatenation globally sorted
     assert codes == sorted(codes)
+
+
+def test_mutual_information_identities(spark):
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        categorical_mutual_information,
+    )
+
+    # y is a function of x -> MI = H(Y), NMI = 1
+    dep = spark.createDataFrame(
+        [("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"), ("c", "w"), ("c", "w")],
+        ["x", "y"],
+    )
+    (r,) = categorical_mutual_information(dep, "x", "y").collect()
+    assert r.n == 6
+    assert r.h_x == pytest.approx(math.log(3), abs=1e-6)
+    assert r.mi_nats == pytest.approx(math.log(3), abs=1e-6)
+    assert r.nmi == pytest.approx(1.0, abs=1e-6)
+
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "uv" for _ in range(3)], ["x", "y"]
+    )
+    (r,) = categorical_mutual_information(ind, "x", "y").collect()
+    assert r.mi_nats == pytest.approx(0.0, abs=1e-6)
+
+    # constant x -> H(X)=0, NMI undefined
+    const = spark.createDataFrame([("k", "u"), ("k", "v")], ["x", "y"])
+    (r,) = categorical_mutual_information(const, "x", "y").collect()
+    assert r.h_x == 0.0 and r.mi_nats == pytest.approx(0.0, abs=1e-6)
+    assert r.nmi is None
