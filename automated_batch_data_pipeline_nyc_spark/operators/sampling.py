@@ -35,6 +35,7 @@ __all__ = [
     "mixture_sample",
     "shuffle_shards",
     "sample_n_per_group",
+    "weighted_sample_per_group",
     "downsample_to_token_budget",
 ]
 
@@ -172,6 +173,57 @@ def sample_n_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement: min(n, |group|) rows per
+    group with inclusion probability proportional to ``weight_col`` —
+    the quality-weighted mixture draw of LLM-data curation ("sample 1M
+    docs per domain, favoring high quality-score"), deterministic
+    across reruns, engines, and cluster layouts.
+
+    Efraimidis–Spirakis (2006): draw u ~ U(0,1) per row and take the
+    top-n by ``u^(1/w)`` — exactly a weighted draw without replacement.
+    Here u comes from the md5 of (seed, key) — ``(h + 0.5) / 2^32``
+    with h the first 8 hex digits, so u ∈ (0,1) strictly and the whole
+    draw replays anywhere md5 exists — and the rank key is the
+    monotone-equivalent ``ln(u)/w`` (descending; no pow underflow for
+    large weights).  Rows with NULL or non-positive weight are
+    excluded, as a weight of zero means "never draw".
+
+    Same plan shape as :func:`sample_n_per_group`: one shuffle on the
+    group key, WindowGroupLimit caps every group at n before any full
+    sort.  Keys collide only if two rows' ln(u)/w agree to the last
+    bit; the key-column tiebreak keeps the selection total anyway.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.desc("__es"), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es", es_key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select(*df.columns, F.col("__rn").alias("draw_rank"))
     )
 
 

@@ -3058,6 +3058,99 @@ def _sample_grp(spark, sf_dir):
 
 
 @_q(
+    "weighted_sample_per_group",
+    """
+    WITH w AS (
+      SELECT lang, doc_id,
+        ln((CAST(('0x' || substring(
+              md5('42' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            + 0.5) / 4294967296.0)
+          / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS draw_rank FROM (
+      SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+      FROM w) t
+    WHERE rn <= 5
+    """,
+    doc="weighted sample WITHOUT replacement (Efraimidis-Spirakis): 5 docs per "
+        "language with probability proportional to n_chars — u from md5(seed,"
+        "key) so the draw replays on any engine; rank key ln(u)/w, "
+        "WindowGroupLimit caps groups before any full sort; the deterministic "
+        "quality-weighted mixture draw of LLM-data curation",
+)
+def _wsample_grp(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = docs.select("lang", "doc_id", "n_chars")
+    out = sa.weighted_sample_per_group(base, "lang", "doc_id", "n_chars", 5)
+    return out.select("lang", "doc_id", "draw_rank")
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled into ``iters`` chained CTEs
+    (the LSH-hyperplane-inlining trick applied to iteration): float
+    literals are emitted as Python ``repr`` so both engines parse the
+    identical IEEE double."""
+    one_minus_d, d_lit = repr(1.0 - d), repr(d)
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+        CAST({one_minus_d} AS DOUBLE) / n.cnt
+          + CAST({d_lit} AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT ed.d AS node, SUM(r{i - 1}.rank / ed.deg) AS mass
+        FROM ed JOIN r{i - 1} ON ed.s = r{i - 1}.node GROUP BY ed.d) m
+      USING (node))""")
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d
+      FROM lineitem),
+    e AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e),
+    n AS (SELECT COUNT(*) AS cnt FROM nodes),
+    deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    ed AS (SELECT e.s, e.d, deg.deg FROM e JOIN deg USING (s)),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.cnt AS rank FROM nodes CROSS JOIN n),
+    {",".join(its)}
+    SELECT node, CAST(round(r{iters}.rank * CAST(n.cnt AS DOUBLE), 6) AS DOUBLE)
+      AS relrank
+    FROM r{iters} CROSS JOIN n
+    """
+
+
+@_q(
+    "pagerank_order_part",
+    _pagerank_sql(iters=3),
+    doc="fixed-iteration PageRank on the symmetrized order-part graph — "
+        "DataFrame-native Pregel: static (src,dst,outdeg) persisted once, one "
+        "mass shuffle per power step, localCheckpoint lineage truncation; "
+        "oracle unrolls the 3 iterations into chained CTEs with repr'd float "
+        "literals, rank normalized to mean 1.0 and 6dp-rounded",
+)
+def _pr(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    # BIGINT node ids (even = order, odd = part): long hash/compare in
+    # every shuffle instead of string churn
+    pairs = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(
+        edges, iterations=3, normalize=True, assume_distinct=True, symmetric=True
+    )
+    return pr.select("node", F.round("rank", 6).alias("relrank"))
+
+
+@_q(
     "token_budget_mixture",
     """
     WITH totals AS (

@@ -502,3 +502,59 @@ def test_mutual_information_identities(spark):
     (r,) = categorical_mutual_information(const, "x", "y").collect()
     assert r.h_x == 0.0 and r.mi_nats == pytest.approx(0.0, abs=1e-6)
     assert r.nmi is None
+
+
+def test_weighted_sample_per_group_semantics(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = (
+        [("g1", f"k{i}", 1.0) for i in range(10)]
+        + [("g1", "heavy", 1e9)]        # ln(u)/1e9 ~ 0 -> always drawn first
+        + [("g1", "never", 0.0), ("g1", "nullw", None)]
+        + [("g2", "only", 2.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "k", "w"])
+    out = weighted_sample_per_group(df, "g", "k", "w", 3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert len(by_g["g1"]) == 3
+    assert len(by_g["g2"]) == 1  # min(n, |group|)
+    picked = {r.k for r in by_g["g1"]}
+    assert "heavy" in picked
+    assert next(r.draw_rank for r in by_g["g1"] if r.k == "heavy") == 1
+    assert "never" not in picked and "nullw" not in picked
+    # deterministic replay
+    again = weighted_sample_per_group(df, "g", "k", "w", 3).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    # different seed -> (almost surely) different uniform draws; heavy
+    # row still dominates
+    seeded = weighted_sample_per_group(df, "g", "k", "w", 3, seed=7).collect()
+    assert {r.k for r in seeded if r.g == "g1"} >= {"heavy"}
+
+
+def test_pagerank_analytic_cases(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import pagerank
+
+    # 3-cycle: uniform stationary distribution from any start
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(cyc, iterations=10).collect()}
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-9)
+
+    # undirected star: center accumulates rank, leaves symmetric
+    star = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            star, iterations=20, normalize=True, assume_distinct=True, symmetric=True
+        ).collect()
+    }
+    assert got[0] > got[1]
+    assert got[1] == pytest.approx(got[2]) == pytest.approx(got[3])
+    # symmetrized graph: no dangling mass, ranks sum to N (=> mean 1.0)
+    assert sum(got.values()) == pytest.approx(4.0, abs=1e-6)
