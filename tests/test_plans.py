@@ -143,3 +143,34 @@ def test_interval_overlap_join_is_partitioned_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_moment_aggregates_single_corpus_exchange(spark):
+    # the whole point of sufficient statistics: ONE map-side-combinable
+    # shuffle; no second pass over the data
+    for name in ("exact_moment_stats", "group_linear_fit"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") == 1, f"{name}: expected exactly one shuffle"
+        assert "BatchEvalPython" not in plan
+
+
+def test_zorder_stays_jvm_side_one_exchange(spark):
+    plan = _plan(spark, "zorder_bucket_stats")
+    # flat shift/mask OR chain: codegen'd arithmetic, no UDF, and the
+    # only exchange is the bucket-stats groupBy
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_weighted_sample_group_limit_pushdown(spark):
+    plan = _plan(spark, "weighted_sample_per_group")
+    assert "WindowGroupLimit" in plan, "row_number<=n must cap groups pre-sort"
+
+
+def test_jaccard_prefix_candidates_stay_equi_join(spark):
+    # the PPJoin filters are extra predicates on an equi-join — they
+    # must not degrade candidate generation to a nested-loop join
+    for name in ("dedup_ngram_jaccard_prefix", "dedup_ngram_jaccard_freq"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

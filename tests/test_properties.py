@@ -125,3 +125,36 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_morton_code_roundtrips_against_python(spark, pts):
+    """morton_code must equal the reference bit-interleave computed in
+    plain Python, and be invertible (distinct inputs -> distinct codes)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.layout import morton_code
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", morton_code(["x", "y"], bits=16)).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref(x, y)
+    assert len(set(got.values())) == len(set(pts))
