@@ -593,6 +593,51 @@ def _sqlrev(spark, sf_dir):
     )
 
 
+@_q(
+    "shipping_priority_topk",
+    """
+    SELECT l_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: segment-filtered 3-way join with "
+        "date pivots on both fact sides, exact DECIMAL revenue, top-10 via "
+        "TakeOrderedAndProject (never a global sort); filters push below the "
+        "joins, customer side broadcasts under AQE",
+)
+def _q3ship(spark, sf_dir):
+    cust, orders, li = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    pivot = F.lit("1998-06-30 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice").cast(D2) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(10,2)")
+    )
+    agg = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < pivot)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > pivot)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    return top.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue",
+    )
+
+
 # ===========================================================================
 # Sorts / limits / set ops / windows (§2.7)
 # ===========================================================================
