@@ -45,6 +45,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "jaccard_prefix_pairs",
+    "duplicated_ngram_spans",
     "keep_canonical",
 ]
 
@@ -633,3 +634,71 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     columns id_a < id_b in *pairs*)."""
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, on=id_col, how="left_anti")
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document cross-document repetition profile: how many of a
+    doc's rolling word-``n``-grams also occur in ANOTHER document —
+    ``(id, n_grams, n_dup_grams, dup_fraction)``.
+
+    The exact-substring-duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    boilerplate, licenses, templated spans and wholesale copies show up
+    as high ``dup_fraction`` even when whole-document near-dup (MinHash
+    etc.) misses them.  Within-document repetition is deliberately NOT
+    counted (that's :func:`~..text.repetition_metrics`); a gram flags
+    only when its distinct-document count exceeds one.
+
+    Plan shape: one staged shingle pass (gram hashes computed once,
+    persisted), one count-distinct shuffle keyed by gram hash (partial
+    aggregation bounds the exchange by corpus vocabulary), one semi-ish
+    join of gram occurrences against the duplicated-gram set, one
+    per-doc count.  Everything that moves is (hash, id) longs — at 100
+    TB the shuffle is corpus-vocabulary-sized, never corpus-squared.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    ghs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), ghs.alias("__ghs")
+    )
+    g = g.persist()
+    try:
+        ex = g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
+        dup = (
+            ex.groupBy("__gh")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .filter(F.col("__nd") > 1)
+            .select("__gh")
+        )
+        per_doc = (
+            ex.join(dup, "__gh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("__ndup"))
+        )
+        out = (
+            g.select(F.col(id_col), F.size("__ghs").cast("bigint").alias("n_grams"))
+            .join(per_doc, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("n_grams"),
+                F.coalesce(F.col("__ndup"), F.lit(0)).cast("bigint").alias(
+                    "n_dup_grams"
+                ),
+                F.round(
+                    F.coalesce(F.col("__ndup"), F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ).alias("dup_fraction"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()

@@ -1149,6 +1149,38 @@ def _djacfreq(spark, sf_dir):
 
 
 @_q(
+    "duplicated_ngram_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+        unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS pos
+      FROM t),
+    g2 AS (SELECT doc_id, array_to_string(toks[pos:pos+7], ' ') AS gram FROM g),
+    dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    per AS (SELECT doc_id, COUNT(*) AS ndup FROM g2 JOIN dup USING (gram)
+            GROUP BY doc_id),
+    base AS (SELECT doc_id,
+               CAST(greatest(len(toks) - 7, 1) AS BIGINT) AS n_grams FROM t)
+    SELECT b.doc_id, b.n_grams,
+      CAST(COALESCE(p.ndup, 0) AS BIGINT) AS n_dup_grams,
+      CAST(round(CAST(COALESCE(p.ndup, 0) AS DOUBLE)
+        / CAST(b.n_grams AS DOUBLE), 6) AS DOUBLE) AS dup_fraction
+    FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+    doc="cross-document duplicated 8-gram profile per doc (Lee et al. 2022 "
+        "exact-substring signal): staged shingle hashes, ONE vocabulary-sized "
+        "count-distinct shuffle, occurrences joined back against the "
+        "duplicated-gram set — boilerplate/licenses/templates surface as high "
+        "dup_fraction even when whole-doc MinHash misses them",
+)
+def _dupspans(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.duplicated_ngram_spans(docs, "doc_id", "text", n=8)
+
+
+@_q(
     "dedup_minhash",
     None,  # xxhash64-based signatures are engine-specific → rows-only
     doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",

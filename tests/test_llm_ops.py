@@ -558,3 +558,29 @@ def test_pagerank_analytic_cases(spark):
     assert got[1] == pytest.approx(got[2]) == pytest.approx(got[3])
     # symmetrized graph: no dangling mass, ranks sum to N (=> mean 1.0)
     assert sum(got.values()) == pytest.approx(4.0, abs=1e-6)
+
+
+def test_duplicated_ngram_spans_cross_doc_only(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    boiler = "all rights reserved do not copy this document ever"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler} unique tail one"),
+            (2, f"totally different opening words here {boiler} other tail"),
+            (3, "no shared content in this document at all whatsoever today"),
+            # within-doc repetition only: must NOT count
+            (4, "rep rep rep rep rep rep rep rep rep rep rep rep"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r for r in dd.duplicated_ngram_spans(docs, "doc_id", "text", n=4).collect()
+    }
+    assert got[1].n_dup_grams > 0 and got[2].n_dup_grams > 0  # shared boilerplate
+    assert got[3].n_dup_grams == 0 and got[3].dup_fraction == 0.0
+    assert got[4].n_dup_grams == 0  # within-doc repetition is not cross-doc dup
+    for r in got.values():  # n_grams = len(tokens) - n + 1, fraction in [0,1]
+        assert r.n_grams == len((docs.where(F.col("doc_id") == r.doc_id)
+                                 .head().text).split()) - 3
+        assert 0.0 <= r.dup_fraction <= 1.0
