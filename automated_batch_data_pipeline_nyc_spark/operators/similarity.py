@@ -40,6 +40,7 @@ __all__ = [
     "lsh_topk",
     "build_ivf_index",
     "ivf_search",
+    "gram_matrix",
 ]
 
 
@@ -414,3 +415,55 @@ def ivf_search(
     probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i], query))[:nprobe]
     pruned = assigned.filter(F.col(assign_col).isin(probes))
     return brute_force_topk(pruned, vec_col, query, k, id_col)
+
+
+def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
+    """Distributed Gramian ``G = Xᵀ X`` of an embedding column —
+    ``(i, j, gram)`` rows, the sufficient statistic for covariance /
+    PCA / whitening over a corpus of vectors.
+
+    The 100 TB shape for distributed linear algebra: each partition
+    accumulates its d×d partial Gramian in numpy (one BLAS ``Xᵀ X``
+    per Arrow batch — no per-row Python), emits d² rows, and the final
+    shuffle carries ``partitions × d²`` numbers instead of ``n × d²``
+    exploded products.  Map-side combine on (i, j) then reduces to one
+    d² result.  This is how Spark ML's own ``RowMatrix.computeGramian``
+    works, re-expressed over Arrow + DataFrames.
+
+    Row/batch summation order inside BLAS differs from a sequential
+    engine's, so callers comparing cross-engine should round (the suite
+    rounds to 6dp).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("partial", T.DoubleType(), False),
+        ]
+    )
+
+    # closure-pure kernel (numpy + pandas only)
+    def kernel(batches):
+        import numpy as np
+        import pandas as _pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            g = mat.T @ mat
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+        yield _pd.DataFrame(
+            {"i": ii.ravel().astype("int32"), "j": jj.ravel().astype("int32"),
+             "partial": acc.ravel()}
+        )
+
+    partials = df.select(vec_col).mapInPandas(kernel, schema)
+    return partials.groupBy("i", "j").agg(F.sum("partial").alias("gram"))

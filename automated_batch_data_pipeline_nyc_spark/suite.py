@@ -1181,6 +1181,28 @@ def _dupspans(spark, sf_dir):
 
 
 @_q(
+    "embedding_gram_matrix",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+    g AS (SELECT emb, unnest(generate_series(1, 64)) AS i FROM e),
+    g2 AS (SELECT emb, i, unnest(generate_series(1, 64)) AS j FROM g)
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      CAST(round(SUM(emb[i] * emb[j]), 6) AS DOUBLE) AS gram
+    FROM g2 GROUP BY i, j
+    """,
+    doc="distributed Gramian XᵀX of the embedding corpus (the sufficient "
+        "statistic for covariance/PCA/whitening): per-partition BLAS partial "
+        "Gramians via mapInPandas, final shuffle carries partitions×d² "
+        "numbers — never n×d² exploded products; 6dp rounding absorbs BLAS "
+        "vs sequential summation order",
+)
+def _gram(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    out = sim.gram_matrix(emb, "embedding")
+    return out.select("i", "j", F.round("gram", 6).alias("gram"))
+
+
+@_q(
     "dedup_minhash",
     None,  # xxhash64-based signatures are engine-specific → rows-only
     doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",

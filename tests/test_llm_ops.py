@@ -584,3 +584,24 @@ def test_duplicated_ngram_spans_cross_doc_only(spark):
         assert r.n_grams == len((docs.where(F.col("doc_id") == r.doc_id)
                                  .head().text).split()) - 3
         assert 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], ["vec_id", "embedding"]
+    ).repartition(7)  # partial Gramians must merge across partitions
+    got = {(r.i, r.j): r.gram for r in gram_matrix(df, "embedding").collect()}
+    want = X.astype(np.float64).T @ X.astype(np.float64)
+    assert len(got) == 25
+    for (i, j), v in got.items():
+        assert v == pytest.approx(want[i - 1, j - 1], rel=1e-9)
+    # symmetry comes free
+    assert got[(1, 4)] == pytest.approx(got[(4, 1)])
