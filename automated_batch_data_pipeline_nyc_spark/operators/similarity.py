@@ -41,6 +41,7 @@ __all__ = [
     "build_ivf_index",
     "ivf_search",
     "gram_matrix",
+    "pca_project",
 ]
 
 
@@ -467,3 +468,67 @@ def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:
 
     partials = df.select(vec_col).mapInPandas(kernel, schema)
     return partials.groupBy("i", "j").agg(F.sum("partial").alias("gram"))
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus PCA: project each embedding onto the top-``k`` principal
+    components — ``(id, pc1..pck)``.
+
+    Composition of the engine's own distributed sufficient statistics:
+    ``XᵀX`` from :func:`gram_matrix` (partitions×d² shuffle) and the
+    column means from one exploded aggregate give the covariance
+    ``C = G/n − μμᵀ``; the d×d eigendecomposition happens driver-side
+    in numpy (trivial for embedding-sized d) and the components are
+    broadcast back as literal arrays, so the projection pass is
+    map-only JVM arithmetic — no corpus ever leaves the executors,
+    exactly how Spark ML's RowMatrix PCA is structured.
+
+    Eigenvector sign is fixed by forcing the largest-magnitude entry of
+    each component positive (numpy's sign is otherwise arbitrary), so
+    outputs are deterministic across runs and BLAS builds.
+    """
+    import numpy as np
+
+    d_gram = gram_matrix(df, vec_col)
+    g_rows = d_gram.collect()  # d² scalars — driver-sized by design
+    d = int(max(r.i for r in g_rows))
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r.i - 1, r.j - 1] = r.gram
+    mean_rows = (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = mean_rows[0].n
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r.i] = r.m
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # d x k
+    for c in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    centered = F.zip_with(
+        _as_double(F.col(vec_col)),
+        F.array(*[F.lit(float(x)) for x in mu]),
+        lambda x, m: x - m,
+    )
+    staged = df.select(F.col(id_col), centered.alias("__c"))
+    cols = [
+        _dot_raw(
+            F.col("__c"), F.array(*[F.lit(float(x)) for x in comps[:, c]])
+        ).alias(f"pc{c + 1}")
+        for c in range(comps.shape[1])
+    ]
+    return staged.select(id_col, *cols)

@@ -1203,6 +1203,22 @@ def _gram(spark, sf_dir):
 
 
 @_q(
+    "embedding_pca_project",
+    None,  # eigendecomposition → rows-only (pytest verifies vs numpy PCA)
+    doc="corpus PCA projection to 4 components — distributed Gramian + mean "
+        "(sufficient statistics) → driver-side d×d eigh → broadcast components "
+        "→ map-only JVM projection; sign convention makes output deterministic",
+)
+def _pca(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    out = sim.pca_project(emb, "embedding", k=4)
+    return out.select(
+        "vec_id",
+        *[F.round(f"pc{c}", 6).alias(f"pc{c}") for c in range(1, 5)],
+    )
+
+
+@_q(
     "dedup_minhash",
     None,  # xxhash64-based signatures are engine-specific → rows-only
     doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",

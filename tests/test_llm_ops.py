@@ -605,3 +605,40 @@ def test_gram_matrix_matches_numpy(spark):
         assert v == pytest.approx(want[i - 1, j - 1], rel=1e-9)
     # symmetry comes free
     assert got[(1, 4)] == pytest.approx(got[(4, 1)])
+
+
+def test_pca_project_recovers_planted_subspace(spark):
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.similarity import (
+        pca_project,
+    )
+
+    # rank-2 data + tiny noise in 6 dims: top-2 PCs must capture it
+    rng = np.random.default_rng(11)
+    basis = np.linalg.qr(rng.normal(size=(6, 2)))[0]          # orthonormal 6x2
+    coeff = rng.normal(size=(120, 2)) * np.array([5.0, 2.0])  # anisotropic
+    X = (coeff @ basis.T + 0.001 * rng.normal(size=(120, 6))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], ["vec_id", "embedding"]
+    ).repartition(5)
+    out = pca_project(df, "embedding", k=2).collect()
+    P = np.array([[r.pc1, r.pc2] for r in sorted(out, key=lambda r: r.vec_id)])
+
+    Xc = X.astype(np.float64) - X.astype(np.float64).mean(axis=0)
+    # projections carry essentially all the variance (rank-2 + eps noise)
+    total = (Xc ** 2).sum()
+    assert (P ** 2).sum() / total > 0.999
+    # and match numpy PCA up to the deterministic sign convention
+    C = np.cov(Xc.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    comps = vecs[:, np.argsort(vals)[::-1][:2]]
+    for c in range(2):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    want = Xc @ comps
+    assert np.allclose(P, want, atol=1e-3)
+    # determinism across invocations (sign convention + fixed plan)
+    again = pca_project(df, "embedding", k=2).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
