@@ -1219,6 +1219,40 @@ def _pca(spark, sf_dir):
 
 
 @_q(
+    "knn_join_batch",
+    """
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM c WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, c.vec_id,
+        list_dot_product(c.v, q.qv) / (c.nrm * q.qn) AS cosine_sim
+      FROM c CROSS JOIN q),
+    r AS (
+      SELECT query_id, vec_id, cosine_sim,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+      FROM s)
+    SELECT query_id, vec_id, cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= 10
+    """,
+    doc="batch exact k-NN join (the eval-harness shape): 5 query vectors "
+        "broadcast against the corpus, norms staged once per side, per-query "
+        "top-10 via row_number<=k (WindowGroupLimit — the exchange carries "
+        "partitions×|queries|×k, never the scored cross product); "
+        "deterministic dots make even the float ordering oracle-exact",
+)
+def _knn(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return sim.knn_join(emb, queries, "embedding", k=10)
+
+
+@_q(
     "dedup_minhash",
     None,  # xxhash64-based signatures are engine-specific → rows-only
     doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",

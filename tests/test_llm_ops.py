@@ -642,3 +642,22 @@ def test_pca_project_recovers_planted_subspace(spark):
     # determinism across invocations (sign convention + fixed plan)
     again = pca_project(df, "embedding", k=2).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_knn_join_self_match_and_small_corpus(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.similarity import (
+        knn_join,
+    )
+
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["query_id", "embedding"]
+    )
+    out = knn_join(corpus, queries, "embedding", k=5).collect()
+    assert len(out) == 3  # k > |corpus| -> whole corpus, ranked
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].vec_id == 0 and by_rank[1].cosine_sim == pytest.approx(1.0)
+    assert by_rank[2].vec_id == 1  # nearly parallel
+    assert by_rank[3].vec_id == 2  # orthogonal last
+    assert by_rank[3].cosine_sim == pytest.approx(0.0)
