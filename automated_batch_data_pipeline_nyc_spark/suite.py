@@ -846,6 +846,65 @@ def _hourly(spark, sf_dir):
 
 
 @_q(
+    "streaming_hourly_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {SQL_SUM.format(col='value')} AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """,
+    doc="§2.8 Structured Streaming, hash-verified against the BATCH oracle: "
+        "events staged to a file-source dir, availableNow micro-batches, "
+        "tumbling 1-hour windows into a complete-mode memory sink — decimal "
+        "money sums make the streaming result bit-identical to the batch SQL, "
+        "so the driver verifies the streaming engine itself, not a weaker "
+        "rows-only check",
+)
+def _stream_hourly(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from .streaming.jobs import read_event_stream
+
+    (events,) = _load(spark, sf_dir, "events")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_stream_src_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # window() needs concrete event time; the batch oracle filters the
+    # same NULL rows so the group sets align.
+    events.filter(F.col("ts").isNotNull()).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    agg = (
+        read_event_stream(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value"), "total_value"),
+        )
+    )
+    name = f"shc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@_q(
     "pivot_event_matrix",
     """
     SELECT user_id,
