@@ -24,6 +24,7 @@ __all__ = [
     "rolling_time_window",
     "distributed_percent_rank",
     "sessionize",
+    "merge_intervals",
 ]
 
 
@@ -204,3 +205,47 @@ def running_sum(
     out_col = out_col or f"{col}_running"
     spec = _spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.sum(col).over(spec))
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key (gaps-and-islands):
+    ``(key, merged_start, merged_end, n_merged)``.
+
+    The coverage/availability primitive — stitching rental periods,
+    maintenance windows, session spans — and the dual of
+    :func:`~.joins.interval_overlap_join` (which FINDS overlaps; this
+    DISSOLVES them).  Classic cummax formulation: an interval opens a
+    new island iff its start exceeds the running max end of everything
+    before it in (start, end) order; the island id is the running count
+    of such openings.  Two windows over the same (key → start, end)
+    ordering — ONE shuffle, one partition-local sort, no self-join, no
+    explode: at 100 TB this is a sort-based linear scan per key, where
+    the naive interval self-join would be quadratic per key.
+    Intervals that merely touch (start == previous end) merge.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(key_col), F.col(start_col), F.col(end_col))
+        .withColumn("__island", island)
+        .groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias("merged_start"),
+            F.max(end_col).alias("merged_end"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__island")
+    )

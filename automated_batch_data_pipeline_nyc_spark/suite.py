@@ -905,6 +905,47 @@ def _stream_hourly(spark, sf_dir):
 
 
 @_q(
+    "merge_user_intervals",
+    """
+    WITH s AS (
+      SELECT user_id, ts AS st, ts + INTERVAL 30 MINUTE AS en
+      FROM events WHERE ts IS NOT NULL),
+    m AS (
+      SELECT user_id, st, en,
+        MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM s),
+    i AS (
+      SELECT user_id, st, en,
+        SUM(CASE WHEN pme IS NULL OR st > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m)
+    SELECT user_id, MIN(st) AS merged_start, MAX(en) AS merged_end,
+      CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM i GROUP BY user_id, island
+    """,
+    doc="gaps-and-islands interval union: each event opens a 30-minute "
+        "activity interval, overlapping/touching intervals per user dissolve "
+        "into coverage spans via the cummax island trick — ONE shuffle + "
+        "partition-local sort, no self-join (the naive interval merge is "
+        "quadratic per key); dual of interval_overlap_pairs",
+)
+def _merge_iv(spark, sf_dir):
+    from .operators.windows import merge_intervals
+
+    (events,) = _load(spark, sf_dir, "events")
+    iv = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.col("ts").alias("st"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("en"),
+    )
+    return merge_intervals(iv, "user_id", "st", "en").select(
+        "user_id", "merged_start", "merged_end", "n_merged"
+    )
+
+
+@_q(
     "pivot_event_matrix",
     """
     SELECT user_id,

@@ -661,3 +661,31 @@ def test_knn_join_self_match_and_small_corpus(spark):
     assert by_rank[2].vec_id == 1  # nearly parallel
     assert by_rank[3].vec_id == 2  # orthogonal last
     assert by_rank[3].cosine_sim == pytest.approx(0.0)
+
+
+def test_merge_intervals_islands(spark):
+    import datetime
+
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import (
+        merge_intervals,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: [0,10] + [5,20] overlap; [20,30] touches -> one island of 3
+        ("u1", t(0), t(10)), ("u1", t(5), t(20)), ("u1", t(20), t(30)),
+        # u1: [40,50] separate
+        ("u1", t(40), t(50)),
+        # u2: containment — [0,30] swallows [5,10]
+        ("u2", t(0), t(30)), ("u2", t(5), t(10)),
+    ]
+    df = spark.createDataFrame(rows, ["k", "st", "en"])
+    got = sorted(
+        ((r.k, r.merged_start.minute, r.merged_end.minute, r.n_merged)
+         for r in merge_intervals(df, "k", "st", "en").collect())
+    )
+    assert got == [
+        ("u1", 0, 30, 3),
+        ("u1", 40, 50, 1),
+        ("u2", 0, 30, 2),
+    ]
