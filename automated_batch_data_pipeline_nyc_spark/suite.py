@@ -946,6 +946,96 @@ def _merge_iv(spark, sf_dir):
 
 
 @_q(
+    "user_growth_daily",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    a AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_active
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    n AS (SELECT first_day AS day, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT a.day, CAST(a.n_active AS BIGINT) AS n_active,
+      CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+      CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+        ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS cum_users
+    FROM a LEFT JOIN n USING (day)
+    """,
+    doc="daily active / new / cumulative users: two corpus aggregations "
+        "(first-seen per user, distinct-per-day) meet in a days-sized frame; "
+        "the single-partition running sum runs over that tiny aggregate, "
+        "never the corpus — the growth-dashboard query at any scale",
+)
+def _growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    ev = events.filter(F.col("ts").isNotNull())
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    a = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    n = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        a.join(n, "day", "left")
+        .select(
+            "day",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+    )
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    e AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      FROM events WHERE ts IS NOT NULL)
+    SELECT f.cohort,
+      CAST(date_diff('day', f.cohort, e.wk) / 7 AS BIGINT) AS week_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="weekly retention cohort matrix: first-seen week per user joined back "
+        "to the user's distinct active weeks, counted by (cohort, offset) — "
+        "the user_id-keyed join co-partitions with both aggregations, and both "
+        "date_trunc('week')s are Monday-aligned in both engines so the "
+        "day-difference is exactly divisible by 7",
+)
+def _cohorts(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    ev = events.filter(F.col("ts").isNotNull())
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    e = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        e.join(f, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@_q(
     "pivot_event_matrix",
     """
     SELECT user_id,
