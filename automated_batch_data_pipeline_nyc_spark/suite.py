@@ -1036,6 +1036,55 @@ def _cohorts(spark, sf_dir):
 
 
 @_q(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS relationship,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+    doc="referential-integrity audit across the star schema: orphan counts "
+        "per FK relationship via LEFT ANTI joins — each is one shuffle (or a "
+        "broadcast when the parent is a dim), the warehouse data-contract "
+        "check the reference's Airflow quality gates never had",
+)
+def _fk_audit(spark, sf_dir):
+    li, orders, cust, nation = _load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    checks = [
+        ("lineitem->orders",
+         li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        ("orders->customer",
+         orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        ("customer->nation",
+         cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left_anti")),
+    ]
+    parts = [
+        orphans.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+        for name, orphans in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
     "pivot_event_matrix",
     """
     SELECT user_id,
