@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import epoch_micros
+
 __all__ = [
     "equi_join",
     "broadcast_enrich",
@@ -161,9 +163,10 @@ def interval_overlap_join(
     common bucket when intervals overlap — which removes the need for
     a distinct-shuffle afterwards.
 
-    All bucket and predicate arithmetic runs on ``unix_micros``
-    integers (exact, and matching DuckDB's ``epoch_us`` truncation of
-    nanosecond timestamps).  Pick ``bucket_seconds`` at or above the
+    All bucket and predicate arithmetic runs on integer epoch-
+    microseconds (exact, matching DuckDB's ``epoch_us``, and valid for
+    both TIMESTAMP and TIMESTAMP_NTZ range columns in any session
+    timezone).  Pick ``bucket_seconds`` at or above the
     typical interval length: the blow-up factor is
     ``1 + interval/bucket`` per row, and per-bucket population bounds
     the join's worst partition.
@@ -174,8 +177,8 @@ def interval_overlap_join(
     w = int(bucket_seconds) * 1_000_000
 
     def _staged(df: DataFrame, rng: tuple[str, str], s: str, e: str) -> DataFrame:
-        staged = df.withColumn(s, F.unix_micros(F.col(rng[0]))).withColumn(
-            e, F.unix_micros(F.col(rng[1]))
+        staged = df.withColumn(s, epoch_micros(df, rng[0])).withColumn(
+            e, epoch_micros(df, rng[1])
         )
         return staged.withColumn(
             "__bucket",

@@ -2,9 +2,30 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["spread"]
+__all__ = ["spread", "epoch_micros"]
+
+
+def epoch_micros(df: DataFrame, col_name: str) -> Column:
+    """Integer microseconds-since-epoch for a timestamp column — the
+    same number for TIMESTAMP and TIMESTAMP_NTZ inputs, independent of
+    ``spark.sql.session.timeZone``.
+
+    ``unix_micros`` only accepts TIMESTAMP (LTZ); casting NTZ→LTZ first
+    would re-interpret the wall-clock value in the *session* zone, so a
+    consumer running in a non-UTC session would get shifted integers.
+    For NTZ we instead subtract the NTZ epoch literal with
+    ``timestampdiff`` — pure wall-clock arithmetic, no zone anywhere —
+    which also matches DuckDB's ``epoch_us`` on its (naive) TIMESTAMP.
+    """
+    dtype = dict(df.dtypes).get(col_name)
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)"
+        )
+    return F.unix_micros(F.col(col_name))
 
 
 def spread(df: DataFrame, multiple: int = 1) -> DataFrame:

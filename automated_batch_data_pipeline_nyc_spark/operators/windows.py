@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from .util import epoch_micros
+
 __all__ = [
     "ranked",
     "top_k_per_group",
@@ -96,13 +98,14 @@ def rolling_time_window(
     rolling counts/sums, the time-series "hypertable" primitive.
 
     Unlike a ROWS frame, the extent is value-based: ties and gaps in
-    event time are handled exactly.  The frame is declared over
-    ``unix_micros`` so the bound arithmetic is integral (bit-exact
-    cross-engine, no sub-second truncation drift).  One shuffle on the
-    key; within partitions Spark keeps a sliding frame, so cost is
-    O(rows) amortized, not O(rows x frame).
+    event time are handled exactly.  The frame is declared over integer
+    epoch-microseconds so the bound arithmetic is integral (bit-exact
+    cross-engine, no sub-second truncation drift) and works for both
+    TIMESTAMP and TIMESTAMP_NTZ inputs in any session timezone.  One
+    shuffle on the key; within partitions Spark keeps a sliding frame,
+    so cost is O(rows) amortized, not O(rows x frame).
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_micros(df, ts_col)
     spec = (
         Window.partitionBy(*partition_by)
         .orderBy(us)

@@ -10,11 +10,15 @@ Reference operators covered (SURVEY.md §2.1):
 - S1/S15 HTTP/shell ingest   (dags/nyc_taxi_pipeline_dag.py:18-24) — driver
   fetch helper; at scale a URL manifest + foreachPartition fetch.
 
-Nanosecond-timestamp handling: the driver's ``events`` fixture stores
-``TIMESTAMP(NANOS)``, which Spark's Parquet reader rejects.  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` those columns surface as
-LongType ns-since-epoch; ``read_parquet`` converts them back to proper
-timestamps with *integer* division (``div 1000``) — floating-point
+Timestamp-encoding handling: parquet timestamps arrive in two shapes.
+(a) ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` — the current driver
+fixtures — reads natively as TIMESTAMP_NTZ; downstream epoch arithmetic
+goes through ``operators.util.epoch_micros`` so it stays correct in any
+session timezone.  (b) ``TIMESTAMP(NANOS)``, which Spark's reader
+rejects outright: ``read_parquet`` detects it in the footer, sets the
+runtime conf ``spark.sql.legacy.parquet.nanosAsLong=true`` so the
+column surfaces as LongType ns-since-epoch, and converts back to a
+timestamp with *integer* division (``div 1000``) — floating-point
 division would lose precision above 2^53 ns — matching DuckDB's own
 ns -> us truncation, so oracle comparisons line up exactly.
 """

@@ -33,6 +33,13 @@ __all__ = [
 ]
 
 #: Schema must be explicit for streaming file sources (no inference).
+#: ``ts`` stays TIMESTAMP (LTZ) because watermarks reject TIMESTAMP_NTZ
+#: event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Reading the NTZ
+#: parquet fixtures through an LTZ schema keeps the stored wall-clock
+#: micros as epoch micros unshifted, so window arithmetic is exact; a
+#: consumer that needs wall-clock output in a non-UTC session converts
+#: with ``timestampadd(MICROSECOND, unix_micros(col), NTZ epoch)``
+#: (tz-independent), as `suite.streaming_hourly_counts` does.
 EVENTS_STREAM_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType(), True),
     T.StructField("ts", T.TimestampType(), True),

@@ -42,6 +42,7 @@ from .operators import quality as Q
 from .operators import relational as R
 from .operators import similarity as sim
 from .operators import text as tx
+from .operators import util as U
 from .operators import windows as W
 from .operators.cleaning import clean_pipeline
 from .sources import load_tables, read_parquet
@@ -896,8 +897,16 @@ def _stream_hourly(spark, sf_dir):
         q.awaitTermination(300)
     finally:
         q.stop()
+    # The stream reads the NTZ parquet through an LTZ schema (watermark
+    # compatibility), so w.start's *epoch* micros equal the fixture's
+    # wall-clock micros.  Rebuild the NTZ wall clock from that integer —
+    # tz-independent, unlike a bare LTZ collect, which would shift by
+    # the consumer session's zone offset and break the oracle hash.
     return spark.table(name).select(
-        F.col("w.start").alias("hour_start"),
+        F.expr(
+            "timestampadd(MICROSECOND, unix_micros(w.start),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("hour_start"),
         "event_type",
         "n_events",
         "total_value",
@@ -2843,7 +2852,7 @@ def _rollhour(spark, sf_dir):
 
     (events,) = _load(spark, sf_dir, "events")
     base = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-    us = F.unix_micros(F.col("ts"))
+    us = U.epoch_micros(base, "ts")
     spec = (
         Wn.partitionBy("user_id").orderBy(us).rangeBetween(-3_600_000_000, 0)
     )
@@ -3604,7 +3613,7 @@ def _interval_overlap(spark, sf_dir):
             .select(
                 F.col("event_id").alias(id_alias),
                 F.col("ts").alias(s),
-                F.timestamp_micros(F.unix_micros("ts") + ten_min_us).alias(e),
+                (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias(e),
             )
         )
 
