@@ -34,6 +34,8 @@ __all__ = [
     "registered_domain",
     "domain_stats",
     "token_divergence_stats",
+    "normalize_text",
+    "canonical_url",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -480,4 +482,89 @@ def token_divergence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.first("n").cast("bigint").alias("n_tokens"),
         F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
         F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_vs_corpus"),
+    )
+
+
+#: C0/C1 control characters minus \t \n \r (those are whitespace and get
+#: collapsed by the second pass).  Same RE2-compatible class as the
+#: DuckDB oracle uses, so normalization is auditable cross-engine.
+_CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str, out_col: str = "norm_text") -> DataFrame:
+    """Canonicalize raw scraped text: strip control characters, collapse
+    whitespace runs to single spaces, trim, then Unicode-NFC compose —
+    the normalization pass every dedup/fingerprint stage should see, so
+    that ``e`` + COMBINING ACUTE and precomposed ``é`` hash identically.
+
+    The byte-level passes are JVM ``regexp_replace`` (codegen, map-only).
+    Spark has no NFC built-in, so composition runs in an Arrow-batched
+    ``pandas_udf`` over stdlib ``unicodedata`` — the one narrow,
+    closure-pure Python hop; everything before it shrinks the payload.
+    Map-only end to end: no shuffle at any scale.
+    """
+    import pandas as pd  # noqa: F401 - typing context for the UDF
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), _CONTROL_RE, ""), "\\s+", " "
+        )
+    )
+    return df.withColumn(out_col, _nfc(cleaned))
+
+
+#: Query parameters that never affect content identity (tracking tags).
+_TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|fbclid|gclid|ref)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for URL-level dedup (the first-pass
+    dedup key of every web-corpus pipeline): lowercase scheme and host,
+    drop the default port for http/https, strip the fragment, drop
+    trailing slashes from the path, remove tracking query parameters
+    (``utm_*``, ``fbclid``, ``gclid``, ``ref``) and sort the survivors
+    so parameter order doesn't split identical resources.
+
+    Pure RE2-safe regexp + higher-order array ops (filter/sort/join) —
+    codegen'd, map-only, and expressible verbatim in the SQL oracle.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        "/+$",
+        "",
+    )
+    query = F.regexp_extract(nofrag, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
     )

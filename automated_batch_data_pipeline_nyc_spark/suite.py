@@ -3858,6 +3858,120 @@ def _mi(spark, sf_dir):
     return categorical_mutual_information(orders, "o_orderstatus", "o_orderpriority")
 
 
+_NFC_SUFFIX = "\tCafé  beep\x07 ok "
+
+@_q(
+    "text_normalize_nfc",
+    f"""
+    SELECT doc_id,
+      nfc_normalize(trim(regexp_replace(regexp_replace(
+        substring(text, 1, 60) || '{_NFC_SUFFIX}',
+        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+        '\\s+', ' ', 'g'))) AS norm_text
+    FROM documents
+    """,
+    doc="Unicode canonicalization for dedup keys (control-strip, whitespace "
+        "collapse, NFC compose) over text with injected tab / BEL / combining-"
+        "acute sequences so every pass provably fires: byte passes are JVM "
+        "regexp (codegen), NFC is the one Arrow-batched stdlib-unicodedata hop "
+        "(Spark has no NFC built-in); map-only, oracle via nfc_normalize",
+)
+def _nfc_norm(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 60), F.lit(_NFC_SUFFIX)).alias("raw"),
+    )
+    return tx.normalize_text(seeded, "raw", out_col="norm_text").select(
+        "doc_id", "norm_text"
+    )
+
+
+@_q(
+    "url_canonical_dedup",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INTEGER)
+          WHEN 0 THEN 'https://WWW.Example' || CAST((doc_id // 3) % 5 AS VARCHAR)
+            || '.COM:443/page/' || CAST(doc_id // 3 AS VARCHAR)
+            || '/?b=2&utm_source=x&a=1'
+          WHEN 1 THEN 'https://www.example' || CAST((doc_id // 3) % 5 AS VARCHAR)
+            || '.com/page/' || CAST(doc_id // 3 AS VARCHAR)
+            || '?a=1&fbclid=zz&b=2'
+          ELSE 'https://www.example' || CAST((doc_id // 3) % 5 AS VARCHAR)
+            || '.com:443/page/' || CAST(doc_id // 3 AS VARCHAR)
+            || '/?b=2&a=1#frag'
+        END AS raw
+      FROM documents),
+    comp AS (
+      SELECT doc_id, raw,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        regexp_replace(regexp_extract(nofrag,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        regexp_extract(nofrag, '\\?(.*)$', 1) AS q
+      FROM (SELECT *, regexp_replace(raw, '#.*$', '') AS nofrag FROM seeded)),
+    canon AS (
+      SELECT doc_id, raw,
+        scheme || '://'
+        || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END
+        || path
+        || CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canon_url
+      FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z0-9_]*|fbclid|gclid|ref)='))),
+        '&') AS qc FROM comp))
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+      CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canon_url
+    """,
+    doc="URL-level dedup, the first-pass key of every web-corpus pipeline: "
+        "canonicalize (lowercase scheme/host, drop default port, strip "
+        "fragment + trailing slash, remove utm_*/fbclid/gclid/ref params, sort "
+        "survivors) over three injected messy variants per logical URL, then "
+        "group — map-only regexp + array ops feeding one hash agg; the three "
+        "variants provably collapse to one canonical key",
+)
+def _url_canon(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = F.expr("doc_id div 3")
+    k = (base % 5).cast("string")
+    b = base.cast("string")
+    raw = (
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit("https://WWW.Example"), k, F.lit(".COM:443/page/"), b,
+                F.lit("/?b=2&utm_source=x&a=1"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3) == 1,
+            F.concat(
+                F.lit("https://www.example"), k, F.lit(".com/page/"), b,
+                F.lit("?a=1&fbclid=zz&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example"), k, F.lit(".com:443/page/"), b,
+                F.lit("/?b=2&a=1#frag"),
+            )
+        )
+    )
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    return (
+        seeded.withColumn("canon_url", tx.canonical_url("raw"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("raw").alias("n_variants"),
+        )
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

@@ -689,3 +689,43 @@ def test_merge_intervals_islands(spark):
         ("u1", 40, 50, 1),
         ("u2", 0, 30, 2),
     ]
+
+
+# ---------------------------------------------------------------------------
+# text normalization + URL canonicalization
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_composes_and_cleans(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Café  du\tmonde\x07!"),   # decomposed acute + controls + runs
+        (2, "  already clean  "),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "raw"])
+    out = {r.id: r.norm for r in normalize_text(df, "raw", "norm").collect()}
+    assert out[1] == "Café du monde!"      # NFC-composed, one space, no BEL
+    assert out[2] == "already clean"
+    assert out[3] is None
+    assert out[4] == ""
+
+
+def test_canonical_url_collapses_equivalent_forms(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import canonical_url
+
+    variants = [
+        "https://WWW.Site.COM:443/a/b/?z=2&utm_source=x&a=1",
+        "https://www.site.com/a/b?a=1&z=2&fbclid=q",
+        "https://www.site.com/a/b/?z=2&a=1#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["u"])
+    canon = {r[0] for r in df.select(canonical_url("u")).collect()}
+    assert canon == {"https://www.site.com/a/b?a=1&z=2"}
+    # http default port is :80, not :443; non-tracking params survive intact
+    df2 = spark.createDataFrame(
+        [("http://h.com:80/x?ref=tw&keep=1",), ("http://h.com:8080/x?keep=1",)], ["u"]
+    )
+    got = [r[0] for r in df2.select(canonical_url("u")).collect()]
+    assert got == ["http://h.com/x?keep=1", "http://h.com:8080/x?keep=1"]
