@@ -26,6 +26,9 @@ __all__ = [
     "exact_second_moments",
     "group_linear_fit",
     "categorical_mutual_information",
+    "equi_depth_histogram",
+    "hll_partial_sketches",
+    "hll_union_estimate",
 ]
 
 #: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
@@ -192,4 +195,72 @@ def categorical_mutual_information(
         F.when(
             F.least(hx, hy) > 0, F.round(mi / F.least(hx, hy), 6)
         ).alias("nmi"),
+    )
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str, k: int = 10) -> DataFrame:
+    """Equal-frequency histogram: k buckets bounded by the exact
+    (k-1) corpus percentiles — the optimizer's-eye view of a column's
+    distribution (equi-depth beats fixed-width when the data is skewed:
+    every bucket carries ~n/k rows by construction).
+
+    Two corpus passes, both cheap: one aggregation for all cutpoints at
+    once (``percentile`` over an array of fractions — interpolation
+    matches DuckDB ``quantile_cont`` bit-for-bit, see ``clip_outliers``),
+    then the single-row cutpoint array broadcasts back onto the scan and
+    bucket assignment is a map-only array count; one final hash agg.
+    A value equal to a cutpoint goes to the upper bucket (count of cuts
+    <= value) — mirrored exactly in the SQL oracle.  At 100 TB swap
+    ``percentile`` for ``approx_percentile``; the shape is unchanged.
+    """
+    base = df.filter(F.col(value_col).isNotNull())
+    fracs = [i / k for i in range(1, k)]
+    cuts = base.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in fracs])).alias("__cuts")
+    )
+    bucket = F.size(
+        F.filter(F.col("__cuts"), lambda c: c <= F.col(value_col))
+    ).cast("long")
+    return (
+        base.join(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )
+
+
+def hll_partial_sketches(
+    df: DataFrame, keys: Sequence[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HyperLogLog sketches (Apache DataSketches binary state)
+    — the *mergeable* distinct-count primitive.  Materialize these at a
+    fine grain (e.g. per day) and any coarser rollup — per week, per
+    month, all time — is a union over the tiny sketch table, never a
+    rescan of the corpus: the pre-aggregation pattern that makes
+    distinct-count dashboards O(partials) instead of O(100 TB).
+    One shuffle at the fine-grain key; sketch size is ~2^lg_k bytes
+    regardless of input cardinality.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), lgConfigK=lg_k).alias("hll_sketch")
+    )
+
+
+def hll_union_estimate(
+    partials: DataFrame, keys: Sequence[str], sketch_col: str = "hll_sketch"
+) -> DataFrame:
+    """Roll partial HLL sketches up to a coarser key set and estimate:
+    union is register-wise max, so the estimate over unioned partials
+    equals the estimate over one sketch of the full data (order- and
+    partitioning-insensitive; pinned by pytest).  Input is the partials
+    table — dashboard-sized — so this never touches the corpus.
+    """
+    return (
+        partials.groupBy(*keys)
+        .agg(F.hll_union_agg(F.col(sketch_col)).alias("__u"))
+        .withColumn("approx_distinct", F.hll_sketch_estimate("__u"))
+        .drop("__u")
     )

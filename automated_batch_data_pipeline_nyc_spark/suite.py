@@ -3972,6 +3972,52 @@ def _url_canon(spark, sf_dir):
     )
 
 
+@_q(
+    "equi_depth_histogram",
+    """
+    WITH c AS (
+      SELECT quantile_cont(value,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+      FROM events WHERE value IS NOT NULL)
+    SELECT CAST(len(list_filter(c.cuts, x -> x <= e.value)) AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(e.value) AS lo, MAX(e.value) AS hi
+    FROM events e, c WHERE e.value IS NOT NULL
+    GROUP BY bucket
+    """,
+    doc="equal-frequency histogram (8 buckets bounded by exact corpus "
+        "percentiles — the skew-proof distribution view): one agg computes all "
+        "cutpoints at once (percentile==quantile_cont bit-for-bit), the single-"
+        "row cut array broadcasts onto the scan, bucket id is a map-only array "
+        "count, one final hash agg; swap approx_percentile at 100 TB",
+)
+def _equi_depth(spark, sf_dir):
+    from .operators.stats import equi_depth_histogram
+
+    (events,) = _load(spark, sf_dir, "events")
+    return equi_depth_histogram(events, "value", k=8)
+
+
+@_q(
+    "hll_mergeable_rollup",
+    None,
+    doc="mergeable distinct-count rollup: per-(event_type, day) DataSketches "
+        "HLL partials (one corpus shuffle, sketches are ~2^lg_k bytes each), "
+        "then per-type union + estimate over the dashboard-sized partials "
+        "table — coarser rollups never rescan the corpus; estimates are "
+        "sketch-engine-specific (rows-only), union==direct pinned by pytest",
+)
+def _hll_rollup(spark, sf_dir):
+    from .operators.stats import hll_partial_sketches, hll_union_estimate
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id").isNotNull())
+    partials = hll_partial_sketches(
+        base.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    return hll_union_estimate(partials, ["event_type"])
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

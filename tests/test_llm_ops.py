@@ -729,3 +729,50 @@ def test_canonical_url_collapses_equivalent_forms(spark):
     )
     got = [r[0] for r in df2.select(canonical_url("u")).collect()]
     assert got == ["http://h.com/x?keep=1", "http://h.com:8080/x?keep=1"]
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram + mergeable HLL sketches
+# ---------------------------------------------------------------------------
+
+def test_equi_depth_histogram_equal_buckets(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import equi_depth_histogram
+
+    # 0..999 distinct values, k=10: interpolated cuts are non-integral, so
+    # no tie ambiguity — every bucket holds exactly 100 rows, contiguous.
+    df = spark.range(1000).selectExpr("cast(id as double) as v")
+    rows = {r.bucket: r for r in equi_depth_histogram(df, "v", k=10).collect()}
+    assert sorted(rows) == list(range(10))
+    assert all(rows[b].n == 100 for b in rows)
+    assert rows[0].lo == 0.0 and rows[9].hi == 999.0
+    # buckets partition the range: each lo follows the previous hi
+    for b in range(1, 10):
+        assert rows[b].lo > rows[b - 1].hi
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        hll_partial_sketches,
+        hll_union_estimate,
+    )
+
+    df = spark.range(20000).selectExpr(
+        "id % 4 as g", "id % 13 as day", "id % 3000 as u"
+    )
+    # union of fine-grain partials == one sketch over the whole group
+    # (HLL union is register-wise max: order- and partition-insensitive)
+    via_partials = {
+        r.g: r.approx_distinct
+        for r in hll_union_estimate(
+            hll_partial_sketches(df, ["g", "day"], "u"), ["g"]
+        ).collect()
+    }
+    direct = {
+        r.g: r.approx_distinct
+        for r in hll_union_estimate(hll_partial_sketches(df, ["g"], "u"), ["g"]).collect()
+    }
+    assert via_partials == direct
+    # and the estimate lands near the exact cardinality: 4 | 3000, so
+    # u = id % 3000 preserves id % 4 — each g sees exactly 750 distinct u
+    for g, est in via_partials.items():
+        assert abs(est - 750) / 750 < 0.05
