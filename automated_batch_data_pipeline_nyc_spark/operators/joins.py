@@ -31,6 +31,8 @@ __all__ = [
     "range_join",
     "asof_join",
     "interval_overlap_join",
+    "null_safe_join",
+    "edit_distance_pairs",
 ]
 
 
@@ -193,3 +195,76 @@ def interval_overlap_join(
         F.col("__bucket") == F.greatest(F.expr(f"__ls div {w}"), F.expr(f"__rs div {w}"))
     )
     return j.drop("__ls", "__le", "__rs", "__re", "__bucket")
+
+
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join under null-safe equality (SQL ``IS NOT DISTINCT FROM``,
+    Spark ``<=>``): NULL keys match NULL keys instead of silently
+    dropping, so an enrichment against a keyed aggregate keeps its
+    NULL-key group — the "unattributed" bucket every funnel/attribution
+    report needs.
+
+    Still a hash-partitionable equi-join (``<=>`` is a deterministic
+    equality, so it shuffles on the key like ``=``).  Caveat at scale:
+    null-safe equality makes NULL a *join key value* — if both sides
+    hold many NULL rows the NULL partition is a hot key doing an m×n
+    blow-up, exactly like any skewed key (AQE skew-split or pre-salt
+    applies).  The aggregate-enrichment shape used here keeps one side
+    at a single NULL row, so the blow-up never materializes.
+    """
+    cond = None
+    for k in on:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    out = left.join(right, on=cond, how=how)
+    # drop the right-side duplicates of the join keys (mirrors `on=names`)
+    for k in on:
+        out = out.drop(right[k])
+    return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 5,
+    prefix_len: int = 4,
+    compare_len: int = 32,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over short strings (titles,
+    headings, product names): pairs whose first-``compare_len``
+    characters are within ``max_distance`` Levenshtein edits.
+
+    Blocking: candidates must share their lowercased
+    first-``prefix_len`` characters, so the self-join is an equi-join
+    on the prefix block — shuffle-partitionable, worst partition
+    bounded by the hottest block, never a corpus cartesian.  Like any
+    blocked near-dup pass (LSH bands, SimHash chunks) this trades
+    recall for scale: pairs that diverge inside the first
+    ``prefix_len`` characters are not candidates (a lossless
+    alternative is the PPJoin prefix filter in ``operators/dedup``).
+    Levenshtein runs JVM-side only on in-block candidates; each pair
+    emits once (``id_a < id_b``).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.substring(F.col(text_col), 1, compare_len)).alias("s"),
+    ).withColumn("block", F.substring("s", 1, prefix_len))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"), "block"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("edit_dist") <= max_distance)
+        .select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+    )

@@ -4018,6 +4018,64 @@ def _hll_rollup(spark, sf_dir):
     return hll_union_estimate(partials, ["event_type"])
 
 
+@_q(
+    "null_safe_enrich",
+    """
+    WITH e AS (
+      SELECT event_id,
+        CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS user_id
+      FROM events),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+      FROM e GROUP BY user_id)
+    SELECT e.event_id, e.user_id, a.user_events
+    FROM e JOIN a ON e.user_id IS NOT DISTINCT FROM a.user_id
+    """,
+    doc="null-safe equi-join (<=> / IS NOT DISTINCT FROM): enrich events with "
+        "per-user counts WITHOUT dropping NULL-user rows (every 10th event is "
+        "anonymized so the semantic provably fires) — NULLs match the "
+        "aggregate's single NULL-key row, the 'unattributed' bucket every "
+        "attribution report needs; still a hash-partitioned equi-join, and "
+        "the aggregate side holds exactly one NULL row so no hot-key blow-up",
+)
+def _null_safe(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 != 0, F.col("user_id")).alias("user_id"),
+    )
+    agg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    return J.null_safe_join(e, agg, ["user_id"]).select(
+        "event_id", "user_id", "user_events"
+    )
+
+
+@_q(
+    "edit_distance_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(substring(text, 1, 32)) AS s,
+        lower(substring(text, 1, 4)) AS block
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 5
+    """,
+    doc="edit-distance near-dup pairs over 32-char document heads: candidates "
+        "must share a lowercased 4-char prefix block, so the self-join is a "
+        "shuffle-partitionable equi-join on the block (never a corpus "
+        "cartesian); JVM levenshtein runs only on in-block candidates; "
+        "recall-bounded like any blocked near-dup pass (divergence inside the "
+        "prefix is missed — the lossless alternative is the PPJoin stack)",
+)
+def _edit_pairs(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return J.edit_distance_pairs(
+        docs, "doc_id", "text", max_distance=5, prefix_len=4, compare_len=32
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================

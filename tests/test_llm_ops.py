@@ -776,3 +776,45 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
     # u = id % 3000 preserves id % 4 — each g sees exactly 750 distinct u
     for g, est in via_partials.items():
         assert abs(est - 750) / 750 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# null-safe join + edit-distance pairs
+# ---------------------------------------------------------------------------
+
+def test_null_safe_join_matches_null_keys(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.joins import null_safe_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], ["id", "k"]
+    )
+    right = spark.createDataFrame(
+        [("a", 10), (None, 99)], ["k", "v"]
+    )
+    got = {r.id: r.v for r in null_safe_join(left, right, ["k"]).collect()}
+    # NULL keys match the NULL row instead of dropping; 'b' has no match
+    assert got == {1: 10, 2: 99, 4: 99}
+    outer = {r.id: r.v for r in null_safe_join(left, right, ["k"], how="left").collect()}
+    assert outer[3] is None and len(outer) == 4
+
+
+def test_edit_distance_pairs_blocking_and_threshold(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.joins import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox"),
+            (2, "The quick brown fix"),   # 1 edit from doc 1, same block
+            (3, "The quack brown fox"),   # 1 edit from doc 1, same block
+            (4, "A totally different"),   # other block
+            (5, "The zzzzzzzzzzzzzzz"),   # same block, far away
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_pairs(docs, "doc_id", "text", max_distance=3).collect()
+    }
+    assert rows[(1, 2)] == 1 and rows[(1, 3)] == 1 and rows[(2, 3)] == 2
+    assert all(a < b for a, b in rows)          # each pair emitted once
+    assert not any(4 in p or 5 in p for p in rows)  # blocked out / over threshold
