@@ -4076,6 +4076,52 @@ def _edit_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "clean_pipeline_dirty",
+    """
+    WITH dirty AS (
+      SELECT event_id, ts,
+        CASE WHEN event_id % 23 = 0 THEN NULL ELSE user_id END AS user_id,
+        event_type,
+        CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        props
+      FROM events
+      UNION ALL
+      SELECT event_id, ts,
+        CASE WHEN event_id % 23 = 0 THEN NULL ELSE user_id END AS user_id,
+        event_type,
+        CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        props
+      FROM events WHERE event_id % 50 = 0)
+    SELECT t.*, CAST(month(t.ts) AS BIGINT) AS event_month
+    FROM (
+      SELECT DISTINCT * FROM dirty
+      WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+    ) t
+    """,
+    doc="the reference cleaning pipeline on PROVABLY dirty input: the driver "
+        "fixtures are null-free and duplicate-free, so `clean_pipeline` alone "
+        "no longer exercises dropna/dropDuplicates — this variant anonymizes "
+        "every 23rd user and 17th value and re-appends every 50th row before "
+        "cleaning, so both passes demonstrably remove rows (plan unchanged: "
+        "narrow dropna, one all-column dedup shuffle, derived month)",
+)
+def _clean_dirty(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    dirtied = events.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 23 != 0, F.col("user_id")).alias("user_id"),
+        "event_type",
+        F.when(F.col("event_id") % 17 != 0, F.col("value")).alias("value"),
+        "props",
+    )
+    dirty = dirtied.unionAll(dirtied.filter(F.col("event_id") % 50 == 0))
+    out = clean_pipeline(dirty, ts_col="ts", month_col="event_month")
+    return out.withColumn("event_month", F.col("event_month").cast("long"))
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
