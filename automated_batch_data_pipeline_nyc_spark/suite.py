@@ -133,12 +133,27 @@ def _filter_eq(spark, sf_dir):
 
 @_q(
     "filter_null_disjunction",
-    "SELECT event_id, event_type FROM events WHERE value IS NULL OR props IS NULL",
-    doc="P5 disjunctive null predicate (dags/nyc_taxi_pipeline_dag.py:195-198)",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+        CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 29 = 0 THEN NULL ELSE props END AS props
+      FROM events)
+    WHERE value IS NULL OR props IS NULL
+    """,
+    doc="P5 disjunctive null predicate (dags/nyc_taxi_pipeline_dag.py:195-198); "
+        "the fixtures are null-free, so every 17th value / 29th props is "
+        "anonymized first — the predicate provably selects rows",
 )
 def _filter_null(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
-    return events.filter(F.col("value").isNull() | F.col("props").isNull()).select(
+    dirty = events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 29 != 0, F.col("props")).alias("props"),
+    )
+    return dirty.filter(F.col("value").isNull() | F.col("props").isNull()).select(
         "event_id", "event_type"
     )
 
@@ -323,13 +338,30 @@ def _fcount(spark, sf_dir):
       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
-    FROM events
+    FROM (
+      SELECT event_id, ts,
+        CASE WHEN event_id % 23 = 0 THEN NULL ELSE user_id END AS user_id,
+        event_type,
+        CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 29 = 0 THEN NULL ELSE props END AS props
+      FROM events)
     """,
-    doc="A3 null-count matrix in one pass (dags/nyc_taxi_pipeline_dag.py:95-96)",
+    doc="A3 null-count matrix in one pass (dags/nyc_taxi_pipeline_dag.py:95-96); "
+        "fixtures are null-free, so user_id/value/props are anonymized on a "
+        "23/17/29 cadence first — three columns provably count nonzero while "
+        "the untouched columns prove the zero path",
 )
 def _nulls(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
-    return Q.null_matrix(events)
+    dirty = events.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 23 != 0, F.col("user_id")).alias("user_id"),
+        "event_type",
+        F.when(F.col("event_id") % 17 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 29 != 0, F.col("props")).alias("props"),
+    )
+    return Q.null_matrix(dirty)
 
 
 @_q(
@@ -2275,15 +2307,26 @@ def _unpivot(spark, sf_dir):
     """
     SELECT event_id, coalesce(value, 0.0) AS value_filled,
       coalesce(props, '{}') AS props_filled
-    FROM events
+    FROM (
+      SELECT event_id,
+        CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 29 = 0 THEN NULL ELSE props END AS props
+      FROM events)
     """,
-    doc="null repair: fillna with typed defaults (complement of P1 dropna)",
+    doc="null repair: fillna with typed defaults (complement of P1 dropna); "
+        "fixtures are null-free, so every 17th value / 29th props is "
+        "anonymized first — the fill provably replaces",
 )
 def _fillna(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
-    return events.select("event_id", "value", "props").na.fill(
-        {"value": 0.0, "props": "{}"}
-    ).withColumnsRenamed({"value": "value_filled", "props": "props_filled"})
+    dirty = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 17 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 29 != 0, F.col("props")).alias("props"),
+    )
+    return dirty.na.fill({"value": 0.0, "props": "{}"}).withColumnsRenamed(
+        {"value": "value_filled", "props": "props_filled"}
+    )
 
 
 @_q(
