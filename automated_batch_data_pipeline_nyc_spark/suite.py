@@ -1316,17 +1316,30 @@ def _fp(spark, sf_dir):
 @_q(
     "dedup_exact",
     """
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id % 20 = 0)
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-      FROM documents
+      FROM corpus
     ) WHERE rn = 1
     """,
-    doc="exact content dedup, deterministic survivor (hash-groupBy)",
+    doc="exact content dedup, deterministic survivor (hash-groupBy); the "
+        "fixtures carry no byte-exact duplicates, so every 20th doc is "
+        "re-appended under a new id first — the dedup provably collapses the "
+        "re-posts and survivor selection (lowest id wins) provably fires",
 )
 def _dexact(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    return dd.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+    base = docs.select("doc_id", "text", "lang", "source")
+    reposts = base.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = base.unionAll(reposts)
+    return dd.exact_dedup(corpus, "text", "doc_id").select("doc_id", "lang", "source")
 
 
 @_q(
