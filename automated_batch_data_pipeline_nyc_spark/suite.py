@@ -4178,6 +4178,76 @@ def _clean_dirty(spark, sf_dir):
     return out.withColumn("event_month", F.col("event_month").cast("long"))
 
 
+@_q(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_total,
+        CAST(COUNT(*) AS BIGINT) AS qty_n
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      AS below_avg_revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 2 * pa.qty_n < pa.qty_total
+    """,
+    doc="TPC-H Q17 shape (correlated scalar subquery): revenue from line items "
+        "below half their part's average quantity — written as the decorrelated "
+        "form Catalyst would produce (per-part aggregate joined back on the "
+        "part key), so the corpus shuffles once on l_partkey for the aggregate "
+        "and once for the join, both combinable/AQE-coalesced.  The "
+        "qty < 0.5·avg predicate is cross-multiplied to 2·qty·n < Σqty over "
+        "exact DECIMAL sums: no float division, so boundary rows cannot flip "
+        "with summation order at any scale; DECIMAL revenue for bit-exact "
+        "oracle parity",
+)
+def _q17_small(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(D2)).alias("qty_total"),
+        F.count(F.lit(1)).alias("qty_n"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast(D2) * 2 * F.col("qty_n") < F.col("qty_total")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(D2))
+            .cast("double")
+            .alias("below_avg_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@_q(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape (outer-join count distribution): orders per customer "
+        "INCLUDING zero-order customers (LEFT JOIN + COUNT(col) skips NULLs, "
+        "so empty groups survive as n_orders=0), then the histogram of those "
+        "counts — double aggregation where the second input is only "
+        "customer-cardinality; first shuffle on the join key, second on the "
+        "tiny count domain",
+)
+def _q13_dist(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
