@@ -174,3 +174,47 @@ def test_jaccard_prefix_candidates_stay_equi_join(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_pairs_is_blocked_equi_join(spark):
+    plan = _plan(spark, "edit_distance_pairs")
+    # the prefix block must make the self-join an equi-join: a raw
+    # levenshtein theta-join would plan as a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_null_safe_join_stays_hash_partitioned(spark):
+    plan = _plan(spark, "null_safe_enrich")
+    # <=> is a deterministic equality: it must hash-join on the key,
+    # never degrade to a nested loop over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equi_depth_histogram_broadcasts_single_row_cuts(spark):
+    plan = _plan(spark, "equi_depth_histogram")
+    # the only join is the 1-row cutpoint array re-attached to the scan:
+    # a broadcast of one row, not an exchange of the corpus
+    assert plan.count("BroadcastExchange") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_normalize_text_single_arrow_stage_pruned_scan(spark):
+    plan = _plan(spark, "text_normalize_nfc")
+    # one Arrow hop for NFC, nothing else leaves the JVM; scan reads
+    # only the two referenced columns
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan, "normalization must be map-only"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_url_canonical_dedup_map_plus_agg_exchanges(spark):
+    plan = _plan(spark, "url_canonical_dedup")
+    # canonicalization is pure projection (no Python); the exchanges are
+    # exactly the two-phase COUNT(DISTINCT raw) pattern — partial agg on
+    # (canon_url, raw), then final on canon_url — never a corpus join
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
