@@ -4249,6 +4249,49 @@ def _q13_dist(spark, sf_dir):
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
 
 
+@_q(
+    "sliding_window_counts",
+    f"""
+    SELECT ws AS window_start, ws + INTERVAL 30 MINUTE + INTERVAL 30 MINUTE
+        AS window_end,
+      event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      {SQL_SUM.format(col='value')} AS total_value
+    FROM (
+      SELECT event_type, value,
+        unnest([time_bucket(INTERVAL '30 minutes', ts),
+                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+          AS ws
+      FROM events WHERE ts IS NOT NULL)
+    GROUP BY ws, event_type
+    """,
+    doc="hopping (sliding) 1-hour windows with a 30-minute slide, batch form "
+        "of streaming window(ts, '1 hour', '30 minutes'): Spark fans each row "
+        "into duration/slide = 2 windows before one hash agg (map-side "
+        "combine bounds the exchange by windows x types); the oracle derives "
+        "the same two epoch-aligned starts per row via time_bucket; DECIMAL "
+        "money sums keep the hash bit-exact",
+)
+def _sliding(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
