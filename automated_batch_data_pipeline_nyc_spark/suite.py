@@ -4292,6 +4292,76 @@ def _sliding(spark, sf_dir):
     )
 
 
+@_q(
+    "grouped_mode",
+    """
+    SELECT event_type, mode_value, CAST(n AS BIGINT) AS n FROM (
+      SELECT event_type, user_id AS mode_value, COUNT(*) AS n,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY COUNT(*) DESC, user_id ASC) AS rn
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id)
+    WHERE rn = 1
+    """,
+    doc="deterministic per-group mode (most frequent user per event type, "
+        "ties broken by smallest value — unlike SQL mode(), which is "
+        "tie-nondeterministic): one combinable count shuffle to (group, "
+        "value) cells, then WindowGroupLimit rn=1 over the cell frame — the "
+        "categorical-imputation primitive, corpus never sorted",
+)
+def _gmode(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    cells = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Wn.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type"), F.col("user_id").alias("mode_value"), "n")
+    )
+
+
+@_q(
+    "robust_spread",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL)
+    SELECT event_type, CAST(round(MIN(med), 6) AS DOUBLE) AS median_value,
+      CAST(round(quantile_cont(adev, 0.5), 6) AS DOUBLE) AS mad
+    FROM dev GROUP BY event_type
+    """,
+    doc="robust spread per group: median + MAD (median absolute deviation) — "
+        "the outlier-resistant partner to clip_outliers for heavy-tailed "
+        "value columns; two exact-percentile corpus aggregations with the "
+        "tiny per-group median broadcast back between them (percentile == "
+        "quantile_cont bit-for-bit; 6dp absorbs the subtraction's last-ulp "
+        "sensitivity to double rounding)",
+)
+def _mad(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull())
+    med = base.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("median_value"),
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
