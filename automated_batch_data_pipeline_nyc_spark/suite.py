@@ -4362,6 +4362,39 @@ def _mad(spark, sf_dir):
     )
 
 
+@_q(
+    "first_event_per_user",
+    """
+    SELECT user_id, ts AS first_ts, event_id AS first_event_id,
+      event_type AS first_event_type
+    FROM (
+      SELECT user_id, ts, event_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL)
+    WHERE rn = 1
+    """,
+    doc="argmin as an AGGREGATE, not a window: the earliest event per user "
+        "computed as min(struct(ts, event_id, event_type)) — lexicographic "
+        "struct ordering gives a deterministic tiebreak on event_id, and the "
+        "partial min combines map-side, so the exchange carries one struct "
+        "per (partition, user) instead of sorting each user's history; the "
+        "oracle states the same thing as the rn=1 window form",
+)
+def _first_event(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    m = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("m"))
+    )
+    return m.select(
+        "user_id",
+        F.col("m.ts").alias("first_ts"),
+        F.col("m.event_id").alias("first_event_id"),
+        F.col("m.event_type").alias("first_event_type"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
