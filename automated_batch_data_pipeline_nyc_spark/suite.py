@@ -4395,6 +4395,34 @@ def _first_event(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_group_mean",
+    """
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        unnest(embedding) AS v
+      FROM embeddings)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+      CAST(round(avg(CAST(v AS DOUBLE)), 6) AS DOUBLE) AS mean_v
+    FROM exploded GROUP BY label, pos
+    """,
+    doc="exact per-label mean embedding (the per-domain/cluster centroid used "
+        "for drift detection and diversity audits — exact, unlike the KMeans "
+        "rows-only path), in long (label, dim-position, mean) form so every "
+        "output cell is scalar-hashable: posexplode to (label, pos) cells, "
+        "one combinable avg shuffle bounded by labels x dim — never by corpus "
+        "size; 6dp rounding absorbs float-summation order across engines",
+)
+def _emb_mean(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "mean_v")
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
