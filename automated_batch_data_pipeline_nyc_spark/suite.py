@@ -4423,6 +4423,57 @@ def _emb_mean(spark, sf_dir):
     )
 
 
+@_q(
+    "cross_source_contamination",
+    """
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      -- cross-posts: every 7th doc republished under the next source id
+      -- (7 is coprime to the 20-source cycle, so every source pair fires)
+      SELECT 'src' || CAST((CAST(substring(source, 4) AS BIGINT) + 1) % 20
+        AS VARCHAR) AS source, text
+      FROM documents WHERE doc_id % 7 = 0),
+    fp AS (
+      SELECT DISTINCT source, md5(text) AS fp FROM corpus)
+    SELECT a.source AS source_a, b.source AS source_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="cross-source contamination matrix — the train/test leakage audit: "
+        "which pairs of sources share identical content fingerprints (every "
+        "7th doc is republished under the neighboring source — 7 is coprime "
+        "to the 20-source cycle, so every neighbor pair provably overlaps).  The corpus collapses to DISTINCT (source, md5) "
+        "once — everything after runs on that fingerprint frame, so the "
+        "pair join is fingerprint-cardinality, never corpus-cardinality, and "
+        "a fp shared by k sources costs k(k-1)/2 pairs, not a corpus scan",
+)
+def _contamination(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = docs.select("source", "text")
+    crossposts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("src"),
+            ((F.substring("source", 4, 10).cast("bigint") + 1) % 20).cast("string"),
+        ).alias("source"),
+        "text",
+    )
+    fp = (
+        base.unionAll(crossposts)
+        .select("source", F.md5("text").alias("fp"))
+        .distinct()
+    )
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
