@@ -4474,6 +4474,74 @@ def _contamination(spark, sf_dir):
     )
 
 
+@_q(
+    "rolling_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    contrib AS (
+      SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        INTERVAL 1 DAY)) AS DATE) AS window_day, user_id
+      FROM ud)
+    SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
+    FROM contrib GROUP BY window_day
+    """,
+    doc="trailing 7-day distinct users per day (the DAU/WAU dashboard "
+        "primitive) — exact sliding-window COUNT DISTINCT without re-scanning "
+        "7 days per output row: the corpus collapses once to DISTINCT "
+        "(user, day), each such pair fans out to the 7 window-end days it "
+        "contributes to, and the count-distinct runs on that bounded frame "
+        "(7 x users x active-days, never corpus events); window ends beyond "
+        "the data's last day keep their partial trailing value",
+)
+def _rolling_dau(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    ud = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = ud.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("window_day"),
+        "user_id",
+    )
+    return contrib.groupBy(
+        F.date_format("window_day", "yyyy-MM-dd").alias("window_day")
+    ).agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+
+
+@_q(
+    "topk_with_ties_per_nation",
+    """
+    SELECT n_name, c_custkey, c_acctbal FROM (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal,
+        rank() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC) AS rk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    WHERE rk <= 3
+    """,
+    doc="per-nation top-3 account balances WITH ties (rank(), not "
+        "row_number(): equal balances at the cut all survive, so the result "
+        "is deterministic without a tiebreak column) — broadcast dim join "
+        "then per-group window, WindowGroupLimit prunes each group to its "
+        "top ranks before the full sort",
+)
+def _topk_ties(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    cust, nation = _load(spark, sf_dir, "customer", "nation")
+    j = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    w = Wn.partitionBy("n_name").orderBy(F.desc("c_acctbal"))
+    return (
+        j.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal")
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
