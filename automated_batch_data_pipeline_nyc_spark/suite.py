@@ -4542,6 +4542,81 @@ def _topk_ties(spark, sf_dir):
     )
 
 
+@_q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    SELECT prev_type, event_type AS next_type,
+      CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    doc="event-type transition matrix (the empirical Markov view of user "
+        "journeys — funnel-leak and bot-pattern audit): lag over (user, "
+        "event-time) with a deterministic event_id tiebreak, then one "
+        "combinable count shuffle to the types x types frame; the window "
+        "shuffles each user's history once, the aggregate output is "
+        "dashboard-sized at any scale",
+)
+def _transitions(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = Wn.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("prev_type", F.lag("event_type").over(w))
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@_q(
+    "revenue_share_of_total",
+    """
+    WITH per_nation AS (
+      SELECT n.n_name,
+        SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+      CAST(round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+        AS DOUBLE) AS share
+    FROM per_nation
+    """,
+    doc="percent-of-total decomposition (the BI share-of-wallet shape): "
+        "corpus aggregates to exact DECIMAL revenue per nation first, the "
+        "unpartitioned total-sum window runs over the 25-row nation frame — "
+        "never the corpus — and the single-task global window is harmless at "
+        "that cardinality; 6dp on the ratio absorbs the one double division",
+)
+def _rev_share(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    cust, orders, nation = _load(spark, sf_dir, "customer", "orders", "nation")
+    per_nation = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(D2)).alias("rev"))
+    )
+    total = F.sum("rev").over(Wn.partitionBy())
+    return per_nation.select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
