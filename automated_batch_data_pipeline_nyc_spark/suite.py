@@ -4617,6 +4617,65 @@ def _rev_share(spark, sf_dir):
     )
 
 
+@_q(
+    "split_leakproof_by_content",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0),
+    labeled AS (
+      SELECT doc_id, md5(text) AS fp,
+        CASE WHEN {_SQL_BUCKET.format(key="md5(text)")} < 2000
+             THEN 'test' ELSE 'train' END AS split
+      FROM corpus),
+    straddle AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS straddling_fps FROM (
+        SELECT fp FROM labeled GROUP BY fp
+        HAVING COUNT(DISTINCT split) > 1))
+    SELECT l.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT l.fp) AS BIGINT) AS n_contents,
+      s.straddling_fps
+    FROM labeled l CROSS JOIN straddle s
+    GROUP BY l.split, s.straddling_fps
+    """,
+    doc="leakage-proof train/test split: membership is a function of the "
+        "CONTENT fingerprint, not the doc id, so byte-identical documents "
+        "(the injected reposts) can never land on both sides of the split — "
+        "the query emits the straddle count (0 by construction) alongside "
+        "the per-split doc/content tallies; fingerprint + bucket are map-"
+        "only, the tallies one combinable shuffle, the straddle check runs "
+        "on the fingerprint frame",
+)
+def _leakproof(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    corpus = base.unionAll(
+        base.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    labeled = sa.train_test_split(
+        corpus.withColumn("fp", F.md5("text")), "fp", test_fraction=0.2
+    )
+    straddle = (
+        labeled.groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("straddling_fps"))
+    )
+    return (
+        labeled.crossJoin(F.broadcast(straddle))
+        .groupBy("split", "straddling_fps")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_contents"),
+        )
+        .select("split", "n_docs", "n_contents", "straddling_fps")
+    )
+
+
 # ===========================================================================
 # public accessors (driver contract)
 # ===========================================================================
