@@ -5,6 +5,15 @@ sf0.001; ``queries()``/``oracle_sql()`` expose the full declared suite
 (automated_batch_data_pipeline_nyc_spark.suite) — one entry per operator from SURVEY.md §2 plus the
 LLM-pipeline additions, each with a DuckDB oracle where the semantics
 are SQL-expressible.
+
+IMPORTANT — 50-slot verification window: the driver hash-verifies only
+the FIRST 50 entries of ``queries()`` per round, in iteration order.
+That order is therefore set EXPLICITLY by ``suite.DRIVER_WINDOW`` (the
+round's verification budget) followed by the never-verified queue and
+then previously-green queries; registering a new query does NOT put it
+in the window — add it to ``DRIVER_WINDOW`` (evicting something
+deliberately) or to ``_NEXT_WINDOW_QUEUE``.  tests/test_suite_contract.py
+pins the window so accidental evictions fail CI.
 """
 
 from __future__ import annotations

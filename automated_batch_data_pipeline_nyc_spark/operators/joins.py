@@ -222,9 +222,23 @@ def null_safe_join(
         c = left[k].eqNullSafe(right[k])
         cond = c if cond is None else cond & c
     out = left.join(right, on=cond, how=how)
-    # drop the right-side duplicates of the join keys (mirrors `on=names`)
+    # Mirror `on=names` key handling: one output key column per name.
+    # For outer joins the kept key must be coalesce(left, right) — a
+    # right-only row has NULL on the left side, and dropping the right
+    # key would lose its key value.  Caveat: under null-safe equality a
+    # genuine NULL key that matched NULL is indistinguishable from
+    # "unmatched" in the coalesced column; callers needing that
+    # distinction should join without dropping and inspect both sides.
+    outer = how.replace("_", "").lower() in {
+        "full", "fullouter", "outer", "right", "rightouter"
+    }
     for k in on:
-        out = out.drop(right[k])
+        if outer:
+            out = out.withColumn(f"__nsj_{k}", F.coalesce(left[k], right[k]))
+            out = out.drop(left[k]).drop(right[k])
+            out = out.withColumnRenamed(f"__nsj_{k}", k)
+        else:
+            out = out.drop(right[k])
     return out
 
 

@@ -21,9 +21,19 @@ def epoch_micros(df: DataFrame, col_name: str) -> Column:
     which also matches DuckDB's ``epoch_us`` on its (naive) TIMESTAMP.
     """
     dtype = dict(df.dtypes).get(col_name)
+    if dtype is None:
+        raise ValueError(
+            f"epoch_micros: column {col_name!r} not found in "
+            f"[{', '.join(c for c, _ in df.dtypes)}]"
+        )
     if dtype == "timestamp_ntz":
         return F.expr(
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)"
+        )
+    if dtype != "timestamp":
+        raise ValueError(
+            f"epoch_micros: column {col_name!r} is {dtype}, expected "
+            "timestamp or timestamp_ntz (cast dates/strings explicitly first)"
         )
     return F.unix_micros(F.col(col_name))
 
@@ -41,6 +51,9 @@ def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
+    # NOTE: df.rdd.getNumPartitions() forces plan analysis + physical
+    # planning for `df` — cheap once per query, NOT cheap inside a loop.
+    # Keep spread() at pipeline boundaries, never per-iteration.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

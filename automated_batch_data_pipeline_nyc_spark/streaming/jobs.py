@@ -86,6 +86,7 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
+    as_micros: bool = False,
 ) -> DataFrame:
     """Custom stateful operator: gap-based sessionization over
     ``applyInPandasWithState`` — the streaming twin of
@@ -97,21 +98,38 @@ def sessionize_stream(
     store — batch comparison must exclude per-user last sessions).
     State is bounded by active users, not history; at scale add an
     event-time timeout to flush idle users.
+
+    ``as_micros=True`` is the tz-proof path: the event time is reduced
+    to integer epoch micros JVM-side (``unix_micros``) BEFORE the
+    Arrow hop, and sessions come back as ``session_start_us`` /
+    ``session_end_us`` longs.  The default timestamp path round-trips
+    through pandas naive datetimes, which Spark anchors to
+    ``spark.sql.session.timeZone`` — fine inside one session, shifted
+    when a UTC-written fixture is read by a non-UTC consumer.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = T.StructType([
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("session_start", T.TimestampType(), False),
-        T.StructField("session_end", T.TimestampType(), False),
-        T.StructField("n_events", T.LongType(), False),
-    ])
+    if as_micros:
+        out_schema = T.StructType([
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("session_start_us", T.LongType(), False),
+            T.StructField("session_end_us", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ])
+    else:
+        out_schema = T.StructType([
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("session_start", T.TimestampType(), False),
+            T.StructField("session_end", T.TimestampType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ])
     state_schema = T.StructType([
         T.StructField("start_us", T.LongType(), False),
         T.StructField("last_us", T.LongType(), False),
         T.StructField("n", T.LongType(), False),
     ])
     gap_us = gap_s * 1_000_000
+    emit_micros = as_micros
 
     # closure-pure kernel: stdlib + pandas only (workers import nothing
     # from this package)
@@ -119,9 +137,13 @@ def sessionize_stream(
         import pandas as _pd
 
         rows = _pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        # Arrow hands timestamps to pandas as datetime64[ns]; normalize
-        # to us before integer math so epoch arithmetic is unit-stable.
-        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        if emit_micros:
+            ts_us = rows["ts"].astype("int64")  # already epoch micros
+        else:
+            # Arrow hands timestamps to pandas as datetime64[ns];
+            # normalize to us before integer math so epoch arithmetic
+            # is unit-stable.
+            ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -138,16 +160,30 @@ def sessionize_stream(
                 last_us, n = t, n + 1
         state.update((start_us, last_us, n))
         if closed:
-            out = _pd.DataFrame(
-                closed, columns=["user_id", "session_start", "session_end", "n_events"]
-            )
-            out["session_start"] = _pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = _pd.to_datetime(out["session_end"], unit="us")
-            yield out
+            if emit_micros:
+                cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+                yield _pd.DataFrame(closed, columns=cols)
+            else:
+                out = _pd.DataFrame(
+                    closed,
+                    columns=["user_id", "session_start", "session_end", "n_events"],
+                )
+                out["session_start"] = _pd.to_datetime(out["session_start"], unit="us")
+                out["session_end"] = _pd.to_datetime(out["session_end"], unit="us")
+                yield out
 
     clean = stream.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+    )
+    if as_micros:
+        clean = clean.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts"),
+        )
+    else:
+        clean = clean.select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts")
+        )
     return clean.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

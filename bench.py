@@ -1,12 +1,17 @@
-"""Bench harness: time every suite query, print ONE machine-parseable JSON line.
+"""Bench harness: time every suite query, print machine-parseable JSON.
 
 Usage: ``python bench.py`` (driver contract)
 
 - data:    $SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
 - master:  local[$SPARK_GRAFT_CPUS] (default 32)
-- output:  one JSON line on stdout:
+- output:  the full per-query JSON object (with the ~150-entry
+  "queries" timing map) goes to STDERR; stdout carries the same full
+  line FIRST and then ends with ONE SHORT summary line
   {"metric": "suite_wall_seconds", "value": <total>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+   "sf": <sf>, "n_queries": N, "n_failed": N, "slowest": {...top5}}
+  The driver keeps only a ~2 KB tail of stdout, which truncated round
+  2's single 4 KB line and lost the head "value" field — the short
+  LAST line always survives tail capture and parses on its own.
 
 Each query is executed to completion with the noop sink (full pipeline
 runs — scan, shuffle, aggregate — but nothing is collected to the
@@ -82,4 +87,27 @@ def _run() -> dict:
 
 if __name__ == "__main__":
     result = _run()
-    print(json.dumps(result))
+    full = json.dumps(result)
+    # Full detail: stderr (always) + first stdout line (for direct runs).
+    print(full, file=sys.stderr)
+    print(full)
+    sys.stdout.flush()
+    # Short summary LAST on stdout so any tail capture parses it.
+    failed = sorted(n for n, t in result["queries"].items() if t < 0)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in result["queries"].items() if t > 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(result["queries"]),
+        "n_failed": len(failed),
+        "failed": failed[:10],
+        "slowest": slowest,
+    }
+    print(json.dumps(summary))

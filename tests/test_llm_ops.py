@@ -796,6 +796,24 @@ def test_null_safe_join_matches_null_keys(spark):
     assert got == {1: 10, 2: 99, 4: 99}
     outer = {r.id: r.v for r in null_safe_join(left, right, ["k"], how="left").collect()}
     assert outer[3] is None and len(outer) == 4
+    # full outer: a right-only key must keep its key value (coalesced),
+    # not come back NULL because the left side of the key pair was kept
+    right2 = spark.createDataFrame([("a", 10), ("z", 77)], ["k", "v"])
+    full = null_safe_join(left, right2, ["k"], how="full").collect()
+    assert {r.k for r in full if r.v == 77} == {"z"}
+    assert len(full) == 5  # 4 left rows (2 unmatched-null, b) + right-only z
+
+
+def test_epoch_micros_rejects_bad_columns(spark):
+    import pytest as _pytest
+
+    from automated_batch_data_pipeline_nyc_spark.operators.util import epoch_micros
+
+    df = spark.createDataFrame([(1, "2024-01-01")], ["id", "s"])
+    with _pytest.raises(ValueError, match="not found"):
+        epoch_micros(df, "missing")
+    with _pytest.raises(ValueError, match="expected"):
+        epoch_micros(df, "s")
 
 
 def test_edit_distance_pairs_blocking_and_threshold(spark):

@@ -218,3 +218,54 @@ def test_url_canonical_dedup_map_plus_agg_exchanges(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_connected_components_lineage_truncated(spark):
+    """The CC loop must checkpoint per round: plan depth of the result
+    is CONSTANT in iteration count (a path graph of 2x the length needs
+    ~2x the min-label rounds but must yield the same-shaped plan).
+    Without localCheckpoint the plan doubles per round and the driver
+    dies at ~15 iterations long before the executors do."""
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import connected_components
+
+    def chain(n):
+        rows = [(i, i + 1) for i in range(n)]
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def depth(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("\n")
+
+    short = connected_components(chain(3))
+    long = connected_components(chain(12))
+    assert depth(short) == depth(long), "plan grew with iteration count"
+    # and the labels are actually right: one component, min id 0
+    assert long.agg({"component": "max"}).collect()[0][0] == 0
+
+
+def test_market_share_dims_all_broadcast(spark):
+    plan = _plan(spark, "market_share_by_year")
+    # nation x2, region, supplier all broadcast; only the fact spine shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_supplier_no_global_sort(spark):
+    plan = _plan(spark, "top_supplier_revenue")
+    # max-over-aggregate must resolve via a 1-row broadcast, never a sort
+    assert "Sort " not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sole_supplier_single_fact_agg(spark):
+    plan = _plan(spark, "sole_supplier_open_orders")
+    # the double-EXISTS collapses to one per-order agg joined back: the
+    # lineitem fact may be scanned twice but never self-joined per-row
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_rich_uses_anti_join(spark):
+    plan = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
