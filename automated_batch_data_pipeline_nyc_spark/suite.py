@@ -4994,6 +4994,129 @@ def _idle_rich(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_incremental_batch",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 5 <> 0),
+    reposts AS (
+      SELECT doc_id + 2000000 AS doc_id, text FROM corpus WHERE doc_id % 20 = 0),
+    increment AS (
+      SELECT doc_id, text FROM base WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, text FROM reposts),
+    cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+    exact_killed AS (
+      SELECT i.doc_id FROM increment i JOIN cfp ON md5(i.text) = cfp.fp),
+    rest AS (
+      SELECT * FROM increment
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_killed)),
+    u AS (
+      SELECT doc_id, text, 0 AS side FROM corpus
+      UNION ALL SELECT doc_id, text, 1 AS side FROM rest),
+    g AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+        i -> concat_ws(' ',
+               list_extract(string_split(lower(text),' '), i),
+               list_extract(string_split(lower(text),' '), i + 1))))) AS grams
+      FROM u
+    ),
+    p AS (
+      SELECT doc_id,
+        unnest(grams[1:(len(grams) - CAST(ceil(0.8 * len(grams)) AS BIGINT) + 1)]) AS gram
+      FROM g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) >= 0.8
+    ),
+    sides AS (SELECT doc_id, side FROM u),
+    near_killed AS (
+      SELECT DISTINCT CASE WHEN sa.side = 1 THEN pr.id_a ELSE pr.id_b END AS doc_id
+      FROM pairs pr
+      JOIN sides sa ON sa.doc_id = pr.id_a
+      JOIN sides sb ON sb.doc_id = pr.id_b
+      WHERE sa.side <> sb.side
+    )
+    SELECT i.doc_id,
+      CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+           WHEN nk.doc_id IS NOT NULL THEN 'near_dup'
+           ELSE 'kept' END AS status
+    FROM increment i
+    LEFT JOIN exact_killed e ON e.doc_id = i.doc_id
+    LEFT JOIN near_killed nk ON nk.doc_id = i.doc_id
+    """,
+    doc="incremental dedup — the production shape at 100 TB, where a new "
+        "batch dedups AGAINST the standing corpus instead of re-clustering "
+        "everything: (1) exact kill via distinct corpus content "
+        "fingerprints (md5, broadcast-or-shuffle semi join — corpus "
+        "fingerprint frame, never corpus text), (2) near-dup kill via "
+        "lossless prefix-jaccard pairs restricted to CROSS-side "
+        "(increment x corpus) pairs at >= 0.8.  Exact re-deliveries are "
+        "injected (every 20th corpus doc re-posted under a new id, "
+        "FIXTURES.md policy) so stage 1 provably fires; the fixtures' own "
+        "near-dup families straddle the %5 split so stage 2 fires "
+        "naturally.  Within-increment duplicates are deliberately NOT "
+        "killed here — that is the batch pipeline's job "
+        "(dedup_pipeline_transitive); this entry is the between-batch "
+        "contract.  Every stage is a bounded equi-join: no corpus-squared "
+        "work anywhere.",
+)
+def _dinc(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    corpus = base.filter(F.col("doc_id") % 5 != 0)
+    reposts = corpus.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    increment = base.filter(F.col("doc_id") % 5 == 0).unionAll(reposts)
+
+    cfp = corpus.select(F.md5("text").alias("fp")).distinct()
+    with_fp = increment.withColumn("fp", F.md5("text"))
+    exact_killed = with_fp.join(cfp, "fp", "left_semi").select("doc_id")
+    rest = with_fp.join(cfp, "fp", "left_anti").select("doc_id", "text")
+
+    u = corpus.withColumn("side", F.lit(0)).unionAll(
+        rest.withColumn("side", F.lit(1))
+    )
+    pairs = dd.jaccard_prefix_pairs(u, "doc_id", "text", n=2, threshold=0.8)
+    sides = u.select("doc_id", "side")
+    sa = sides.select(F.col("doc_id").alias("id_a"), F.col("side").alias("side_a"))
+    sb = sides.select(F.col("doc_id").alias("id_b"), F.col("side").alias("side_b"))
+    near_killed = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("side_a") != F.col("side_b"))
+        .select(
+            F.when(F.col("side_a") == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    ek = exact_killed.withColumn("__exact", F.lit(1))
+    nk = near_killed.withColumn("__near", F.lit(1))
+    return (
+        increment.join(ek, "doc_id", "left")
+        .join(nk, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__exact").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 # ===========================================================================
 # Structured Streaming round 3: hash-verified streaming entries beyond
 # streaming_hourly_counts — custom stateful sessionization
@@ -5314,6 +5437,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "robust_spread",
     "zorder_bucket_stats",
     "market_share_by_year",      # round-3 additions: TPC-H Q8/Q15/Q20/Q21/Q22
+    "dedup_incremental_batch",   # round-3: between-batch dedup contract
     "streaming_sessionize",      # round-3 streaming family (hash-verified)
     "streaming_dedup_counts",
     "streaming_enriched_totals",

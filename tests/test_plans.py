@@ -97,6 +97,7 @@ def test_bucketed_tables_join_without_shuffle(spark):
         "dedup_simhash",
         "similarity_lsh_topk",
         "similarity_topk",
+        "dedup_incremental_batch",
     ],
 )
 def test_no_unblocked_pair_joins_in_production_paths(spark, name):

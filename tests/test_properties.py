@@ -158,3 +158,43 @@ def test_morton_code_roundtrips_against_python(spark, pts):
     for (x, y), z in got.items():
         assert z == ref(x, y)
     assert len(set(got.values())) == len(set(pts))
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 5)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_distributed_percent_rank_equals_exact_window(spark, rows):
+    """The histogram formulation (round-3 production default) must be
+    bit-identical to the exact percent_rank/cume_dist window for any
+    group/value distribution — including heavy ties, singleton groups,
+    and negative values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import (
+        distributed_percent_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g long, v long"
+    )
+    got = {
+        (r.g, r.v, r.pr, r.cd)
+        for r in distributed_percent_rank(df, "g", "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"))
+    want = {
+        (r.g, r.v, r.pr, r.cd)
+        for r in df.select(
+            "g",
+            "v",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want

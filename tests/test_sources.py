@@ -180,3 +180,35 @@ def test_enforce_schema_alignment(spark):
     with _pt.raises(ValueError):
         enforce_schema(src.select("id", "amount", "flag"), contract,
                        drop_extra=False, fail_on_missing=False)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Fact partitioned on the join key + selective broadcast dim =>
+    Catalyst injects a runtime partition filter (DPP) into the fact
+    scan, so only the dim-selected partitions are read.  At 100 TB this
+    is the difference between scanning 1/k of the fact table and all of
+    it — pinned here so a conf or plan regression is loud."""
+    from automated_batch_data_pipeline_nyc_spark.sources.readers import read_parquet
+    from automated_batch_data_pipeline_nyc_spark.sources.writers import write_parquet
+
+    from .conftest import SF_SMOKE
+    import os
+
+    orders = read_parquet(spark, os.path.join(SF_SMOKE, "orders.parquet"))
+    fact_path = str(tmp_path / "orders_by_priority")
+    write_parquet(orders, fact_path, partition_by=["o_orderpriority"])
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")], ["o_orderpriority", "tier"]
+    ).filter("tier = 'hot'")
+    from pyspark.sql import functions as F
+
+    joined = fact.join(F.broadcast(dim), "o_orderpriority").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = {r.tier: r.n for r in joined.collect()}
+    urgent = orders.filter("o_orderpriority = '1-URGENT'").count()
+    assert rows == {"hot": urgent}

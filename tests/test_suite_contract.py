@@ -118,3 +118,22 @@ def test_entry_module_exposes_rotated_order():
     oracles = mod.oracle_sql()
     for name in EXPECTED_WINDOW:
         assert name in oracles, name
+
+
+def test_queries_md_is_current():
+    """QUERIES.md is generated from the live suite; stale inventory docs
+    mislead coverage review.  Regenerate with tools/gen_queries_md.py."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", os.path.join(REPO, "tools", "gen_queries_md.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    before = open(os.path.join(REPO, "QUERIES.md")).read()
+    mod.main()  # regenerates QUERIES.md in place
+    content = open(os.path.join(REPO, "QUERIES.md")).read()
+    assert content == before, "QUERIES.md was stale — commit the regenerated file"
+    assert f"**{len(suite.QUERIES)} registered**" in content
+    for name in suite.DRIVER_WINDOW:
+        assert f"`{name}`" in content
