@@ -36,6 +36,11 @@ __all__ = [
     "token_divergence_stats",
     "normalize_text",
     "canonical_url",
+    "hashed_linear_score",
+    "quality_classifier",
+    "remove_boilerplate_lines",
+    "strip_html",
+    "inverted_index",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -567,4 +572,232 @@ def canonical_url(url: Column | str) -> Column:
         host,
         path,
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def hashed_linear_score(
+    text: Column | str,
+    hash_dim: int = 2001,
+    scale: float = 1000.0,
+) -> Column:
+    """Hashing-trick linear text classifier score (map-only, exact).
+
+    The standard model-based quality filter shape (fastText-style linear
+    scorer a la CCNet / DCLM): each token hashes into a weight table,
+    the weights sum, and a sigmoid turns the mean weight into a keep
+    probability.  Here the weight for hash bucket ``h`` is the
+    deterministic ``(h % hash_dim) - hash_dim//2`` (range symmetric
+    around 0) so the DuckDB oracle can replay the exact same model; in
+    production the lambda body swaps to an ``element_at`` lookup into a
+    broadcast trained-weight array — identical plan shape, still
+    map-only.
+
+    Returns a struct ``(w_sum, n_tokens)``: the weight sum is an exact
+    BIGINT (no float summation-order drift at any partitioning), so
+    downstream thresholds like ``w_sum >= 0`` are bit-deterministic.
+    The whole expression is a single JVM higher-order ``aggregate`` over
+    the token array — zero shuffles, zero Python.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(t, " ")
+    half = hash_dim // 2
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc
+        + (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+            % hash_dim
+            - half
+        ),
+    )
+    return F.struct(
+        w_sum.alias("w_sum"), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_dim: int = 2001,
+    scale: float = 1000.0,
+) -> DataFrame:
+    """Score every document with the hashing-trick linear classifier and
+    emit the keep decision.
+
+    Output: ``(id, n_tokens, w_sum, score, keep)`` where
+    ``score = sigmoid(w_sum / (scale * n_tokens))`` rounded to 6dp (one
+    libm ``exp`` per row — rounding guards cross-platform ULP drift) and
+    ``keep = w_sum >= 0`` (exact integer comparison, NOT the rounded
+    float, so the decision boundary is bit-deterministic).
+
+    Scale: map-only scan→project — no shuffle, no Python; at 100 TB this
+    is the cheapest possible pass shape (same cost as reading the text
+    column once).
+    """
+    s = hashed_linear_score(text_col, hash_dim, scale)
+    out = df.select(F.col(id_col), s.alias("_s"))
+    logit = F.col("_s.w_sum") / (F.col("_s.n_tokens") * F.lit(scale))
+    return out.select(
+        id_col,
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.w_sum").alias("w_sum"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (F.col("_s.w_sum") >= 0).alias("keep"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb line dedup).
+
+    Drops every line that occurs (after whitespace/case normalization)
+    in at least ``min_frac`` of the documents of its group (and at least
+    ``min_docs`` of them) — the nav/header/footer/cookie-banner kill
+    pass that per-document dedup cannot express.  Grouping is typically
+    the registered domain, so a template shared by one site dies while
+    the same words in a quote elsewhere survive.
+
+    Output: one row per input document —
+    ``(id, group, n_lines, n_kept, clean_text)`` with ``clean_text``
+    the surviving lines re-joined in original order (empty string when
+    every line was boilerplate).
+
+    Scale shape (100 TB): one posexplode (map-side), one combinable
+    count-distinct shuffle bounded by |distinct (group, line)| — the
+    long unique tail partial-aggregates map-side, the heavy hitters ARE
+    the boilerplate we're hunting — then the boilerplate set (lines
+    above an occurrence *fraction*; tiny by construction) broadcasts
+    into a left-anti probe, and one groupBy(id) shuffle reassembles.
+    Never a self-join, never corpus × corpus.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    lines = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", norm)
+
+    group_docs = df.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("g_docs")
+    )
+    line_docs = lines.groupBy(group_col, "norm").agg(
+        F.countDistinct(id_col).alias("l_docs")
+    )
+    boilerplate = (
+        line_docs.join(group_docs, group_col)
+        .filter(
+            (F.col("l_docs") >= min_docs)
+            & (F.col("l_docs") >= F.lit(min_frac) * F.col("g_docs"))
+        )
+        .select(group_col, "norm")
+    )
+
+    kept = lines.join(
+        F.broadcast(boilerplate), [group_col, "norm"], "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+    )
+    return base.join(reassembled, id_col, "left").select(
+        id_col,
+        group_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def strip_html(text: Column | str) -> Column:
+    """WET-style text extraction: strip markup from an HTML payload.
+
+    Kill order matters: script/style blocks die WITH their contents
+    (``(?is)`` inline flags — case-insensitive, dot-matches-newline),
+    then every remaining tag becomes a space, then the five core
+    entities decode, then whitespace collapses.  All RE2-safe patterns
+    (no backreferences, no lookahead) so the exact same chain runs in
+    the DuckDB oracle; map-only whole-stage codegen in Spark.
+
+    This is the extraction step ahead of every cleaning/dedup pass on
+    crawled corpora; a production pipeline swaps in a real DOM
+    extractor (trafilatura-class) via mapInPandas where fidelity
+    matters, but the regex path handles the bulk strip at full JVM
+    speed with zero Python.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    # two passes instead of a <(script|style)>...</\1> backreference —
+    # RE2 (the oracle's engine) has no backrefs
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+        r"(?is)<style\b[^>]*>.*?</style\s*>",
+        " ",
+    )
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(no_tags, "&nbsp;", " "),
+                    "&lt;", "<"),
+                "&gt;", ">"),
+            "&quot;", "\""),
+        "&amp;", "&")
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
+def inverted_index(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 4
+) -> DataFrame:
+    """Build a term -> postings inverted index over the corpus.
+
+    Output per term: ``(term, total_tf, df_count, postings_fp)`` where
+    ``postings_fp`` is the md5 of the comma-joined numerically-sorted
+    distinct doc ids — the index artifact is verifiable by fingerprint
+    without materializing posting lists into the result.
+
+    Scale: explode is map-side; the single groupBy(term) shuffle is
+    bounded by |vocabulary| x |docs containing the term|.  Heavy-hitter
+    terms (stopwords) concentrate their postings on one reducer — at
+    web scale you cap df (drop terms above a document-frequency ceiling,
+    they carry no retrieval signal) or shard postings by
+    (term, doc_id range); ``min_len`` already drops the worst of the
+    stopword mass here.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda x: F.length(x) >= min_len,
+    )
+    pairs = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("_id").alias("df_count"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("postings_fp"),
     )

@@ -27,6 +27,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "enrich_stream_static",
+    "join_streams_interval",
     "dedup_stream",
     "foreach_batch_upsert",
     "write_stream_to_parquet",
@@ -201,6 +202,44 @@ def enrich_stream_static(
     streaming rendition of the reference's lookup-enrichment joins.
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound.
+
+    Matches a right-stream row to a left-stream row on ``key`` when the
+    right event time falls in ``[left_ts, left_ts + within]`` — the
+    click→purchase / impression→conversion attribution shape.  Both
+    sides carry a watermark and the join predicate includes the time
+    range, which is what lets Spark EVICT join state: a buffered left
+    row can be dropped once the right watermark passes
+    ``left_ts + within``, so state is bounded by
+    (arrival rate × (watermark + within)) instead of growing with the
+    stream.  Without the range condition the state store would have to
+    keep every row forever — the #1 stream-stream-join production
+    failure mode.
+
+    Inner stream-stream join semantics: every matched pair is emitted
+    exactly once (append mode), so the result is row-identical to the
+    equivalent batch join — which is exactly how the suite hash-verifies
+    it against the batch SQL oracle.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
 
 
 def dedup_stream(

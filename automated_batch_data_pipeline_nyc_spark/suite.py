@@ -5305,6 +5305,824 @@ def _stream_enrich(spark, sf_dir):
     return spark.table(name).select("n_name", "n_events", "total_value")
 
 
+@_q(
+    "streaming_interval_join",
+    f"""
+    WITH v AS (
+      SELECT user_id, ts AS vts FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL),
+    p AS (
+      SELECT user_id, ts AS pts, value FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL AND value IS NOT NULL)
+    SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      {SQL_SUM.format(col="p.value")} AS attributed_value
+    FROM v JOIN p ON p.user_id = v.user_id
+      AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    doc="§2.8 stream-stream interval join, hash-verified: the view and "
+        "purchase streams (two independent file-source readers over the "
+        "same staged events) join on user with the purchase constrained to "
+        "[view_ts, view_ts + 1h] — the impression→conversion attribution "
+        "shape.  Both sides are watermarked and the range predicate is in "
+        "the join condition, which is what lets Spark evict join state "
+        "once the other side's watermark passes view_ts + 1h (bounded "
+        "state; without the range bound the state store grows forever).  "
+        "Inner stream-stream join emits each matched pair exactly once, "
+        "so the appended pairs aggregate bit-identically to the batch "
+        "join oracle (decimal sums).",
+)
+def _stream_interval_join(spark, sf_dir):
+    from .streaming.jobs import join_streams_interval, read_event_stream
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    src = _stage_stream_src(spark, sf_dir, "sjoin", base)
+    views = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        read_event_stream(spark, src)
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+    )
+    joined = join_streams_interval(
+        views.withColumnRenamed("user_id", "u"),
+        purchases.withColumnRenamed("p_user", "u"),
+        key="u",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        within="1 hour",
+        # horizon covers the fixture's full span: availableNow may split
+        # the staged files into multiple micro-batches, and a short
+        # watermark would evict join state mid-backlog (same reasoning
+        # as streaming_dedup_counts)
+        watermark="1440 hours",
+    )
+    name = _run_stream_to_table(joined, "append")
+    return spark.table(name).groupBy(F.col("u").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _sum_money(F.col("value"), "attributed_value"),
+    )
+
+
+# ===========================================================================
+# Model-based quality filtering and line-level boilerplate removal
+# ===========================================================================
+
+@_q(
+    "quality_classifier_scores",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001) - 1000))
+          AS BIGINT) AS w_sum
+      FROM documents)
+    SELECT doc_id, n_tokens, w_sum,
+      round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE)
+        / (n_tokens * 1000.0)))), 6) AS score,
+      w_sum >= 0 AS keep
+    FROM s
+    """,
+    doc="model-based quality filtering (the fastText-style linear scorer "
+        "of CCNet/DCLM): tokens hash into a weight table, weights sum to "
+        "an exact BIGINT inside one JVM higher-order aggregate, sigmoid of "
+        "the mean weight is the keep probability.  Weights here are a "
+        "deterministic function of the hash so DuckDB replays the exact "
+        "model; production swaps the lambda body for an element_at lookup "
+        "into a broadcast trained-weight array — same map-only plan.  The "
+        "keep decision compares the INTEGER sum (not the rounded float), "
+        "so the boundary is bit-deterministic at any partitioning.  Zero "
+        "shuffles: cheapest possible corpus pass.",
+)
+def _quality_classifier(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.quality_classifier(docs, "doc_id", "text")
+
+
+@_q(
+    "line_boilerplate_removal",
+    r"""
+    WITH docs2 AS (
+      SELECT doc_id, source,
+        'home | about | contact | ' || source || chr(10) || text || chr(10)
+          || '(c) 2026 ' || source || ' all rights reserved' AS text
+      FROM documents),
+    parts AS (
+      SELECT doc_id, source, string_split(text, chr(10)) AS p FROM docs2),
+    lines AS (
+      SELECT doc_id, source, p,
+        unnest(generate_series(1, len(p))) AS pos
+      FROM parts),
+    sel AS (
+      SELECT doc_id, source, pos, p[pos] AS line,
+        lower(trim(regexp_replace(p[pos], '\s+', ' ', 'g'))) AS norm
+      FROM lines),
+    gd AS (SELECT source, COUNT(DISTINCT doc_id) AS g_docs
+           FROM docs2 GROUP BY source),
+    lc AS (SELECT source, norm, COUNT(DISTINCT doc_id) AS l_docs
+           FROM sel GROUP BY source, norm),
+    bp AS (
+      SELECT lc.source, lc.norm FROM lc JOIN gd ON lc.source = gd.source
+      WHERE lc.l_docs >= 3 AND lc.l_docs >= 0.5 * gd.g_docs),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.line FROM sel s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bp WHERE bp.source = s.source AND bp.norm = s.norm)),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, d.source,
+      CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+      COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      md5(COALESCE(a.clean_text, '')) AS clean_fp
+    FROM docs2 d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    doc="line-level boilerplate removal (CCNet/RefinedWeb line dedup): a "
+        "line occurring in >=50% (and >=3) of its source's documents is "
+        "template chrome — nav/footer/cookie banner — and dies; the same "
+        "words quoted in one document elsewhere survive.  Fixtures have "
+        "single-line docs, so the query injects a per-source header and "
+        "footer line around every body (header+footer hit 25/25 docs per "
+        "source -> removed; each unique body stays), making the removal "
+        "provable: clean_fp must equal md5 of the ORIGINAL body.  Scale: "
+        "posexplode -> one count-distinct shuffle bounded by distinct "
+        "(source, line) -> tiny boilerplate set broadcast left-anti -> one "
+        "groupBy(doc) reassembly.  Never corpus x corpus.",
+)
+def _line_boilerplate(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    docs3 = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("home | about | contact | "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("(c) 2026 "), F.col("source"),
+            F.lit(" all rights reserved"),
+        ),
+    )
+    out = tx.remove_boilerplate_lines(
+        docs3, "doc_id", "text", "source", min_frac=0.5, min_docs=3
+    )
+    return out.select(
+        "doc_id", "source", "n_lines", "n_kept",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+@_q(
+    "html_text_extraction",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+        '<html><head><style>p { color: red }</style><title>t</title></head>'
+          || '<body><h1>' || source || '</h1><p>' || text
+          || '</p><script type="text/javascript">var x = 1 < 2;</script>'
+          || '<div>&amp; &lt;tail&gt;&nbsp;&quot;end&quot;</div></body></html>'
+          AS html
+      FROM documents)
+    SELECT doc_id,
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(html,
+                        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                    '(?s)<[^>]+>', ' ', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+          '&amp;', '&', 'g'),
+        '\s+', ' ', 'g')) AS extracted
+    FROM seeded
+    """,
+    doc="WET-style HTML text extraction ahead of cleaning/dedup: script and "
+        "style blocks die WITH their contents (two RE2-safe passes — no "
+        "backreference, the oracle's regex engine has none), remaining tags "
+        "become spaces, core entities decode, whitespace collapses.  The "
+        "query wraps every fixture body in a full HTML shell (head/style/"
+        "script/entities) so the strip provably fires: the result must be "
+        "'<h1 text> <body text> & <tail> \"end\"' exactly.  Map-only "
+        "whole-stage codegen; a production pipeline swaps a DOM extractor "
+        "in via mapInPandas only where regex fidelity isn't enough.",
+)
+def _html_extract(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p { color: red }</style>"
+                  "<title>t</title></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><script type="text/javascript">var x = 1 < 2;'
+                  "</script><div>&amp; &lt;tail&gt;&nbsp;&quot;end&quot;"
+                  "</div></body></html>"),
+        ).alias("html"),
+    )
+    return seeded.select("doc_id", tx.strip_html("html").alias("extracted"))
+
+
+@_q(
+    "inverted_index_postings",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '),
+                           x -> len(x) >= 4)) AS term
+      FROM documents),
+    p AS (SELECT DISTINCT doc_id, term FROM t),
+    post AS (
+      SELECT term,
+        CAST(COUNT(*) AS BIGINT) AS df_count,
+        md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+          AS postings_fp
+      FROM p GROUP BY term),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS total_tf
+           FROM t GROUP BY term)
+    SELECT tf.term, tf.total_tf, post.df_count, post.postings_fp
+    FROM tf JOIN post ON tf.term = post.term
+    """,
+    doc="search-index build over the corpus: term -> (total tf, document "
+        "frequency, md5 fingerprint of the numerically-sorted posting "
+        "list).  The fingerprint verifies the index artifact without "
+        "materializing posting lists into the result.  One map-side "
+        "explode + one groupBy(term) shuffle bounded by vocabulary x "
+        "postings; heavy-hitter terms are the known skew point — at web "
+        "scale you cap df (stopword-frequency terms carry no retrieval "
+        "signal) or shard postings by (term, id-range); min_len=4 already "
+        "drops the worst stopword mass here.",
+)
+def _inv_index(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.inverted_index(docs, "doc_id", "text", min_len=4).select(
+        "term", "total_tf", "df_count", "postings_fp"
+    )
+
+
+@_q(
+    "dedup_survivor_by_quality",
+    f"""
+    WITH RECURSIVE
+    {_SQL_PREFIX_PAIRS},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, mn) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    score AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001) - 1000))
+          AS BIGINT) AS w_sum
+      FROM documents),
+    j AS (
+      SELECT a.component, a.doc_id, s.w_sum
+      FROM assign a JOIN score s ON a.doc_id = s.doc_id),
+    pick AS (
+      SELECT component, doc_id, w_sum,
+        row_number() OVER (PARTITION BY component
+                           ORDER BY w_sum DESC, doc_id ASC) AS rk
+      FROM j),
+    sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM j GROUP BY component)
+    SELECT p.doc_id AS survivor_id, z.cluster_size,
+      p.w_sum AS survivor_w_sum
+    FROM pick p JOIN sz z ON p.component = z.component
+    WHERE p.rk = 1
+    """,
+    doc="quality-aware dedup survivor selection: same lossless pairs -> "
+        "connected-components pipeline as dedup_pipeline_transitive, but "
+        "the survivor of each near-dup cluster is the member with the BEST "
+        "quality-classifier score (exact integer w_sum, doc_id tiebreak) "
+        "instead of the arbitrary min-id — what a production corpus "
+        "actually keeps.  The argmax is min(struct(-w_sum, doc_id)): "
+        "lexicographic struct min, map-side combinable — one struct per "
+        "(partition, cluster) crosses the exchange, no per-cluster history "
+        "sort.  Scale = dedup_pipeline_transitive + one map-only scoring "
+        "pass + one combinable argmax shuffle.",
+)
+def _dedup_best_quality(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_prefix_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    comp = gr.assign_components(
+        docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
+    )
+    scored = tx.quality_classifier(docs, "doc_id", "text").select(
+        "doc_id", "w_sum"
+    )
+    j = comp.join(scored, "doc_id")
+    return (
+        j.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("w_sum")).alias("neg_w"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            F.col("s.doc_id").alias("survivor_id"),
+            "cluster_size",
+            (-F.col("s.neg_w")).alias("survivor_w_sum"),
+        )
+    )
+
+
+@_q(
+    "corpus_filter_funnel",
+    """
+    WITH flags AS (
+      SELECT
+        CASE WHEN text IS NOT NULL AND lang IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        CASE WHEN text IS NOT NULL AND lang IS NOT NULL
+              AND n_chars >= 150 THEN 1 ELSE 0 END AS s2,
+        CASE WHEN text IS NOT NULL AND lang IS NOT NULL
+              AND n_chars >= 150 AND lang = 'en' THEN 1 ELSE 0 END AS s3,
+        CASE WHEN text IS NOT NULL AND lang IS NOT NULL
+              AND n_chars >= 150 AND lang = 'en'
+              AND list_sum(list_transform(string_split(text, ' '),
+                t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001)
+                     - 1000)) >= 0
+             THEN 1 ELSE 0 END AS s4,
+        1 AS s0
+      FROM documents),
+    tot AS (
+      SELECT CAST(SUM(s0) AS BIGINT) AS n0, CAST(SUM(s1) AS BIGINT) AS n1,
+        CAST(SUM(s2) AS BIGINT) AS n2, CAST(SUM(s3) AS BIGINT) AS n3,
+        CAST(SUM(s4) AS BIGINT) AS n4
+      FROM flags)
+    SELECT 0 AS stage, 'ingested' AS stage_name, n0 AS n_docs,
+      CAST(0 AS BIGINT) AS n_rejected FROM tot
+    UNION ALL SELECT 1, 'non_null', n1, n0 - n1 FROM tot
+    UNION ALL SELECT 2, 'min_length', n2, n1 - n2 FROM tot
+    UNION ALL SELECT 3, 'lang_en', n3, n2 - n3 FROM tot
+    UNION ALL SELECT 4, 'quality_model', n4, n3 - n4 FROM tot
+    """,
+    doc="filter-funnel attrition report — the pipeline-observability view "
+        "every production corpus build ships with: one corpus pass computes "
+        "every stage's cumulative survival flag (null-check -> min-length "
+        "-> language -> model-based quality), ONE combinable aggregate "
+        "sums them, and the 5-row funnel (stage, survivors, rejected-at-"
+        "stage) unpivots from that single row.  Rejection counts per stage "
+        "fall out of adjacent differences — no per-stage rescan, no "
+        "count() loop; the whole report costs one scan at any corpus size.",
+)
+def _filter_funnel(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    s1 = F.col("text").isNotNull() & F.col("lang").isNotNull()
+    s2 = s1 & (F.col("n_chars") >= 150)
+    s3 = s2 & (F.col("lang") == "en")
+    keep = tx.hashed_linear_score("text")["w_sum"] >= 0
+    s4 = s3 & keep
+    flag = lambda c: F.sum(c.cast("int").cast("bigint"))  # noqa: E731
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        flag(s1).alias("n1"),
+        flag(s2).alias("n2"),
+        flag(s3).alias("n3"),
+        flag(s4).alias("n4"),
+    )
+    return tot.selectExpr(
+        """stack(5,
+            0L, 'ingested',      n0, 0L,
+            1L, 'non_null',      n1, n0 - n1,
+            2L, 'min_length',    n2, n1 - n2,
+            3L, 'lang_en',       n3, n2 - n3,
+            4L, 'quality_model', n4, n3 - n4
+        ) AS (stage, stage_name, n_docs, n_rejected)"""
+    )
+
+
+@_q(
+    "rolling_zscore_anomalies",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT event_id, user_id, value,
+        CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER win AS DOUBLE) AS s1,
+        CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+             OVER win AS DOUBLE) AS s2
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, value,
+      round((value - s1 / n)
+            / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6) AS zscore
+    FROM w
+    WHERE n >= 5 AND (n * s2 - s1 * s1) > 0
+      AND abs((value - s1 / n)
+              / sqrt((n * s2 - s1 * s1) / (n * (n - 1)))) > 2.5
+    """,
+    doc="rolling z-score anomaly detection over each user's trailing-10 "
+        "event window (frame excludes the current row — no self-"
+        "contamination): the monitoring primitive for value-drift / fraud "
+        "screens.  Cross-engine exactness: the window sums run in DECIMAL "
+        "(order-independent, bit-identical on any partitioning), variance "
+        "derives from the two exact power sums in a handful of identical "
+        "IEEE ops, and the one sqrt/division rounds to 6dp.  One shuffle "
+        "(hash by user), per-user local sort, linear frame scan.",
+)
+def _rolling_zscore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    v = F.col("value").cast(D2)
+    w = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(v).over(win).cast("double").alias("s1"),
+        F.sum(v * v).over(win).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var_num = n * s2 - s1 * s1
+    z = (F.col("value") - s1 / n) / F.sqrt(var_num / (n * (n - 1)))
+    return w.filter((n >= 5) & (var_num > 0) & (F.abs(z) > 2.5)).select(
+        "event_id", "user_id", "value", F.round(z, 6).alias("zscore")
+    )
+
+
+# ===========================================================================
+# TPC-H analytic shapes, batch 3 (Q5/Q6/Q7/Q10/Q14/Q18/Q19)
+# ===========================================================================
+
+#: exact discounted revenue (both dialects)
+_REV = 'CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))'
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice").cast(D2) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(10,2)")
+    )
+
+
+@_q(
+    "local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 (full local-supplier form): revenue where the supplier "
+        "and the customer share a nation — the c_nationkey = s_nationkey "
+        "equi-condition rides the supplier join, so the 'local' "
+        "constraint costs nothing extra.  Plan: date filter pushed to the "
+        "orders scan, supplier/nation/region broadcast, one fact shuffle "
+        "chain lineitem->orders->customer, exact DECIMAL revenue.",
+)
+def _q5local(spark, sf_dir):
+    c, o, li, s, n, r = _load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    asia = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    od = F.col("o_orderdate")
+    return (
+        c.join(
+            o.filter(
+                (od >= F.lit("1996-01-01").cast("date"))
+                & (od < F.lit("1997-01-01").cast("date"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "revenue_forecast_band",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecast revenue change): pure filtered aggregate — "
+        "every predicate (date range, discount band, quantity cap) pushes "
+        "to the parquet scan, the single combinable DECIMAL sum partial-"
+        "aggregates map-side, and exactly one 1-row exchange crosses the "
+        "wire.  The canonical 'scan speed is the query' shape.",
+)
+def _q6band(spark, sf_dir):
+    (li,) = _load(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate")
+    return (
+        li.filter(
+            (sd >= F.lit("1996-01-01").cast("date"))
+            & (sd < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(D2)
+                * F.col("l_discount").cast("decimal(10,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+@_q(
+    "bilateral_trade_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+      CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 (bilateral trade volume): revenue flowing each way "
+        "between two nations by ship year.  The nation-pair disjunction "
+        "evaluates on two broadcast nation copies AFTER the key joins "
+        "(tiny), the fact chain shuffles once per key, year extraction is "
+        "a scalar on the shuffled rows.  Decimal volume, BIGINT year.",
+)
+def _q7trade(spark, sf_dir):
+    s, li, o, c, n = _load(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    sd = F.col("l_shipdate")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(
+            (sd >= F.lit("1996-01-01").cast("date"))
+            & (sd < F.lit("1998-01-01").cast("date"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "returned_item_customers",
+    f"""
+    SELECT c_custkey, c_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+      c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 (returned-item losers): customers ranked by revenue of "
+        "lineitems they returned in one quarter.  Return-flag and date "
+        "filters push to both fact scans, nation broadcasts, one grouped "
+        "shuffle keyed on the customer, top-20 via TakeOrderedAndProject "
+        "with a c_custkey tiebreak (never a global sort).",
+)
+def _q10returned(spark, sf_dir):
+    c, o, li, n = _load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    od = F.col("o_orderdate")
+    return (
+        c.join(
+            o.filter(
+                (od >= F.lit("1996-01-01").cast("date"))
+                & (od < F.lit("1996-04-01").cast("date"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "promo_revenue_share",
+    f"""
+    SELECT round(100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN {_REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      / CAST(SUM({_REV}) AS DOUBLE)), 6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    """,
+    doc="TPC-H Q14 (promotion effect): share of one month's revenue from "
+        "promo-type parts.  The part dim broadcasts; both sums are exact "
+        "decimals partial-aggregated map-side; the single division is one "
+        "IEEE double op rounded to 6dp.  One 1-row exchange total.",
+)
+def _q14promo(spark, sf_dir):
+    li, p = _load(spark, sf_dir, "lineitem", "part")
+    sd = F.col("l_shipdate")
+    rev = _rev_col()
+    zero = F.lit(0).cast(D2)
+    agg = (
+        li.filter(
+            (sd >= F.lit("1996-03-01").cast("date"))
+            & (sd < F.lit("1996-04-01").cast("date"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("_promo"),
+            F.sum(rev).cast("double").alias("_total"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * (F.col("_promo") / F.col("_total")), 6).alias(
+            "promo_share"
+        )
+    )
+
+
+@_q(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 (large-volume customers): orders whose total quantity "
+        "clears a threshold, with their customers.  The HAVING aggregate "
+        "is the decorrelated IN-subquery of the official query: one "
+        "combinable per-order sum (map-side partials), the surviving "
+        "order set is tiny and drives broadcast joins to orders and "
+        "customer — never a second fact shuffle.",
+)
+def _q18volume(spark, sf_dir):
+    li, o, c = _load(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(D2)).alias("_tq"))
+        .filter(F.col("_tq") > 250)
+        .select("l_orderkey", F.col("_tq").cast("double").alias("total_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@_q(
+    "brand_bracket_revenue",
+    f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive bracket revenue; adapted to the "
+        "fixture's columns — no shipmode/container): three (brand, size, "
+        "quantity) brackets OR-ed together.  The optimizer splits the "
+        "disjunction: part-only conjuncts (brand/size) prune the "
+        "broadcast build side, lineitem-only conjuncts (quantity) push "
+        "to the fact scan, and only the cross terms evaluate post-join — "
+        "the classic OR-pushdown test.  Exact DECIMAL revenue, one 1-row "
+        "exchange.",
+)
+def _q19bracket(spark, sf_dir):
+    li, p = _load(spark, sf_dir, "lineitem", "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    cond = (
+        ((br == "Brand#11") & sz.between(1, 5) & q.between(1, 11))
+        | ((br == "Brand#12") & sz.between(1, 10) & q.between(10, 20))
+        | ((br == "Brand#13") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -5445,6 +6263,21 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dominant_part_suppliers",
     "sole_supplier_open_orders",
     "idle_rich_customers",
+    "streaming_interval_join",   # round-3 session 2: stream-stream join
+    "quality_classifier_scores", # round-3 session 2: model-based filtering
+    "line_boilerplate_removal",  # round-3 session 2: CCNet line dedup
+    "html_text_extraction",      # round-3 session 2: WET-style strip
+    "inverted_index_postings",   # round-3 session 2: search index build
+    "dedup_survivor_by_quality", # round-3 session 2: quality-aware survivor
+    "corpus_filter_funnel",      # round-3 session 2: attrition report
+    "rolling_zscore_anomalies",  # round-3 session 2: drift/fraud screen
+    "local_supplier_volume",     # round-3 session 2: TPC-H Q5/Q6/Q7/Q10/
+    "revenue_forecast_band",     #   Q14/Q18/Q19 shapes
+    "bilateral_trade_volume",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "brand_bracket_revenue",
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)

@@ -836,3 +836,123 @@ def test_edit_distance_pairs_blocking_and_threshold(spark):
     assert rows[(1, 2)] == 1 and rows[(1, 3)] == 1 and rows[(2, 3)] == 2
     assert all(a < b for a, b in rows)          # each pair emitted once
     assert not any(4 in p or 5 in p for p in rows)  # blocked out / over threshold
+
+
+def test_quality_classifier_decision_boundary_and_determinism(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality_classifier(docs, "doc_id", "text").collect()}
+    # identical text -> identical exact integer sum and score (rerun/engine stable)
+    assert out[1].w_sum == out[2].w_sum and out[1].score == out[2].score
+    assert out[1].n_tokens == 3 and out[3].n_tokens == 1
+    # keep is the exact integer comparison, consistent with the score side
+    for r in out.values():
+        assert r.keep == (r.w_sum >= 0)
+        assert 0.0 <= r.score <= 1.0
+        # sigmoid crosses 0.5 exactly at w_sum == 0
+        assert (r.score >= 0.5) == r.keep or r.w_sum == 0
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    hdr = "NAV | home"
+    docs = spark.createDataFrame(
+        [
+            # site A: 3 docs sharing a header (>=50%, >=3 docs -> killed)
+            (1, "a.com", hdr + "\nunique body one"),
+            (2, "a.com", hdr + "\nunique body two"),
+            (3, "a.com", "  nav | HOME \nunique body three"),  # normalizes to same line
+            # all-boilerplate doc: must survive as a row with empty text
+            (4, "a.com", hdr),
+            # site B: same header but only 2 docs -> below min_docs, kept
+            (5, "b.com", hdr + "\nbody five"),
+            (6, "b.com", hdr + "\nbody six"),
+        ],
+        ["doc_id", "site", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            docs, "doc_id", "text", "site", min_frac=0.5, min_docs=3
+        ).collect()
+    }
+    assert len(out) == 6, "one output row per input document, always"
+    assert out[1].clean_text == "unique body one" and out[1].n_kept == 1
+    assert out[3].clean_text == "unique body three", "normalized match still kills the raw line"
+    assert out[4].clean_text == "" and out[4].n_kept == 0 and out[4].n_lines == 1
+    # below min_docs: site B header survives in original order
+    assert out[5].clean_text == hdr + "\nbody five" and out[5].n_kept == 2
+    assert out[6].n_lines == 2
+
+
+def test_remove_boilerplate_preserves_line_order(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    common = "shared footer"
+    bodies = {
+        d: [f"doc {d} line {i:02d}" for i in range(20)] for d in range(1, 5)
+    }
+    rows = [(d, "s", "\n".join(bodies[d] + [common])) for d in range(1, 5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    out = remove_boilerplate_lines(docs, "doc_id", "text", "src").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.clean_text == "\n".join(bodies[r.doc_id]), (
+            "surviving lines must keep original order"
+        )
+        assert r.n_lines == 21 and r.n_kept == 20
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>"),
+            (2, "<SCRIPT>var a = '<p>not text</p>';\nmore();</script>after"),
+            (3, "<style media=\"all\">h1 { x: '<div>' }\n.c{}</style>kept"),
+            (4, "A &amp; B &lt;C&gt; &quot;D&quot;&nbsp;E"),
+            (5, "no markup at all"),
+            (6, "<div\nclass='x'>multi\nline tag</div>"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r.doc_id: r.t for r in docs.select(
+        "doc_id", strip_html("html").alias("t")).collect()}
+    assert out[1] == "Hello world"
+    assert out[2] == "after", "script contents (with embedded tags) must die"
+    assert out[3] == "kept", "style contents must die, case/attr-insensitive"
+    assert out[4] == 'A & B <C> "D" E'
+    assert out[5] == "no markup at all"
+    assert out[6] == "multi line tag"
+
+
+def test_inverted_index_postings_and_counts(spark):
+    import hashlib
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (10, "spark spark scan"),
+            (2, "scan the spark"),
+            (1, "scan scan scan"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.term: r for r in inverted_index(docs, "doc_id", "text").collect()}
+    assert set(out) == {"spark", "scan"}, "min_len=4 drops 'the'"
+    assert out["spark"].total_tf == 3 and out["spark"].df_count == 2
+    assert out["scan"].total_tf == 5 and out["scan"].df_count == 3
+    # postings fingerprint is over the NUMERICALLY sorted distinct ids
+    assert out["spark"].postings_fp == hashlib.md5(b"2,10").hexdigest()
+    assert out["scan"].postings_fp == hashlib.md5(b"1,2,10").hexdigest()

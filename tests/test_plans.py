@@ -270,3 +270,75 @@ def test_idle_rich_uses_anti_join(spark):
     plan = _plan(spark, "idle_rich_customers")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    plan = _plan(spark, "quality_classifier_scores")
+    assert "Exchange" not in plan, (
+        "hashing-trick classifier is one higher-order aggregate per row — "
+        "a shuffle here means the scorer stopped being a pure corpus pass"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "scorer must stay JVM-side (codegen'd higher-order aggregate)"
+    )
+
+
+def test_line_boilerplate_broadcasts_template_set(spark):
+    plan = _plan(spark, "line_boilerplate_removal")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "boilerplate line set must broadcast into a left-anti probe"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_extraction_is_map_only(spark):
+    plan = _plan(spark, "html_text_extraction")
+    assert "Exchange" not in plan, "regex strip chain must stay a pure corpus pass"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_filter_funnel_single_aggregate_pass(spark):
+    plan = _plan(spark, "corpus_filter_funnel")
+    # one partial-agg exchange to a single row, then the stack unpivot —
+    # a per-stage count() loop would show one exchange per stage
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_rolling_zscore_single_user_shuffle(spark):
+    plan = _plan(spark, "rolling_zscore_anomalies")
+    assert plan.count("Exchange") == 1, (
+        "one hash-partition by user, local sort, linear frame scan"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_band_predicates_all_pushed(spark):
+    plan = _plan(spark, "revenue_forecast_band")
+    # all three predicate families reach the parquet scan (the plan
+    # string truncates PushedFilters, so assert on the scan's DataFilters)
+    assert "PushedFilters: [IsNotNull(" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"({frag}" in scan, frag
+    assert plan.count("Exchange") == 1, "single 1-row partial-agg exchange"
+
+
+def test_q19_bracket_stays_broadcast_equi_join(spark):
+    plan = _plan(spark, "brand_bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_single_fact_aggregation(spark):
+    plan = _plan(spark, "large_volume_customers")
+    # exactly one shuffle-backed aggregate over lineitem; the surviving
+    # order set drives broadcast joins, never a second fact shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_dims_broadcast(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

@@ -282,3 +282,73 @@ def test_foreach_batch_upsert_latest_wins(spark, staged_events, tmp_path):
         assert bad == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_user_latest")
+
+
+def test_stream_stream_interval_join_equals_batch(spark, staged_events):
+    """Inner stream-stream join with a time-range bound emits exactly the
+    batch join's pairs (append mode, each pair once)."""
+    import uuid
+
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        join_streams_interval,
+        read_event_stream,
+    )
+
+    src, batch = staged_events
+    views = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.col("user_id").alias("u"), F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    joined = join_streams_interval(
+        views, purchases, key="u", left_ts="v_ts", right_ts="p_ts",
+        within="1 hour", watermark="1440 hours",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.u, r.v_ts, r.p_id) for r in spark.table(name).collect()
+    }
+
+    events = batch
+    v = events.filter(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").alias("u"), F.col("ts").alias("v_ts"))
+    p = events.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    want = {
+        (r.u, r.v_ts, r.p_id)
+        for r in v.join(
+            p,
+            (v.u == p.pu)
+            & (p.p_ts >= v.v_ts)
+            & (p.p_ts <= F.expr("v_ts + INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
