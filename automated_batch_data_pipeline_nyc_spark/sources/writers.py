@@ -26,6 +26,8 @@ __all__ = [
     "write_table",
     "write_table_bucketed",
     "compact_parquet",
+    "quarantine_write",
+    "manifest_for_dir",
 ]
 
 
@@ -164,3 +166,53 @@ def compact_parquet(
     shutil.move(staging, path)
     shutil.rmtree(backup)
     return n_files
+
+
+def quarantine_write(
+    df: DataFrame,
+    path: str,
+    valid_col: str = "_valid",
+    mode: str = "overwrite",
+) -> None:
+    """Route accepted and rejected rows to side-by-side sinks in ONE pass.
+
+    The data-contract pattern: stamp a boolean ``valid_col`` from the
+    contract predicates, then ``partitionBy`` that flag — a single scan
+    writes ``{path}/_valid=true`` (the downstream-consumable set) and
+    ``{path}/_valid=false`` (the quarantine for triage/replay).  The
+    naive form — two filtered writes — scans the corpus twice; at 100 TB
+    this trick halves the job.  Re-readers prune to the valid partition
+    for free.
+    """
+    write_parquet(df, path, partition_by=[valid_col], mode=mode)
+
+
+def manifest_for_dir(spark, path: str) -> DataFrame:
+    """Per-file manifest of a parquet dir: (file, n_rows) plus totals.
+
+    The data-versioning artifact a warehouse sink publishes with each
+    load: exact per-file row counts let a consumer detect partial/
+    corrupt loads without rescanning (compare manifests, not data).
+    Row counts come from ONE distributed pass grouped by
+    ``input_file_name`` — parquet scans count from footer metadata, so
+    this reads no row data.  File paths are relativized so the manifest
+    is location-independent (comparable across replicas/copies).
+    """
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    base = os.path.abspath(path).rstrip("/")
+    # input_file_name() yields a URI (file:///...); strip scheme, then base
+    return (
+        df.groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.regexp_replace(
+                F.regexp_replace("_f", "^[a-z]+://", ""), "^/*" + re.escape(base.lstrip("/")) + "/", ""
+            ).alias("file"),
+            "n_rows",
+        )
+    )

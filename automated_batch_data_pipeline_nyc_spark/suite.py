@@ -5789,6 +5789,109 @@ def _rolling_zscore(spark, sf_dir):
     )
 
 
+@_q(
+    "session_window_native",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    m AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sid AS (
+      SELECT user_id, ts, value,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+    SELECT user_id, MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {SQL_SUM.format(col="value")} AS total_value
+    FROM sid GROUP BY user_id, sess
+    """,
+    doc="Spark's NATIVE session_window aggregation (batch form): "
+        "groupBy(user, session_window(ts, '30 minutes')) merges events "
+        "whose gaps are under the timeout into dynamic windows — one "
+        "shuffle + per-user local sort, no self-join, no window-function "
+        "pass.  The oracle restates the exact semantics as gaps-and-"
+        "islands (a gap of EXACTLY the timeout starts a new session — "
+        "session_window ends are exclusive) with session_end = last event "
+        "+ timeout.  Complements the applyInPandasWithState streaming "
+        "sessionizer (streaming_sessionize) and the SQL-form "
+        "sessionize_events: three routes, one hash-verified semantics.",
+)
+def _session_native(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "sink_quarantine_roundtrip",
+    f"""
+    WITH stamped AS (
+      SELECT *, CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v2
+      FROM events)
+    SELECT (v2 IS NOT NULL) AS _valid,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      {SQL_SUM.format(col="v2")} AS total_value
+    FROM stamped GROUP BY (v2 IS NOT NULL)
+    """,
+    doc="data-contract quarantine sink, hash-verified round trip: every "
+        "11th event's value is nulled (fixtures are contract-clean, so "
+        "violations are injected), the contract predicate stamps a "
+        "boolean _valid, and ONE partitioned write routes accepted rows "
+        "to _valid=true and rejects to _valid=false side by side "
+        "(sources/writers.py quarantine_write) — one scan, both sinks; "
+        "the two-filtered-writes alternative scans the corpus twice.  "
+        "The aggregate over the RE-READ files must hash-match the oracle "
+        "computed on the original table, so lost rows, misrouted rows, "
+        "or partition corruption all break the hash.",
+)
+def _quarantine(spark, sf_dir):
+    import tempfile
+
+    from .sources.writers import quarantine_write
+
+    (events,) = _load(spark, sf_dir, "events")
+    stamped = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    ).withColumn("_valid", F.col("value").isNotNull())
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_quarantine_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    quarantine_write(stamped, out)
+    back = read_parquet(spark, out)
+    return back.groupBy(F.col("_valid").cast("boolean").alias("_valid")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        _sum_money(F.col("value"), "total_value"),
+    )
+
+
 # ===========================================================================
 # TPC-H analytic shapes, batch 3 (Q5/Q6/Q7/Q10/Q14/Q18/Q19)
 # ===========================================================================
@@ -6278,6 +6381,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "promo_revenue_share",
     "large_volume_customers",
     "brand_bracket_revenue",
+    "session_window_native",     # round-3 session 2: native session windows
+    "sink_quarantine_roundtrip", # round-3 session 2: contract quarantine
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)

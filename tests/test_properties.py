@@ -198,3 +198,83 @@ def test_distributed_percent_rank_equals_exact_window(spark, rows):
         ).collect()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "yy"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quality_classifier_matches_python_reference(spark, docs):
+    import hashlib
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        quality_classifier,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in quality_classifier(df, "doc_id", "text").collect()}
+
+    def w(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    for i, toks in enumerate(docs):
+        expect = sum(w(t) for t in toks)
+        assert got[i].w_sum == expect, (toks, got[i].w_sum, expect)
+        assert got[i].n_tokens == len(toks)
+        assert got[i].keep == (expect >= 0)
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    min_frac=st.sampled_from([0.3, 0.5, 0.8]),
+    min_docs=st.integers(min_value=1, max_value=4),
+)
+def test_boilerplate_removal_matches_python_reference(spark, data, min_frac, min_docs):
+    from collections import defaultdict
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    # docs are lists of line ids; line text "line <id>" within one group
+    rows = [
+        (i, "g", "\n".join(f"line {lid}" for lid in lids))
+        for i, lids in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", "grp", min_frac=min_frac, min_docs=min_docs
+        ).collect()
+    }
+
+    docs_with = defaultdict(set)
+    for i, lids in enumerate(data):
+        for lid in set(lids):
+            docs_with[f"line {lid}"].add(i)
+    n_docs = len(data)
+    boiler = {
+        ln
+        for ln, ds in docs_with.items()
+        if len(ds) >= min_docs and len(ds) >= min_frac * n_docs
+    }
+    for i, lids in enumerate(data):
+        lines = [f"line {lid}" for lid in lids]
+        kept = [ln for ln in lines if ln not in boiler]
+        assert got[i].clean_text == "\n".join(kept), (lines, boiler)
+        assert got[i].n_lines == len(lines) and got[i].n_kept == len(kept)

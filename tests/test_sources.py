@@ -212,3 +212,48 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     rows = {r.tier: r.n for r in joined.collect()}
     urgent = orders.filter("o_orderpriority = '1-URGENT'").count()
     assert rows == {"hot": urgent}
+
+
+def test_quarantine_write_routes_one_pass(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources.writers import quarantine_write
+
+    df = spark.createDataFrame(
+        [(i, float(i) if i % 3 else None) for i in range(30)], ["k", "v"]
+    ).withColumn("_valid", F.col("v").isNotNull())
+    out = str(tmp_path / "routed")
+    quarantine_write(df, out)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("_valid="))
+    assert dirs == ["_valid=false", "_valid=true"], "both routes written side by side"
+    back = spark.read.parquet(out)
+    ok = back.filter(F.col("_valid").cast("boolean")).count()
+    bad = back.filter(~F.col("_valid").cast("boolean")).count()
+    assert ok == 20 and bad == 10
+    # valid partition prunes: reading just the accepted route sees no rejects
+    accepted = spark.read.parquet(out + "/_valid=true")
+    assert accepted.filter(F.col("v").isNull()).count() == 0
+
+
+def test_manifest_for_dir_counts_per_file(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources.writers import (
+        manifest_for_dir,
+        write_parquet,
+    )
+
+    df = spark.range(1000).withColumn("p", F.col("id") % 4)
+    out = str(tmp_path / "m")
+    write_parquet(df.repartition(4, "p"), out, partition_by=["p"])
+    man = manifest_for_dir(spark, out).collect()
+    assert sum(r.n_rows for r in man) == 1000
+    assert all(r.file.startswith("p=") and "part-" in r.file for r in man), (
+        "paths must be relative to the dataset root"
+    )
+    # manifest detects a partial load: drop one file, counts change
+    import glob
+    import os
+
+    victim = glob.glob(f"{out}/p=0/part-*.parquet")[0]
+    os.remove(victim)
+    man2 = manifest_for_dir(spark, out).collect()
+    assert sum(r.n_rows for r in man2) < 1000
