@@ -5893,6 +5893,317 @@ def _quarantine(spark, sf_dir):
 
 
 # ===========================================================================
+# Retrieval / language-model scoring / graph analytics (round-3 session 2)
+# ===========================================================================
+
+#: BM25 probe terms (present in the fixture vocabulary, all >= 4 chars).
+_BM25_PROBE = ("spark", "window", "batch")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@_q(
+    "bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> len(x) >= 4) AS toks
+      FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+    hits AS (
+      SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM hits
+      WHERE term IN ('spark', 'window', 'batch')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT t.doc_id, t.term,
+        ln(1 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * (1.2 + 1))
+        / (CAST(t.tf AS DOUBLE)
+           + 1.2 * (1 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+                    * (CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))))
+          AS c
+      FROM tf t
+      JOIN dfreq d ON t.term = d.term
+      JOIN lens l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+      round(SUM(CASE WHEN term = 'spark' THEN c ELSE 0.0 END)
+          + SUM(CASE WHEN term = 'window' THEN c ELSE 0.0 END)
+          + SUM(CASE WHEN term = 'batch' THEN c ELSE 0.0 END), 6) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    doc="Okapi BM25 ranking (Robertson et al.; Lucene's +1 idf variant) for "
+        "a fixed probe-term set — the lexical-retrieval scorer every "
+        "RAG / eval-search pipeline needs beside the ANN path.  Plan: the "
+        "probe filter prunes the exploded terms at the scan, tf is one "
+        "doc-keyed shuffle, df (3 rows) and the corpus stats (1 row) "
+        "broadcast back, top-20 via TakeOrderedAndProject.  Cross-engine "
+        "exactness: per-term contributions are conditional sums (each has "
+        "at most one nonzero addend, and adding 0.0 is exact), added in a "
+        "FIXED order and rounded to 6dp — no float-summation-order drift; "
+        "ordering uses the rounded score with a doc_id tiebreak.  Note "
+        "dl/avgdl is computed as dl * (n_docs / sum_dl) in both engines "
+        "(identical op order).",
+)
+def _bm25(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) >= 4
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    lens = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_PROBE))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        1 + (nd - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    norm = 1 - _BM25_B + _BM25_B * F.col("dl").cast("double") * (
+        nd / F.col("sum_dl").cast("double")
+    )
+    c = idf * (tfd * (_BM25_K1 + 1)) / (tfd + _BM25_K1 * norm)
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", c.alias("c"))
+    )
+    zero = F.lit(0.0)
+    term_sum = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("term") == t, F.col("c")).otherwise(zero)
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(
+                term_sum("spark") + term_sum("window") + term_sum("batch"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "bigram_logprob_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+    pos AS (
+      SELECT doc_id, p, unnest(generate_series(1, len(p) - 1)) AS i
+      FROM toks WHERE len(p) >= 2),
+    bg AS (
+      SELECT doc_id, p[i] || ' ' || p[i+1] AS g, p[i] AS w1 FROM pos),
+    c12 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY g),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+        CAST(round(ln(CAST(c12.c AS DOUBLE) / CAST(c1.c AS DOUBLE)), 6)
+             AS DECIMAL(20,6)) AS lp
+      FROM bg JOIN c12 ON bg.g = c12.g JOIN c1 ON bg.w1 = c1.w1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="corpus-bigram language-model scoring (the CCNet/KenLM perplexity "
+        "filter's shape, with the corpus itself as the LM): every bigram "
+        "scores ln P(w2|w1) from the corpus bigram/left-unigram counts, "
+        "and a document's quality proxy is its mean bigram log-prob — "
+        "boilerplate-heavy docs score high, token soup scores low.  "
+        "Float discipline: each log-prob is 6dp-rounded then summed as "
+        "DECIMAL(20,6) — the per-doc sum is order-independent at any "
+        "partitioning (a raw double sum would drift with addend order); "
+        "one final division, rounded.  Plan: two vocabulary-bounded "
+        "count shuffles, broadcastable joins back onto the bigram "
+        "stream, one doc-keyed agg.",
+)
+def _bigram_lm(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    bg = base.select(
+        "doc_id", F.explode(tx.ngram_array(F.col("toks"), 2)).alias("g")
+    ).withColumn("w1", F.substring_index("g", " ", 1))
+    c12 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = F.round(
+        F.log(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(20,6)")
+    scored = (
+        bg.join(F.broadcast(c12), "g")
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
+
+
+@_q(
+    "dedup_graph_triangles",
+    f"""
+    WITH {_SQL_PREFIX_PAIRS},
+    verts AS (
+      SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs)
+      GROUP BY v),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e1.id_b = e2.id_a
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+      (SELECT n_triangles FROM tri) AS n_triangles,
+      (SELECT MAX(d) FROM deg) AS max_degree
+    """,
+    doc="triangle counting on the near-dup pair graph — the graph-health "
+        "metric that separates chain-shaped false-positive clusters (no "
+        "triangles) from genuine duplicate cliques (triangle-dense).  "
+        "Node-iterator form on the canonically ordered edge list "
+        "(id_a < id_b): wedge join e1.b = e2.a closed by a third equi-"
+        "join, so each triangle counts exactly once and no cartesian "
+        "appears.  The triangle count is orientation-invariant, so the "
+        "oracle's simple id-order matches; at web scale you re-orient "
+        "edges by (degree, id) before the wedge join, which provably "
+        "bounds wedge fan-out by sqrt(m) (the Schank/Wagner bound) — "
+        "same plan shape, different orientation key.  Degree / vertex / "
+        "edge tallies ride along as 1-row broadcast aggregates.",
+)
+def _triangles(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.8
+    ).select("id_a", "id_b")
+    pairs = pairs.persist()
+    try:
+        verts = (
+            pairs.select(F.col("id_a").alias("v"))
+            .union(pairs.select("id_b"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+        )
+        edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        deg = (
+            pairs.select(F.col("id_a").alias("v"))
+            .unionAll(pairs.select("id_b"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d").alias("max_degree"))
+        )
+        e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+            .join(
+                e3,
+                (F.col("e3.id_a") == F.col("e1.id_a"))
+                & (F.col("e3.id_b") == F.col("e2.id_b")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        out = (
+            verts.crossJoin(F.broadcast(edges))
+            .crossJoin(F.broadcast(tri))
+            .crossJoin(F.broadcast(deg))
+            .select("n_vertices", "n_edges", "n_triangles", "max_degree")
+        )
+        out = out.localCheckpoint()
+    finally:
+        pairs.unpersist()
+    return out
+
+
+#: Broadcast weight table for the bucketed classifier: 64 integer weights
+#: derived from a Knuth multiplicative hash of the bucket index — pure
+#: Python at module load, embedded as a literal in BOTH dialects so the
+#: table is provably shared.
+_BUCKET_WEIGHTS = [((i * 2654435761) % 2001) - 1000 for i in range(64)]
+_SQL_WEIGHTS = "[" + ", ".join(str(w) for w in _BUCKET_WEIGHTS) + "]"
+
+
+@_q(
+    "quality_classifier_bucketed",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          t -> list_extract({_SQL_WEIGHTS},
+            CAST(('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS INTEGER)
+              + 1))) AS BIGINT) AS w_sum
+      FROM documents)
+    SELECT doc_id, n_tokens, w_sum,
+      round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE)
+        / (n_tokens * 1000.0)))), 6) AS score,
+      w_sum >= 0 AS keep
+    FROM s
+    """,
+    doc="the PRODUCTION shape of the hashing-trick classifier: tokens hash "
+        "into a FIXED-SIZE bucket space (64 here) and the weight comes "
+        "from an element_at lookup into a broadcast weight table — "
+        "exactly how a trained fastText/logistic model deploys (weights "
+        "arrive as a literal/broadcast array, not a function of the "
+        "hash).  The table is generated once in Python and embedded in "
+        "both dialects, so the oracle provably runs the same model.  "
+        "Still one JVM higher-order aggregate per row: map-only, exact "
+        "BIGINT sum, bit-deterministic keep boundary.  Companion to "
+        "quality_classifier_scores (hash-derived weights, unbounded "
+        "bucket space).",
+)
+def _quality_bucketed(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    arr = F.array(*[F.lit(w) for w in _BUCKET_WEIGHTS])
+    toks = F.split(F.col("text"), " ")
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(
+            arr,
+            (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % 64
+            ).cast("int")
+            + 1,
+        ).cast("bigint"),
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        w_sum.alias("w_sum"),
+    )
+    logit = F.col("w_sum") / (F.col("n_tokens") * F.lit(1000.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "w_sum",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (F.col("w_sum") >= 0).alias("keep"),
+    )
+
+
+# ===========================================================================
 # TPC-H analytic shapes, batch 3 (Q5/Q6/Q7/Q10/Q14/Q18/Q19)
 # ===========================================================================
 
@@ -6383,6 +6694,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "brand_bracket_revenue",
     "session_window_native",     # round-3 session 2: native session windows
     "sink_quarantine_roundtrip", # round-3 session 2: contract quarantine
+    "bm25_search",               # round-3 session 2: lexical retrieval
+    "bigram_logprob_scores",     # round-3 session 2: corpus-LM quality proxy
+    "dedup_graph_triangles",     # round-3 session 2: dup-graph health
+    "quality_classifier_bucketed",  # round-3 session 2: broadcast weights
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)

@@ -956,3 +956,71 @@ def test_inverted_index_postings_and_counts(spark):
     # postings fingerprint is over the NUMERICALLY sorted distinct ids
     assert out["spark"].postings_fp == hashlib.md5(b"2,10").hexdigest()
     assert out["scan"].postings_fp == hashlib.md5(b"1,2,10").hexdigest()
+
+
+def test_triangle_count_on_known_graph(spark):
+    """The suite query counts triangles on the jaccard graph; this pins the
+    wedge-join counting logic itself on a constructed edge list."""
+    edges = spark.createDataFrame(
+        # triangle 1-2-3, square 10-11-12-13 (no triangle), pendant 3-4
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (10, 13), (3, 4)],
+        ["id_a", "id_b"],
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    n = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .count()
+    )
+    assert n == 1, "exactly the 1-2-3 triangle; the square contributes none"
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
+
+    # hand-built corpus routed through the same probe terms
+    corpus = {
+        1: "spark spark spark window ....",
+        2: "spark other words here entirely",
+        3: "window batch window batch fill",
+        4: "nothing relevant appears anywhere",
+    }
+    # reference BM25 (k1=1.2, b=0.75, Lucene +1 idf) over tokens >= 4 chars
+    probe = ("spark", "window", "batch")
+    docs = {k: [t for t in v.split(" ") if len(t) >= 4] for k, v in corpus.items()}
+    N = len(docs)
+    avg = sum(len(t) for t in docs.values()) / N
+    df = {p: sum(1 for t in docs.values() if p in t) for p in probe}
+    want = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for p in probe:
+            tf = toks.count(p)
+            if not tf or not df[p]:
+                continue
+            idf = math.log(1 + (N - df[p] + 0.5) / (df[p] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) * (N / sum(len(t) for t in docs.values()))))
+        if s:
+            want[d] = round(s, 6)
+
+    # run the suite's spark implementation against a temp parquet dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(k, v, "en", "s", len(v)) for k, v in corpus.items()],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: r.score
+            for r in QUERIES["bm25_search"].spark(spark, tmp).collect()
+        }
+    assert got == want, (got, want)
+    # more probe occurrences => higher score at comparable length
+    assert got[1] > got[2]

@@ -342,3 +342,20 @@ def test_q5_dims_broadcast(spark):
     plan = _plan(spark, "local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_never_global_sorts(spark):
+    plan = _plan(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan, "top-20 must prune, not sort globally"
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_classifier_is_map_only(spark):
+    plan = _plan(spark, "quality_classifier_bucketed")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_triangle_wedge_joins_are_equi(spark):
+    plan = _plan(spark, "dedup_graph_triangles")
+    assert "CartesianProduct" not in plan
