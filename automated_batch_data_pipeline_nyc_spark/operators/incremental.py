@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "snapshot_diff", "scd2_apply"]
+__all__ = ["merge_upsert", "snapshot_diff", "scd2_apply", "cdc_apply"]
 
 
 def merge_upsert(
@@ -185,3 +185,48 @@ def scd2_apply(
         ).alias("__r")
     ).select("__r.*")
     return past.select(*cols).unionByName(emitted.select(*cols))
+
+
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed — insert/update/DELETE tombstones — to a
+    snapshot in one pass.
+
+    ``changes`` carries the target's schema plus ``op_col`` in
+    {'I', 'U', 'D'}.  Semantics match a warehouse MERGE with a WHEN
+    MATCHED AND op='D' THEN DELETE branch: deletes drop the key,
+    upserts (I/U) replace or add the row.  If one key appears several
+    times in the feed, the caller must pre-collapse to the LAST change
+    per key (standard CDC compaction — see ``snapshot_diff`` for
+    producing such feeds); this function asserts nothing about order.
+
+    Plan shape: one full-outer shuffle of target vs feed on the keys
+    (same cost as ``merge_upsert``); the delete branch is a filter on
+    the joined row, not a second anti-join pass over the target.
+    """
+    cols = target.columns
+    if set(cols) | {op_col} != set(changes.columns) | {op_col}:
+        raise ValueError("cdc_apply requires target schema + op column")
+    non_keys = [c for c in cols if c not in keys]
+    u = changes.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in non_keys],
+        F.col(op_col).alias("__op"),
+    )
+    j = target.join(u, on=list(keys), how="full_outer")
+    merged = j.filter(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    ).select(
+        *[F.col(k) for k in keys],
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in non_keys
+        ],
+    )
+    return merged.select(*cols)

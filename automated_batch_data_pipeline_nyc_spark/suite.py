@@ -5892,6 +5892,131 @@ def _quarantine(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_apply_orders",
+    f"""
+    WITH feed AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority, 'D' AS op
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'X', o_totalprice + 10,
+        o_orderdate, o_orderpriority, 'U'
+      FROM orders WHERE o_orderkey % 13 = 1
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority, 'I'
+      FROM orders WHERE o_orderkey % 13 = 2),
+    applied AS (
+      SELECT o.o_orderstatus, o.o_totalprice FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM feed f WHERE f.o_orderkey = o.o_orderkey)
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM feed WHERE op <> 'D')
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS total_value
+    FROM applied GROUP BY o_orderstatus
+    """,
+    doc="CDC change-feed apply with DELETE tombstones "
+        "(operators/incremental.py cdc_apply): a deterministic feed "
+        "deletes every key = 0 mod 13, rewrites status/price for = 1, and "
+        "inserts fresh keys for = 2; the applied snapshot's per-status "
+        "aggregate must hash-match the oracle's independent semantic "
+        "restatement (untouched rows UNION surviving feed rows) — so a "
+        "missed delete, double-applied update, or dropped insert all "
+        "break the hash.  One full-outer shuffle total; the delete "
+        "branch is a filter on the joined row, not a second anti-join "
+        "pass over the target.",
+)
+def _cdc_apply(spark, sf_dir):
+    from .operators.incremental import cdc_apply
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = orders.filter(k % 13 == 0).withColumn("op", F.lit("D"))
+    u = (
+        orders.filter(k % 13 == 1)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .withColumn("op", F.lit("U"))
+    )
+    i = (
+        orders.filter(k % 13 == 2)
+        .withColumn("o_orderkey", k + 10000000)
+        .withColumn("op", F.lit("I"))
+    )
+    feed = d.unionByName(u).unionByName(i)
+    applied = cdc_apply(orders, feed, ["o_orderkey"])
+    return applied.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "total_value"),
+    )
+
+
+@_q(
+    "cdc_compact_feed",
+    f"""
+    WITH feed AS (
+      SELECT o_orderkey, o_totalprice, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 < 3
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 5, 'U', 2
+      FROM orders WHERE o_orderkey % 7 < 2
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'D', 3
+      FROM orders WHERE o_orderkey % 7 < 1),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM feed),
+    compact AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_changes,
+      {SQL_SUM.format(col="o_totalprice")} AS total_value,
+      CAST(SUM(seq) AS BIGINT) AS seq_sum
+    FROM compact GROUP BY op
+    """,
+    doc="CDC feed compaction — collapse a multi-change-per-key feed to "
+        "the LAST change per key before applying (the precondition "
+        "cdc_apply documents): deterministic synthetic feed gives keys "
+        "one, two, or three versions, and only the latest survives.  "
+        "row_number over (key, seq DESC) plans with WindowGroupLimit, so "
+        "each group prunes to one row during the sort — the same "
+        "bounded-state shape as top-k sampling, never a per-key history "
+        "materialization.  Per-op aggregate (counts, decimal sums, seq "
+        "checksum) pins every surviving version.",
+)
+def _cdc_compact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 7 < 3).select(
+        "o_orderkey", "o_totalprice", F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    v2 = orders.filter(k % 7 < 2).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    v3 = orders.filter(k % 7 < 1).select(
+        "o_orderkey", "o_totalprice", F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    feed = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    compact = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return compact.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        _sum_money(F.col("o_totalprice"), "total_value"),
+        F.sum("seq").cast("long").alias("seq_sum"),
+    )
+
+
 # ===========================================================================
 # Retrieval / language-model scoring / graph analytics (round-3 session 2)
 # ===========================================================================
@@ -6698,6 +6823,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "bigram_logprob_scores",     # round-3 session 2: corpus-LM quality proxy
     "dedup_graph_triangles",     # round-3 session 2: dup-graph health
     "quality_classifier_bucketed",  # round-3 session 2: broadcast weights
+    "cdc_apply_orders",          # round-3 session 2: CDC with tombstones
+    "cdc_compact_feed",          # round-3 session 2: last-change-per-key
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)

@@ -124,3 +124,24 @@ def test_scd2_apply_rejects_schema_drift(spark):
     bad = spark.createDataFrame([(1, "a", 9)], ["k", "v", "extra"])
     with pytest.raises(ValueError, match="keys \\+ attrs"):
         scd2_apply(hist, bad, ["k"], "2026-02-01 00:00:00")
+
+
+def test_cdc_apply_insert_update_delete(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 25.0, "U"),   # update
+            (3, None, None, "D"),  # delete tombstone
+            (4, "d", 40.0, "I"),   # insert
+        ],
+        ["k", "s", "v", "op"],
+    )
+    got = {r.k: (r.s, r.v) for r in cdc_apply(target, changes, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 25.0), 4: ("d", 40.0)}
+
+    with pytest.raises(ValueError):
+        cdc_apply(target, changes.drop("v"), ["k"])

@@ -359,3 +359,16 @@ def test_bucketed_classifier_is_map_only(spark):
 def test_triangle_wedge_joins_are_equi(spark):
     plan = _plan(spark, "dedup_graph_triangles")
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_compact_uses_window_group_limit(spark):
+    plan = _plan(spark, "cdc_compact_feed")
+    assert "WindowGroupLimit" in plan, (
+        "last-change-per-key must prune during the sort, not rank full histories"
+    )
+
+
+def test_cdc_apply_single_outer_shuffle_no_second_pass(spark):
+    plan = _plan(spark, "cdc_apply_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
