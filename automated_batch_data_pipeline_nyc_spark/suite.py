@@ -5124,10 +5124,18 @@ def _dinc(spark, sf_dir):
 # stream-static broadcast enrichment, each bit-matched to a batch oracle.
 # ===========================================================================
 
+#: Staging dirs already written by THIS process.  The staged bytes are a
+#: pure function of (sf_dir, tag) — fixtures are immutable — so a second
+#: streaming query (or a bench rerun in the same process) can reuse the
+#: dir instead of re-writing it.  Process-scoped on purpose: a fresh
+#: process always restages, so stale dirs from older fixture sets can't
+#: leak across runs.
+_STAGED_DIRS: set[str] = set()
+
+
 def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
     """Write ``df`` to a per-(sf,tag) staging dir for the file-source
-    stream.  Overwrite each call: the suite must be re-runnable and the
-    staged bytes must reflect the current fixtures."""
+    stream (memoized per process — see ``_STAGED_DIRS``)."""
     import tempfile
 
     src = os.path.join(
@@ -5135,7 +5143,9 @@ def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
         f"automated_batch_data_pipeline_nyc_stream_{tag}_"
         f"{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    df.repartition(4).write.mode("overwrite").parquet(src)
+    if src not in _STAGED_DIRS:
+        df.repartition(4).write.mode("overwrite").parquet(src)
+        _STAGED_DIRS.add(src)
     return src
 
 
@@ -5340,7 +5350,10 @@ def _stream_interval_join(spark, sf_dir):
     base = events.filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    src = _stage_stream_src(spark, sf_dir, "sjoin", base)
+    # tag "sess" on purpose: this frame is byte-identical to the one
+    # streaming_sessionize stages (same user/ts null filter), so the two
+    # queries share one staging write via the _STAGED_DIRS memo.
+    src = _stage_stream_src(spark, sf_dir, "sess", base)
     views = (
         read_event_stream(spark, src)
         .filter(F.col("event_type") == "view")
