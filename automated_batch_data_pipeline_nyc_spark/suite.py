@@ -6273,6 +6273,111 @@ def _triangles(spark, sf_dir):
     return out
 
 
+@_q(
+    "hybrid_retrieval_rrf",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> len(x) >= 4) AS toks
+      FROM documents),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+    hits AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM hits
+      WHERE term IN ('spark', 'window', 'batch')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT t.doc_id, t.term,
+        ln(1 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+               / (CAST(d.df AS DOUBLE) + 0.5))
+        * (CAST(t.tf AS DOUBLE) * (1.2 + 1))
+        / (CAST(t.tf AS DOUBLE)
+           + 1.2 * (1 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+                    * (CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))))
+          AS c
+      FROM tf t
+      JOIN dfreq d ON t.term = d.term
+      JOIN lens l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s),
+    lex AS (
+      SELECT doc_id,
+        round(SUM(CASE WHEN term = 'spark' THEN c ELSE 0.0 END)
+            + SUM(CASE WHEN term = 'window' THEN c ELSE 0.0 END)
+            + SUM(CASE WHEN term = 'batch' THEN c ELSE 0.0 END), 6) AS score
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 20),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        AS rank_lex FROM lex),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    cosed AS (
+      SELECT vec_id AS doc_id,
+        list_dot_product(embedding::DOUBLE[], q.qe)
+          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qe, q.qe))) AS cs
+      FROM embeddings, q),
+    vec AS (SELECT doc_id, cs FROM cosed ORDER BY cs DESC, doc_id ASC LIMIT 20),
+    vecr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC)
+        AS rank_vec FROM vec),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        CAST(l.rank_lex AS BIGINT) AS rank_lex,
+        CAST(v.rank_vec AS BIGINT) AS rank_vec,
+        COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+          + COALESCE(1.0 / (60 + v.rank_vec), 0.0) AS rrf
+      FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id, rank_lex, rank_vec, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+    doc="hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+        "RRF, k=60): the BM25 top-20 candidate list fuses with the "
+        "vector top-20 (cosine to the probe embedding) by summing "
+        "1/(60+rank) over both lists — rank-based fusion needs no score "
+        "normalization between the lexical and vector spaces, which is "
+        "why it's the production default for hybrid search.  Cross-"
+        "engine exactness: ranks are integers from deterministic "
+        "(score, id) orderings, the fusion is two fixed-order additions "
+        "of exactly-representable reciprocals, rounded at output.  The "
+        "rank windows run over 20-row candidate frames (driver-sized by "
+        "construction), NOT the corpus — at scale each side's top-k "
+        "comes from its own distributed TakeOrdered/ANN path first.",
+)
+def _hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lex = _bm25(spark, sf_dir).limit(20).select("doc_id", "score")
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+    )
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    vec = sim.brute_force_topk(emb, "embedding", _query_vec(spark, sf_dir), k=20)
+    wv = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("long").alias("rank_vec"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id", "rank_lex", "rank_vec", rrf.alias("_rrf")
+        )
+        .orderBy(F.col("_rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id", "rank_lex", "rank_vec",
+            F.round(F.col("_rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
 #: Broadcast weight table for the bucketed classifier: 64 integer weights
 #: derived from a Knuth multiplicative hash of the bucket index — pure
 #: Python at module load, embedded as a literal in BOTH dialects so the
@@ -6838,6 +6943,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "quality_classifier_bucketed",  # round-3 session 2: broadcast weights
     "cdc_apply_orders",          # round-3 session 2: CDC with tombstones
     "cdc_compact_feed",          # round-3 session 2: last-change-per-key
+    "hybrid_retrieval_rrf",      # round-3 session 2: RRF hybrid search
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
