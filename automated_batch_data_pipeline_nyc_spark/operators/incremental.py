@@ -209,7 +209,9 @@ def cdc_apply(
     the joined row, not a second anti-join pass over the target.
     """
     cols = target.columns
-    if set(cols) | {op_col} != set(changes.columns) | {op_col}:
+    if op_col not in changes.columns:
+        raise ValueError(f"cdc_apply: changes frame lacks op column {op_col!r}")
+    if set(cols) != set(changes.columns) - {op_col}:
         raise ValueError("cdc_apply requires target schema + op column")
     non_keys = [c for c in cols if c not in keys]
     u = changes.select(

@@ -578,7 +578,6 @@ def canonical_url(url: Column | str) -> Column:
 def hashed_linear_score(
     text: Column | str,
     hash_dim: int = 2001,
-    scale: float = 1000.0,
 ) -> Column:
     """Hashing-trick linear text classifier score (map-only, exact).
 
@@ -636,7 +635,7 @@ def quality_classifier(
     is the cheapest possible pass shape (same cost as reading the text
     column once).
     """
-    s = hashed_linear_score(text_col, hash_dim, scale)
+    s = hashed_linear_score(text_col, hash_dim)
     out = df.select(F.col(id_col), s.alias("_s"))
     logit = F.col("_s.w_sum") / (F.col("_s.n_tokens") * F.lit(scale))
     return out.select(
@@ -682,7 +681,6 @@ def remove_boilerplate_lines(
     lines = df.select(
         F.col(id_col),
         F.col(group_col),
-        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("norm", norm)
 

@@ -211,7 +211,7 @@ def manifest_for_dir(spark, path: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
             F.regexp_replace(
-                F.regexp_replace("_f", "^[a-z]+://", ""), "^/*" + re.escape(base.lstrip("/")) + "/", ""
+                F.regexp_replace("_f", "^[a-z][a-z0-9+.-]*://", ""), "^/*" + re.escape(base.lstrip("/")) + "/", ""
             ).alias("file"),
             "n_rows",
         )

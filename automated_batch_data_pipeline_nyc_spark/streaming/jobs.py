@@ -237,7 +237,9 @@ def join_streams_interval(
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])
-        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+        # qualify the left timestamp: a bare F.expr(f"{left_ts} + ...")
+        # is ambiguous whenever both streams share the column name
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
 

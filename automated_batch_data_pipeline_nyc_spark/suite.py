@@ -4767,7 +4767,7 @@ def _leakproof(spark, sf_dir):
       WHERE r.r_name = 'AMERICA'
     )
     SELECT o_year,
-      CAST(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+      CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
         / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
       CAST(CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS total_volume
@@ -4810,7 +4810,7 @@ def _mkt_share(spark, sf_dir):
     zero = F.lit(0).cast(D2)
     return sales.groupBy("o_year").agg(
         (
-            F.sum(F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(zero)).cast("double")
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
             / F.sum("volume").cast("double")
         ).alias("mkt_share"),
         F.sum("volume").cast("double").alias("total_volume"),
@@ -5000,7 +5000,7 @@ def _idle_rich(spark, sf_dir):
     WITH base AS (SELECT doc_id, text FROM documents),
     corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 5 <> 0),
     reposts AS (
-      SELECT doc_id + 2000000 AS doc_id, text FROM corpus WHERE doc_id % 20 = 0),
+      SELECT doc_id + 2000000 AS doc_id, text FROM corpus WHERE doc_id % 20 = 1),
     increment AS (
       SELECT doc_id, text FROM base WHERE doc_id % 5 = 0
       UNION ALL SELECT doc_id, text FROM reposts),
@@ -5061,7 +5061,7 @@ def _idle_rich(spark, sf_dir):
         "fingerprint frame, never corpus text), (2) near-dup kill via "
         "lossless prefix-jaccard pairs restricted to CROSS-side "
         "(increment x corpus) pairs at >= 0.8.  Exact re-deliveries are "
-        "injected (every 20th corpus doc re-posted under a new id, "
+        "injected (corpus docs with id = 1 mod 20 re-posted under new ids, "
         "FIXTURES.md policy) so stage 1 provably fires; the fixtures' own "
         "near-dup families straddle the %5 split so stage 2 fires "
         "naturally.  Within-increment duplicates are deliberately NOT "
@@ -5074,7 +5074,9 @@ def _dinc(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
     corpus = base.filter(F.col("doc_id") % 5 != 0)
-    reposts = corpus.filter(F.col("doc_id") % 20 == 0).withColumn(
+    # % 20 == 1 keys are always in the corpus (1 mod 5 != 0) — a % 20
+    # == 0 predicate would be provably empty against the % 5 != 0 corpus
+    reposts = corpus.filter(F.col("doc_id") % 20 == 1).withColumn(
         "doc_id", F.col("doc_id") + 2_000_000
     )
     increment = base.filter(F.col("doc_id") % 5 == 0).unionAll(reposts)
@@ -5163,7 +5165,13 @@ def _run_stream_to_table(agg, mode: str) -> str:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        # awaitTermination returns False on timeout; stopping a stream
+        # mid-backlog would silently aggregate PARTIAL results, so a
+        # timeout must be an error, never a truncated answer.
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                f"stream {name} did not drain its backlog within 300s"
+            )
     finally:
         q.stop()
     return name
@@ -5394,15 +5402,22 @@ def _stream_interval_join(spark, sf_dir):
 # Model-based quality filtering and line-level boilerplate removal
 # ===========================================================================
 
+#: Shared oracle expression for the hashing-trick weight sum over a
+#: text column — used by quality_classifier_scores,
+#: dedup_survivor_by_quality and corpus_filter_funnel.
+_SQL_HASH_WSUM = (
+    "list_sum(list_transform(string_split(text, ' '), "
+    "t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001) - 1000))"
+)
+
+
 @_q(
     "quality_classifier_scores",
-    """
+    f"""
     WITH s AS (
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        CAST(list_sum(list_transform(string_split(text, ' '),
-          t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001) - 1000))
-          AS BIGINT) AS w_sum
+        CAST({_SQL_HASH_WSUM} AS BIGINT) AS w_sum
       FROM documents)
     SELECT doc_id, n_tokens, w_sum,
       round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE)
@@ -5615,9 +5630,7 @@ def _inv_index(spark, sf_dir):
     ),
     score AS (
       SELECT doc_id,
-        CAST(list_sum(list_transform(string_split(text, ' '),
-          t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001) - 1000))
-          AS BIGINT) AS w_sum
+        CAST({_SQL_HASH_WSUM} AS BIGINT) AS w_sum
       FROM documents),
     j AS (
       SELECT a.component, a.doc_id, s.w_sum
@@ -5676,7 +5689,7 @@ def _dedup_best_quality(spark, sf_dir):
 
 @_q(
     "corpus_filter_funnel",
-    """
+    f"""
     WITH flags AS (
       SELECT
         CASE WHEN text IS NOT NULL AND lang IS NOT NULL THEN 1 ELSE 0 END AS s1,
@@ -5686,9 +5699,7 @@ def _dedup_best_quality(spark, sf_dir):
               AND n_chars >= 150 AND lang = 'en' THEN 1 ELSE 0 END AS s3,
         CASE WHEN text IS NOT NULL AND lang IS NOT NULL
               AND n_chars >= 150 AND lang = 'en'
-              AND list_sum(list_transform(string_split(text, ' '),
-                t -> (('0x' || substring(md5(t), 1, 8))::BIGINT % 2001)
-                     - 1000)) >= 0
+              AND {_SQL_HASH_WSUM} >= 0
              THEN 1 ELSE 0 END AS s4,
         1 AS s0
       FROM documents),
@@ -6038,11 +6049,11 @@ def _cdc_compact(spark, sf_dir):
 _BM25_PROBE = ("spark", "window", "batch")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-
-@_q(
-    "bm25_search",
-    f"""
-    WITH base AS (
+#: Shared oracle CTE chain producing per-(doc, probe-term) BM25
+#: contributions — used verbatim by BOTH bm25_search and
+#: hybrid_retrieval_rrf so a formula tweak cannot silently diverge the
+#: two oracles.
+_SQL_BM25_CONTRIB = """base AS (
       SELECT doc_id,
         list_filter(string_split(lower(text), ' '), x -> len(x) >= 4) AS toks
       FROM documents),
@@ -6068,7 +6079,14 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       FROM tf t
       JOIN dfreq d ON t.term = d.term
       JOIN lens l ON t.doc_id = l.doc_id
-      CROSS JOIN stats s)
+      CROSS JOIN stats s)"""
+
+
+
+@_q(
+    "bm25_search",
+    f"""
+    WITH {_SQL_BM25_CONTRIB}
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
       round(SUM(CASE WHEN term = 'spark' THEN c ELSE 0.0 END)
           + SUM(CASE WHEN term = 'window' THEN c ELSE 0.0 END)
@@ -6275,33 +6293,8 @@ def _triangles(spark, sf_dir):
 
 @_q(
     "hybrid_retrieval_rrf",
-    """
-    WITH base AS (
-      SELECT doc_id,
-        list_filter(string_split(lower(text), ' '), x -> len(x) >= 4) AS toks
-      FROM documents),
-    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
-    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
-    hits AS (SELECT doc_id, unnest(toks) AS term FROM base),
-    tf AS (
-      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM hits
-      WHERE term IN ('spark', 'window', 'batch')
-      GROUP BY doc_id, term),
-    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-    contrib AS (
-      SELECT t.doc_id, t.term,
-        ln(1 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-               / (CAST(d.df AS DOUBLE) + 0.5))
-        * (CAST(t.tf AS DOUBLE) * (1.2 + 1))
-        / (CAST(t.tf AS DOUBLE)
-           + 1.2 * (1 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
-                    * (CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))))
-          AS c
-      FROM tf t
-      JOIN dfreq d ON t.term = d.term
-      JOIN lens l ON t.doc_id = l.doc_id
-      CROSS JOIN stats s),
+    f"""
+    WITH {_SQL_BM25_CONTRIB},
     lex AS (
       SELECT doc_id,
         round(SUM(CASE WHEN term = 'spark' THEN c ELSE 0.0 END)
@@ -7023,9 +7016,15 @@ _PREVIOUSLY_VERIFIED: list[str] = [
 _rotated = (
     DRIVER_WINDOW + _NEXT_WINDOW_QUEUE + _PREVIOUSLY_VERIFIED
 )
-assert len(_rotated) == len(QUERIES), (
+# Set equality AND no duplicates: a length-only check lets a pasted
+# duplicate cancel out a forgotten registration, and the dict rebuild
+# below would then silently drop a query from queries()/oracle_sql().
+assert len(_rotated) == len(set(_rotated)), (
+    f"duplicate names in rotation lists: "
+    f"{sorted(n for n in set(_rotated) if _rotated.count(n) > 1)}"
+)
+assert set(_rotated) == set(QUERIES), (
     f"rotation lists out of sync with registrations: "
-    f"{len(_rotated)} != {len(QUERIES)}; "
     f"missing={set(QUERIES) - set(_rotated)} "
     f"unknown={set(_rotated) - set(QUERIES)}"
 )

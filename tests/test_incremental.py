@@ -145,3 +145,12 @@ def test_cdc_apply_insert_update_delete(spark):
 
     with pytest.raises(ValueError):
         cdc_apply(target, changes.drop("v"), ["k"])
+
+
+def test_cdc_apply_rejects_missing_op_column(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import cdc_apply
+
+    target = spark.createDataFrame([(1, "a")], ["k", "s"])
+    no_op = spark.createDataFrame([(1, "b")], ["k", "s"])
+    with pytest.raises(ValueError, match="op column"):
+        cdc_apply(target, no_op, ["k"])

@@ -352,3 +352,32 @@ def test_stream_stream_interval_join_equals_batch(spark, staged_events):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_join_accepts_shared_ts_names(spark, staged_events):
+    """Both sides naturally carry a column named after the event time; the
+    interval bound must stay resolvable (regression: a bare F.expr on the
+    left_ts name was ambiguous)."""
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        join_streams_interval,
+        read_event_stream,
+    )
+
+    src, _batch = staged_events
+    left = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("l_ts"), F.col("ts"))
+    )
+    right = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("r_ts"), F.col("ts"))
+    )
+    # analysis-time check only: building the join must not raise even
+    # though both sides still expose a raw `ts` column
+    joined = join_streams_interval(
+        left.drop("ts"), right, key="user_id",
+        left_ts="l_ts", right_ts="r_ts", within="1 hour",
+    )
+    assert "r_ts" in joined.columns and "l_ts" in joined.columns
