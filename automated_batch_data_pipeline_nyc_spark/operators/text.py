@@ -740,7 +740,9 @@ def strip_html(text: Column | str) -> Column:
     crawled corpora; a production pipeline swaps in a real DOM
     extractor (trafilatura-class) via mapInPandas where fidelity
     matters, but the regex path handles the bulk strip at full JVM
-    speed with zero Python.
+    speed with zero Python.  Known regex-extractor limitation: a bare
+    ``< ... >`` comparison in prose is indistinguishable from a tag and
+    gets stripped — the DOM path is the fix where that matters.
     """
     t = F.col(text) if isinstance(text, str) else text
     # two passes instead of a <(script|style)>...</\1> backreference —
@@ -764,7 +766,11 @@ def strip_html(text: Column | str) -> Column:
 
 
 def inverted_index(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Build a term -> postings inverted index over the corpus.
 
@@ -786,6 +792,22 @@ def inverted_index(
         lambda x: F.length(x) >= min_len,
     )
     pairs = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+    if max_df is not None:
+        # the heavy-hitter cap, made real: terms above the document-
+        # frequency ceiling (stopword-class, no retrieval signal) are
+        # dropped BEFORE postings collect, so no reducer ever holds a
+        # web-scale stopword posting list.  The df pre-count is one
+        # combinable (term)-keyed agg over distinct (term, doc) pairs;
+        # the survivor set joins back as a semi-join (broadcast when
+        # small).
+        keep = (
+            pairs.distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("term")
+        )
+        pairs = pairs.join(keep, "term", "left_semi")
     return pairs.groupBy("term").agg(
         F.count(F.lit(1)).alias("total_tf"),
         F.countDistinct("_id").alias("df_count"),
