@@ -6041,6 +6041,113 @@ def _cdc_compact(spark, sf_dir):
     )
 
 
+@_q(
+    "ewma_by_user",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    a AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id)
+    SELECT user_id, n_events, vs[-1] AS last_value,
+      round(list_reduce(vs, (s, x) -> 0.3 * x + 0.7 * s), 6) AS ewma
+    FROM a
+    """,
+    doc="per-key exponentially weighted moving average (alpha=0.3) — the "
+        "monitoring/feature-engineering smoother: s_1 = x_1, "
+        "s_i = 0.3 x_i + 0.7 s_{i-1} over each user's time-ordered "
+        "values.  The fold is a JVM higher-order aggregate over the "
+        "collected per-user array, seeded with the first element — "
+        "DuckDB's list_reduce folds accumulator-first with the same "
+        "seed, so every intermediate double is computed in the identical "
+        "order and the result is bit-exact before the final 6dp round.  "
+        "One user-keyed shuffle; per-key history is bounded (events per "
+        "user), the same locality assumption as sessionization — an "
+        "unbounded-history key would instead fold incrementally per "
+        "batch (the streaming form carries (s, last_ts) as state).",
+)
+def _ewma(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x["value"],
+    )
+    agged = e.groupBy("user_id").agg(
+        arr.alias("vs"), F.count(F.lit(1)).alias("n_events")
+    )
+    ewma = F.round(
+        F.aggregate(
+            F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+            F.element_at(F.col("vs"), 1),
+            lambda s, x: F.lit(0.3) * x + F.lit(0.7) * s,
+        ),
+        6,
+    )
+    return agged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.element_at("vs", -1).alias("last_value"),
+        ewma.alias("ewma"),
+    )
+
+
+@_q(
+    "user_value_drawdown",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    r AS (
+      SELECT user_id, value,
+        MAX(CAST(value AS DECIMAL(12,2))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM e)
+    SELECT user_id,
+      CAST(MAX(runmax - CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+        AS max_drawdown,
+      CAST(MAX(runmax) AS DOUBLE) AS peak_value
+    FROM r GROUP BY user_id
+    """,
+    doc="per-key maximum drawdown (largest drop from a running peak) — "
+        "the classic sequence-risk metric, and the gaps-and-islands "
+        "cousin that needs only a running MAX: one cummax window pass "
+        "in exact DECIMAL (order-independent given the (ts, id) sort), "
+        "then a per-key aggregate of peak minus current.  The groupBy "
+        "reuses the window's hash partitioning on user_id, so the whole "
+        "query is ONE shuffle.",
+)
+def _drawdown(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col("value").cast(D2)
+    r = e.select(
+        "user_id", "value", F.max(v).over(w).alias("runmax")
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.col("runmax") - v).cast("double").alias("max_drawdown"),
+        F.max("runmax").cast("double").alias("peak_value"),
+    )
+
+
 # ===========================================================================
 # Retrieval / language-model scoring / graph analytics (round-3 session 2)
 # ===========================================================================
@@ -6937,6 +7044,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "cdc_apply_orders",          # round-3 session 2: CDC with tombstones
     "cdc_compact_feed",          # round-3 session 2: last-change-per-key
     "hybrid_retrieval_rrf",      # round-3 session 2: RRF hybrid search
+    "ewma_by_user",              # round-3 session 2: per-key EWMA fold
+    "user_value_drawdown",       # round-3 session 2: running-peak drawdown
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)

@@ -372,3 +372,16 @@ def test_cdc_apply_single_outer_shuffle_no_second_pass(spark):
     plan = _plan(spark, "cdc_apply_orders")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_user_shuffle(spark):
+    plan = _plan(spark, "ewma_by_user")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_drawdown_groupby_reuses_window_partitioning(spark):
+    plan = _plan(spark, "user_value_drawdown")
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "the per-key aggregate must reuse the cummax window's hash partitioning"
+    )
