@@ -28,6 +28,7 @@ __all__ = [
     "sessionize_stream",
     "enrich_stream_static",
     "join_streams_interval",
+    "ewma_stream",
     "dedup_stream",
     "foreach_batch_upsert",
     "write_stream_to_parquet",
@@ -202,6 +203,77 @@ def enrich_stream_static(
     streaming rendition of the reference's lookup-enrichment joins.
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def ewma_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+):
+    """Streaming per-key EWMA: the stateful twin of the batch array fold
+    (suite.ewma_by_user).  State per key is exactly (s, last_us, n) — the
+    smoothed value, the last event time consumed, and the count; each
+    micro-batch sorts its rows by event time and folds them into the
+    carried state, then emits the updated (key, n_events, ewma) row.
+
+    Ordering contract: the fold is order-sensitive, so correctness
+    across micro-batches requires event-time-ordered arrival (the
+    incremental-load staging used here delivers time-ordered chunks;
+    a production source would pair this with a watermark + per-batch
+    sort, accepting that late data REsmooths nothing retroactively —
+    the standard online-EWMA semantics).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("ewma", T.DoubleType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ])
+    a = alpha
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        rows = _pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        if state.exists:
+            s, last_us, n = state.get
+        else:
+            s, last_us, n = None, -1, 0
+        for v in rows["value"]:
+            v = float(v)
+            s = v if s is None else a * v + (1 - a) * s
+            n += 1
+        last = int(rows["ts"].astype("int64").iloc[-1]) if len(rows) else last_us
+        state.update((s, max(last, last_us), n))
+        yield _pd.DataFrame(
+            [(int(key[0]), n, s)], columns=["user_id", "n_events", "ewma"]
+        )
+
+    clean = stream.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts"),
+        F.col("event_id"),
+        F.col(value_col).alias("value"),
+    )
+    return clean.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
 
 
 def join_streams_interval(

@@ -6880,6 +6880,53 @@ def _q19bracket(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_ewma",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    a AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id)
+    SELECT user_id, n_events,
+      round(list_reduce(vs, (s, x) -> 0.3 * x + 0.7 * s), 6) AS ewma
+    FROM a
+    """,
+    doc="STREAMING per-key EWMA, hash-verified against the batch fold: "
+        "applyInPandasWithState carries exactly (s, last_ts, n) per key "
+        "and folds each micro-batch's time-sorted rows into it — the "
+        "online-smoother state every monitoring pipeline maintains.  "
+        "The Python kernel computes 0.3*x + 0.7*s on IEEE doubles in "
+        "the same order as the batch JVM fold and DuckDB's list_reduce, "
+        "so the terminal state per key is bit-identical to the batch "
+        "answer (update-mode emissions; the final row per key wins via "
+        "a combinable struct max on the strictly-increasing count).  "
+        "State is O(active keys) x 3 scalars — the minimal stateful "
+        "operator footprint.",
+)
+def _stream_ewma(spark, sf_dir):
+    from .streaming.jobs import ewma_stream, read_event_stream
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    # identical frame to the sessionizer's staging -> shared dir
+    src = _stage_stream_src(spark, sf_dir, "sess", base)
+    out = ewma_stream(read_event_stream(spark, src))
+    name = _run_stream_to_table(out, "update")
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round(F.col("s.ewma"), 6).alias("ewma"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -7046,6 +7093,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "hybrid_retrieval_rrf",      # round-3 session 2: RRF hybrid search
     "ewma_by_user",              # round-3 session 2: per-key EWMA fold
     "user_value_drawdown",       # round-3 session 2: running-peak drawdown
+    "streaming_ewma",            # round-3 session 2: stateful online EWMA
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # rows-only (no SQL-expressible oracle; driver does rows-only check)

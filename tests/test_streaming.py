@@ -381,3 +381,60 @@ def test_stream_join_accepts_shared_ts_names(spark, staged_events):
         left_ts="l_ts", right_ts="r_ts", within="1 hour",
     )
     assert "r_ts" in joined.columns and "l_ts" in joined.columns
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, staged_events):
+    """One file per micro-batch: the EWMA state must carry between
+    triggers and the terminal per-key value must equal the batch fold."""
+    import uuid
+
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        ewma_stream,
+        read_event_stream,
+    )
+
+    src, batch = staged_events
+    out = ewma_stream(read_event_stream(spark, src, max_files_per_trigger=1))
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    final = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.col("s.ewma").alias("ewma"))
+        .collect()
+    }
+    # independent batch fold over the same rows
+    e = batch.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda x: x["value"],
+    )
+    agged = e.groupBy("user_id").agg(arr.alias("vs"), F.count(F.lit(1)).alias("n"))
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda s, x: F.lit(0.3) * x + F.lit(0.7) * s,
+    )
+    want = {
+        r.user_id: (r.n, r.f)
+        for r in agged.select("user_id", "n", fold.alias("f")).collect()
+    }
+    assert set(final) == set(want)
+    for u in want:
+        assert final[u][0] == want[u][0], u
+        assert final[u][1] == want[u][1], (u, final[u], want[u])
