@@ -797,17 +797,21 @@ def inverted_index(
         # frequency ceiling (stopword-class, no retrieval signal) are
         # dropped BEFORE postings collect, so no reducer ever holds a
         # web-scale stopword posting list.  The df pre-count is one
-        # combinable (term)-keyed agg over distinct (term, doc) pairs;
-        # the survivor set joins back as a semi-join (broadcast when
-        # small).
-        keep = (
+        # combinable (term)-keyed agg over distinct (term, doc) pairs
+        # (a second pass over the text column — columnar re-scan is far
+        # cheaper than shuffling stopword postings).  Crucially the
+        # probe side is the DROP set — terms ABOVE the cap — which is
+        # tiny by construction (the heavy hitters), so it broadcasts
+        # into a left-anti join; the keep set is the long tail and must
+        # never be the broadcast side.
+        drop = (
             pairs.distinct()
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
+            .filter(F.col("_df") > max_df)
             .select("term")
         )
-        pairs = pairs.join(keep, "term", "left_semi")
+        pairs = pairs.join(F.broadcast(drop), "term", "left_anti")
     return pairs.groupBy("term").agg(
         F.count(F.lit(1)).alias("total_tf"),
         F.countDistinct("_id").alias("df_count"),

@@ -210,27 +210,33 @@ def ewma_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
     alpha: float = 0.3,
-):
+) -> DataFrame:
     """Streaming per-key EWMA: the stateful twin of the batch array fold
     (suite.ewma_by_user).  State per key is exactly (s, last_us, n) — the
     smoothed value, the last event time consumed, and the count; each
-    micro-batch sorts its rows by event time and folds them into the
-    carried state, then emits the updated (key, n_events, ewma) row.
+    micro-batch sorts its rows by (event time, ``id_col`` tiebreak) and
+    folds them into the carried state, then emits the updated
+    (key, n_events, ewma) row.  The output key column is named and typed
+    after ``key_col``.
 
-    Ordering contract: the fold is order-sensitive, so correctness
-    across micro-batches requires event-time-ordered arrival (the
-    incremental-load staging used here delivers time-ordered chunks;
-    a production source would pair this with a watermark + per-batch
-    sort, accepting that late data REsmooths nothing retroactively —
-    the standard online-EWMA semantics).
+    Ordering contract: the fold is order-sensitive.  Within a batch the
+    kernel sorts; ACROSS batches arrival must be event-time-ordered —
+    the kernel enforces this with the carried last-seen timestamp and
+    RAISES on out-of-order arrival instead of silently mis-smoothing
+    (an availableNow read with no file cap lands everything in one
+    batch and trivially satisfies the contract; a chunked incremental
+    load must deliver time-ordered chunks, as the tests'
+    range-partitioned staging does).  Production late-data policy is
+    the standard online-EWMA one: pair with a watermark and accept that
+    late rows never retroactively re-smooth.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = stream.schema[key_col].dataType
     out_schema = T.StructType([
-        T.StructField("user_id", T.LongType(), False),
+        T.StructField(key_col, key_type, False),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("ewma", T.DoubleType(), False),
     ])
@@ -240,25 +246,34 @@ def ewma_stream(
         T.StructField("n", T.LongType(), False),
     ])
     a = alpha
+    key_name = key_col
 
     def fn(key, pdfs, state: GroupState):
         import pandas as _pd
 
         rows = _pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "event_id"]
+            ["__ts", "__id"]
         )
         if state.exists:
             s, last_us, n = state.get
         else:
             s, last_us, n = None, -1, 0
+        ts_vals = rows["__ts"].astype("int64")
+        if len(rows) and int(ts_vals.iloc[0]) < last_us:
+            raise ValueError(
+                "ewma_stream: out-of-order arrival across micro-batches "
+                f"(batch min ts {int(ts_vals.iloc[0])} < carried "
+                f"{last_us}); deliver time-ordered batches — an "
+                "order-sensitive fold cannot silently absorb this"
+            )
         for v in rows["value"]:
             v = float(v)
             s = v if s is None else a * v + (1 - a) * s
             n += 1
-        last = int(rows["ts"].astype("int64").iloc[-1]) if len(rows) else last_us
+        last = int(ts_vals.iloc[-1]) if len(rows) else last_us
         state.update((s, max(last, last_us), n))
         yield _pd.DataFrame(
-            [(int(key[0]), n, s)], columns=["user_id", "n_events", "ewma"]
+            [(key[0], n, s)], columns=[key_name, "n_events", "ewma"]
         )
 
     clean = stream.filter(
@@ -266,12 +281,12 @@ def ewma_stream(
         & F.col(ts_col).isNotNull()
         & F.col(value_col).isNotNull()
     ).select(
-        F.col(key_col).alias("user_id"),
-        F.unix_micros(F.col(ts_col)).alias("ts"),
-        F.col("event_id"),
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("__ts"),
+        F.col(id_col).alias("__id"),
         F.col(value_col).alias("value"),
     )
-    return clean.groupBy("user_id").applyInPandasWithState(
+    return clean.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 

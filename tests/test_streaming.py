@@ -438,3 +438,56 @@ def test_streaming_ewma_state_carries_across_batches(spark, staged_events):
     for u in want:
         assert final[u][0] == want[u][0], u
         assert final[u][1] == want[u][1], (u, final[u], want[u])
+
+
+def test_streaming_ewma_rejects_out_of_order_batches(spark, tmp_path):
+    """Time-shuffled chunked delivery must FAIL loudly, not silently
+    mis-smooth: the kernel checks each batch's min event time against the
+    carried last-seen timestamp."""
+    import datetime
+    import os
+
+    from pyspark.sql.utils import StreamingQueryException
+
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        ewma_stream,
+        read_event_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    late = [(i, base + datetime.timedelta(hours=2, seconds=i), 1, "view", 1.0, "{}")
+            for i in range(5)]
+    early = [(10 + i, base + datetime.timedelta(seconds=i), 1, "view", 1.0, "{}")
+             for i in range(5)]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    src = str(tmp_path / "ooo")
+    os.makedirs(src)
+    # file 0 carries the LATE window, file 1 the EARLY one — mtime order
+    # makes the late window arrive first
+    for i, rows in enumerate((late, early)):
+        f = os.path.join(src, f"chunk_{i}.parquet")
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f + ".dir")
+        import glob
+        import shutil
+
+        part = glob.glob(f"{f}.dir/part-*.parquet")[0]
+        shutil.move(part, f)
+        shutil.rmtree(f + ".dir")
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = ewma_stream(read_event_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_ooo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="out-of-order"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    finally:
+        q.stop()
