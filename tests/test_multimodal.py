@@ -1,0 +1,328 @@
+"""Golden-byte + Spark-level tests for the REAL multimodal codecs
+(round 4: PNG/JPEG/GIF/BMP header parse, PNG pixel codec, WAV PCM
+parse with true RMS, MP4 box-walk frame counts — stdlib + numpy only).
+
+Golden bytes are hand-assembled per the published container specs (and
+one well-known public constant: the canonical 1x1 transparent PNG), so
+the parsers are anchored independently of the encoders they ship with.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import numpy as np
+import pytest
+
+from automated_batch_data_pipeline_nyc_spark.operators import multimodal as mm
+
+# the ubiquitous 1x1 transparent PNG (public constant, RGBA 8-bit)
+GOLDEN_1X1_PNG = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDw"
+    "AChwGA60e6kgAAAABJRU5ErkJggg=="
+)
+
+
+# ---------------------------------------------------------------------------
+# header parser golden bytes
+# ---------------------------------------------------------------------------
+
+def test_png_header_golden():
+    parse = mm.make_image_header_parser()
+    assert parse(GOLDEN_1X1_PNG) == ("png", 1, 1)
+
+
+def test_jpeg_header_golden():
+    parse = mm.make_image_header_parser()
+    # SOI + APP0(JFIF, len 16 = 2 length bytes + 14 body) + SOF0 120x80
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 80, 120) + b"\x03" + b"\x00" * 9
+    )
+    assert parse(jpeg) == ("jpeg", 120, 80)
+    # progressive (SOF2), no APP0
+    jpeg2 = (
+        b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 33, 44) + b"\x03" + b"\x00" * 9
+    )
+    assert parse(jpeg2) == ("jpeg", 44, 33)
+
+
+def test_gif_bmp_header_golden():
+    parse = mm.make_image_header_parser()
+    assert parse(b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10) == (
+        "gif", 320, 200,
+    )
+    # BITMAPINFOHEADER with negative (top-down) height
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 146, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 17, -23, 1, 24) + b"\x00" * 120
+    )
+    assert parse(bmp) == ("bmp", 17, 23)
+
+
+def test_header_parser_rejects_non_media():
+    parse = mm.make_image_header_parser()
+    for junk in (None, b"", b"hello world, plain text", b"\x89PNGbroken",
+                 b"\xff\xd8\x00\x00garbage after soi"):
+        assert parse(junk) == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel codec
+# ---------------------------------------------------------------------------
+
+def test_png_codec_roundtrip_all_channel_counts():
+    decode, encode = mm.make_png_codec()
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(11, 7, c), dtype=np.uint8)
+        out = decode(encode(img))
+        assert out is not None and np.array_equal(out, img), f"channels={c}"
+
+
+def test_png_decode_golden_pixel():
+    decode, _ = mm.make_png_codec()
+    arr = decode(GOLDEN_1X1_PNG)
+    assert arr.shape == (1, 1, 4)
+    assert arr[0, 0, 3] == 127  # the canonical file is half-transparent
+
+
+def test_png_decode_every_filter_type():
+    """Hand-filter scanlines with Sub/Up/Average/Paeth per the spec and
+    assert the decoder reconstructs the source pixels."""
+    decode, _ = mm.make_png_codec()
+    import zlib
+
+    rng = np.random.default_rng(3)
+    w, h, c = 4, 5, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    lines, prev = [], np.zeros(w * c, dtype=np.int32)
+    for y, ft in zip(range(h), [0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1).astype(np.int32)
+        enc_line = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = int(cur[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - ul
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            enc_line[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ft]) + bytes(enc_line.astype(np.uint8)))
+        prev = cur
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    out = decode(png)
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_png_decode_rejects_unsupported():
+    decode, _ = mm.make_png_codec()
+    # 16-bit depth PNG header — valid container, unsupported depth -> None
+    import zlib
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + chunk(b"IEND", b"")
+    )
+    assert decode(deep) is None
+    assert decode(b"not a png") is None
+
+
+# ---------------------------------------------------------------------------
+# WAV parser
+# ---------------------------------------------------------------------------
+
+def _wav(rate=16000, channels=1, bits=16, data=b""):
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_parser_golden_constant_signal():
+    parse = mm.make_wav_parser()
+    data = np.full(300, 5000, dtype="<i2").tobytes()
+    rate, ch, bits, dur, rms = parse(_wav(data=data))
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert dur == 300 / 16000
+    assert rms == 5000 / 32768  # exact for a constant signal
+
+
+def test_wav_parser_stereo_and_8bit():
+    parse = mm.make_wav_parser()
+    stereo = np.tile([1000, -1000], 50).astype("<i2").tobytes()
+    rate, ch, bits, dur, rms = parse(_wav(rate=8000, channels=2, data=stereo))
+    assert (rate, ch, bits) == (8000, 2, 16)
+    assert dur == 50 / 8000  # 50 frames of 2 channels
+    assert rms == pytest.approx(1000 / 32768)
+    eight = bytes([128 + 64] * 10)
+    rate, ch, bits, dur, rms = parse(_wav(bits=8, data=eight))
+    assert bits == 8 and rms == pytest.approx(0.5)
+
+
+def test_wav_parser_rejects_non_wav():
+    parse = mm.make_wav_parser()
+    assert parse(b"RIFF1234AVI LIST") == (None,) * 5
+    assert parse(b"plain text") == (None,) * 5
+    # non-PCM format tag
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    nonpcm = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert parse(nonpcm) == (None,) * 5
+
+
+# ---------------------------------------------------------------------------
+# MP4 parser
+# ---------------------------------------------------------------------------
+
+def test_mp4_parser_golden():
+    parse = mm.make_mp4_parser()
+
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, 600, 1200) + b"\x00" * 80)
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, 77))
+    moov = box(
+        b"moov",
+        mvhd + box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsz)))),
+    )
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    assert parse(mp4) == (77, 2.0)
+    assert parse(b"random not mp4 bytes") == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# Spark-level: synthesizers -> real decode, verified against arithmetic
+# ---------------------------------------------------------------------------
+
+def test_spark_png_synthesize_decode(spark):
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    payloads = mm.synthesize_png_payloads(ids, "doc_id")
+    got = {
+        r.id: r for r in mm.decode_image_features(payloads, "payload", "id").collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        r = got[i]
+        assert r.format == "png"
+        assert r.width == 16 + i % 32
+        assert r.height == 16 + (i * 7) % 32
+        assert r.aspect == r.width / r.height
+
+
+def test_spark_resize_produces_real_pngs(spark):
+    ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    payloads = mm.synthesize_png_payloads(ids, "doc_id")
+    resized = mm.resize_images(payloads, "payload", "id", target=(64, 48))
+    # re-decode the resized payloads: must be spec-valid 64x48 PNGs
+    redecoded = mm.decode_image_features(resized, "payload", "id").collect()
+    assert len(redecoded) == 10
+    for r in redecoded:
+        assert (r.format, r.width, r.height) == ("png", 64, 48)
+    # pixel check: solid-color source -> solid-color thumbnail
+    decode, _ = mm.make_png_codec()
+    row0 = resized.filter("id = 3").collect()[0]
+    arr = decode(bytes(row0.payload))
+    assert arr.shape == (48, 64, 3)
+    assert np.all(arr[:, :, 0] == 3 % 256)
+    assert np.all(arr[:, :, 1] == (3 * 3) % 256)
+
+
+def test_spark_resize_null_for_undecodable(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5).select(
+        F.col("id"), F.encode(F.lit("not an image"), "UTF-8").alias("payload")
+    )
+    out = mm.resize_images(df, "payload", "id").collect()
+    assert all(r.payload is None and r.width is None for r in out)
+
+
+def test_spark_wav_synthesize_features(spark):
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    payloads = mm.synthesize_wav_payloads(ids, "doc_id")
+    got = {
+        r.id: r
+        for r in mm.extract_audio_features(payloads, "payload", "id").collect()
+    }
+    for i in range(30):
+        r = got[i]
+        rate = (8000, 16000, 44100)[i % 3]
+        frames = 100 + (i % 50) * 10
+        assert r.sample_rate == rate
+        assert r.n_channels == 1 and r.bits_per_sample == 16
+        assert r.duration_s == frames / rate
+        assert r.rms == (100 + i % 20000) / 32768
+
+
+def test_spark_mp4_synthesize_frames(spark):
+    ids = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    payloads = mm.synthesize_mp4_payloads(ids, "doc_id")
+    rows = mm.sample_video_frames(payloads, "payload", "id", every_nth=60).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r.frame_idx)
+    for i in range(25):
+        n_frames = 1 + i % 300
+        assert sorted(by_id[i]) == list(range(0, n_frames, 60))
+
+
+def test_fake_codec_is_explicit_opt_in(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3).select(
+        F.col("id"), F.encode(F.lit("fake payload"), "UTF-8").alias("payload")
+    )
+    # default (real) kernel: nulls for non-image payloads
+    real = mm.decode_image_features(df, "payload", "id").collect()
+    assert all(r.width is None and r.format is None for r in real)
+    # explicit fake: hash-derived dims, format stays NULL (unmistakable)
+    fake = mm.decode_image_features(
+        df, "payload", "id", codec=mm.DeterministicFakeCodec()
+    ).collect()
+    assert all(r.width is not None and r.format is None for r in fake)
+    # strict fake refuses to run
+    with pytest.raises(Exception):
+        mm.decode_image_features(
+            df, "payload", "id", codec=mm.DeterministicFakeCodec(strict=True)
+        ).collect()
