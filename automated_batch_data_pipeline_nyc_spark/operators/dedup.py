@@ -170,6 +170,7 @@ def lsh_candidate_pairs(
     signature_col: str = "signature",
     bands: int = 16,
     rows_per_band: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, explode to
     (band_idx, band_hash) keys, self-join on the key.
@@ -177,7 +178,27 @@ def lsh_candidate_pairs(
     The join input is (id, band, hash64) — a few dozen bytes per row
     regardless of document size — so the shuffle stays tiny even when
     the corpus is 100 TB of text.  Pairs are emitted once (a.id < b.id,
-    distinct across bands)."""
+    distinct across bands).
+
+    ``max_bucket_size`` (opt-in, mirrors ``inverted_index``'s
+    ``max_df``): drop (band, band_hash) buckets holding more than this
+    many members BEFORE the self-join.  The self-join is quadratic *per
+    bucket*; one pathological bucket of m signatures emits m(m-1)/2
+    candidate rows, and on a real crawl a boilerplate family of 10^5
+    near-identical docs would otherwise dominate the whole stage.  The
+    cap is a RECALL trade: pairs only reachable through a dropped
+    bucket are lost (each pair still has ``bands - 1`` other chances to
+    collide).  Exact-duplicate families should instead be collapsed
+    upstream (``minhash_pairs(collapse_exact=True)``, the default),
+    which is lossless — use the cap as a second line of defense against
+    heavy *near*-dup families.  The precount is one extra shuffle of
+    (band, hash, count) rows — vocabulary-bounded, never corpus-sized.
+    """
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size={max_bucket_size}: buckets of <2 members "
+            "emit no pairs, so the cap would drop everything"
+        )
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -191,6 +212,14 @@ def lsh_candidate_pairs(
     buckets = (
         df.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash"))
     )
+    if max_bucket_size is not None:
+        light = (
+            buckets.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        buckets = buckets.join(light, ["band", "band_hash"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -217,6 +246,8 @@ def minhash_pairs(
     rows_per_band: int = 8,
     shingle_size: int = 5,
     jaccard_threshold: float = 0.7,
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Verified MinHash near-dup pairs (id_a < id_b).
 
@@ -225,17 +256,65 @@ def minhash_pairs(
     LSH recall, never false positives.  The pair set is materialized
     eagerly (it is candidate-sized, tiny next to the corpus) so the
     cached signature/shingle storage can be released before returning.
+
+    ``collapse_exact`` (default on) removes the one quadratic a crawl
+    corpus WILL hit: a family of m byte-identical documents has
+    identical signatures, so all ``bands`` buckets collide and the LSH
+    self-join emits m(m-1)/2 candidate rows from a single bucket —
+    10^8 pairs for a routine 10^4-doc boilerplate family.  The fix
+    fingerprints the text (md5), runs the signature pipeline on ONE
+    representative per fingerprint (the min id), and afterwards expands
+    each family as a *star* — (rep, member) for every other member.
+    This is lossless for everything downstream:
+
+    - exact dups are Jaccard 1.0, always >= any threshold, so every
+      family member IS a near-dup of its representative;
+    - identical text => identical shingle set, so a cross-family pair
+      qualifies iff the representative pair qualifies: connected
+      components over the star+representative pairs equal components
+      over the full member-level pair set, and the "drop any doc with
+      a smaller-id near-dup" rule picks the same survivors (the rep is
+      the family min, so every non-rep member still sees a smaller-id
+      dup, and any smaller-id doc in a matching family implies an even
+      smaller rep).
+
+    The returned pair set is therefore a component-spanning REDUCTION
+    (member<->member cross-family pairs are represented by their reps),
+    linear in family size instead of quadratic.  Pass
+    ``collapse_exact=False`` for the full member-level pair list.
+    ``max_bucket_size`` additionally caps heavy *near*-dup buckets (a
+    recall trade — see :func:`lsh_candidate_pairs`).
     """
+    base = spread(df.select(F.col(id_col), F.col(text_col)))
+    star = None
+    if collapse_exact:
+        # md5 (128-bit), not xxhash64: a fingerprint collision would
+        # silently merge two different texts, and at 10^10 docs the
+        # 64-bit birthday bound is no longer negligible.
+        fam = base.select(
+            F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp")
+        )
+        reps = fam.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        star = (
+            fam.join(reps, "__fp")
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        base = base.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
     # Shingles are hashed ONCE to 64-bit longs; the signature derives
     # its k functions by multiply-add over the hashes, and the exact
     # verify intersects the hashed sets (long compares, dup-safe since
     # array_intersect/union are distinct-set ops).  Strings never leave
     # the first projection.  The signature pipeline only needs (id,
-    # text) — project first so the persisted set stays narrow — and is
+    # text) — projected above so the persisted set stays narrow — and is
     # spread across the cluster so a single-row-group input can't
     # serialize the O(k x shingles) arithmetic on one task.
     with_sig = (
-        spread(df.select(F.col(id_col), F.col(text_col))).withColumn(
+        base.withColumn(
             "__h",
             F.transform(shingle(text_col, n=shingle_size), lambda s: F.xxhash64(s)),
         )
@@ -245,7 +324,10 @@ def minhash_pairs(
     )
     with_sig = with_sig.persist()
     try:
-        pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
+        pairs = lsh_candidate_pairs(
+            with_sig, id_col, "__sig", bands, rows_per_band,
+            max_bucket_size=max_bucket_size,
+        )
         sh = with_sig.select(F.col(id_col), F.col("__h"))
         verified = (
             pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__h": "sh_a"}), "id_a")
@@ -258,6 +340,10 @@ def minhash_pairs(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b")
         )
+        if star is not None:
+            # Disjoint by construction: star pairs have a non-rep id_b,
+            # verified pairs connect two representatives.
+            verified = verified.unionByName(star)
         # Materialize while the cached signatures are alive, then
         # release executor storage — a long-lived driver calling this
         # repeatedly must not accumulate cached shingle arrays.
@@ -276,6 +362,8 @@ def minhash_dedup(
     shingle_size: int = 5,
     jaccard_threshold: float = 0.7,
     transitive: bool = False,
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup.
 
@@ -286,10 +374,14 @@ def minhash_dedup(
     connected components first (see :mod:`.graph`) and exactly one doc
     — the cluster minimum — survives per cluster: the correct semantics
     when near-dup chains are long (boilerplate families, mirrors).
+
+    Both survivor rules are provably unchanged by the default
+    ``collapse_exact`` reduction (see :func:`minhash_pairs`).
     """
     pairs = minhash_pairs(
         df, text_col, id_col, num_hashes, bands, rows_per_band,
         shingle_size, jaccard_threshold,
+        collapse_exact=collapse_exact, max_bucket_size=max_bucket_size,
     )
     if transitive:
         from .graph import connected_components
