@@ -72,6 +72,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # INTENDED driver action: the convergence probe.  One tiny job
+        # per iteration over the just-checkpointed labels (limit(1)
+        # short-circuits as soon as any partition yields a moved row);
+        # the alternative — a fixed iteration count with no probe —
+        # either wastes whole passes after convergence or exits early
+        # with wrong labels.  This is the standard Pregel-style stop
+        # check, not a collect-and-loop smell.
         moved = updated.filter(F.col("__moved")).limit(1).count()
         labels = updated.drop("__moved")
         if moved == 0:

@@ -192,6 +192,7 @@ def cdc_apply(
     changes: DataFrame,
     keys: Sequence[str],
     op_col: str = "op",
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Apply a CDC change feed — insert/update/DELETE tombstones — to a
     snapshot in one pass.
@@ -199,10 +200,16 @@ def cdc_apply(
     ``changes`` carries the target's schema plus ``op_col`` in
     {'I', 'U', 'D'}.  Semantics match a warehouse MERGE with a WHEN
     MATCHED AND op='D' THEN DELETE branch: deletes drop the key,
-    upserts (I/U) replace or add the row.  If one key appears several
-    times in the feed, the caller must pre-collapse to the LAST change
-    per key (standard CDC compaction — see ``snapshot_diff`` for
-    producing such feeds); this function asserts nothing about order.
+    upserts (I/U) replace or add the row.  PRECONDITION: at most one
+    change row per key.  A feed violating it does NOT error by default
+    — the full-outer join fans out and the output silently carries
+    duplicated (and for U-then-D contradictory) rows per key, which is
+    plausible-looking wrong data.  Pre-collapse multi-change feeds to
+    the LAST change per key (standard CDC compaction — the
+    ``cdc_compact_feed`` suite pattern / ``snapshot_diff`` output
+    qualifies), or pass ``validate_unique=True`` to spend one extra
+    aggregate over the FEED (never the target — feeds are small) and
+    raise on duplicate keys instead.
 
     Plan shape: one full-outer shuffle of target vs feed on the keys
     (same cost as ``merge_upsert``); the delete branch is a filter on
@@ -213,6 +220,20 @@ def cdc_apply(
         raise ValueError(f"cdc_apply: changes frame lacks op column {op_col!r}")
     if set(cols) != set(changes.columns) - {op_col}:
         raise ValueError("cdc_apply requires target schema + op column")
+    if validate_unique:
+        dup = (
+            changes.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "cdc_apply: change feed has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r}; pre-collapse to the "
+                "last change per key (cdc_compact_feed pattern)"
+            )
     non_keys = [c for c in cols if c not in keys]
     u = changes.select(
         *[F.col(k) for k in keys],

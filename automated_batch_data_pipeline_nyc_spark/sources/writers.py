@@ -123,7 +123,9 @@ def write_table(df: DataFrame, name: str, mode: str = "append") -> None:
     """S10 (append) / S11 (overwrite) / M2 (ignore = CREATE IF NOT
     EXISTS) table sinks — the catalog replaces Postgres/SQLite/BigQuery.
     External-DB parity would be ``df.write.jdbc(url, table, mode=mode)``
-    with ``batchsize`` standing in for pandas ``method='multi'``."""
+    with ``batchsize`` standing in for pandas ``method='multi'`` — that
+    JDBC variant is UNTESTED here (no driver jar in this environment;
+    see README "Known limitations")."""
     df.write.mode(mode).saveAsTable(name)
 
 
@@ -205,13 +207,20 @@ def manifest_for_dir(spark, path: str) -> DataFrame:
 
     df = spark.read.parquet(path)
     base = os.path.abspath(path).rstrip("/")
-    # input_file_name() yields a URI (file:///...); strip scheme, then base
+    # input_file_name() yields a URL-ENCODED URI (file:///...): strip the
+    # scheme, percent-decode (protecting literal '+', which url_decode
+    # would otherwise turn into a space — URI paths don't use '+' for
+    # spaces), THEN strip the raw-filesystem base.  Without the decode,
+    # bases/partition values containing spaces, '%' or non-ASCII never
+    # match the escaped base and the manifest silently stays absolute.
+    stripped = F.regexp_replace("_f", "^[a-z][a-z0-9+.-]*://", "")
+    decoded = F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
     return (
         df.groupBy(F.input_file_name().alias("_f"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
             F.regexp_replace(
-                F.regexp_replace("_f", "^[a-z][a-z0-9+.-]*://", ""), "^/*" + re.escape(base.lstrip("/")) + "/", ""
+                decoded, "^/*" + re.escape(base.lstrip("/")) + "/", ""
             ).alias("file"),
             "n_rows",
         )

@@ -222,19 +222,25 @@ def ewma_stream(
     after ``key_col``.
 
     Ordering contract: the fold is order-sensitive.  Within a batch the
-    kernel sorts; ACROSS batches arrival must be event-time-ordered —
-    the kernel enforces this with the carried last-seen timestamp and
-    RAISES on out-of-order arrival instead of silently mis-smoothing
-    (an availableNow read with no file cap lands everything in one
-    batch and trivially satisfies the contract; a chunked incremental
-    load must deliver time-ordered chunks, as the tests'
-    range-partitioned staging does).  Production late-data policy is
-    the standard online-EWMA one: pair with a watermark and accept that
-    late rows never retroactively re-smooth.
+    kernel sorts; ACROSS batches arrival must be (event time,
+    ``id_col``)-ordered — the kernel enforces this with the carried
+    (last-seen timestamp, last-seen id) pair and RAISES on out-of-order
+    arrival instead of silently mis-smoothing.  The id carry closes the
+    tie-straddle hole: a row whose timestamp EQUALS the carried
+    last-seen timestamp but whose id sorts before the carried id would
+    silently diverge from the batch oracle's (ts, id) fold order, so it
+    raises too.  (An availableNow read with no file cap lands
+    everything in one batch and trivially satisfies the contract; a
+    chunked incremental load — e.g. maxFilesPerTrigger — must deliver
+    (ts, id)-ordered chunks, as the tests' range-partitioned staging
+    does.)  Production late-data policy is the standard online-EWMA
+    one: pair with a watermark and accept that late rows never
+    retroactively re-smooth.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     key_type = stream.schema[key_col].dataType
+    id_type = stream.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField(key_col, key_type, False),
         T.StructField("n_events", T.LongType(), False),
@@ -243,6 +249,7 @@ def ewma_stream(
     state_schema = T.StructType([
         T.StructField("s", T.DoubleType(), False),
         T.StructField("last_us", T.LongType(), False),
+        T.StructField("last_id", id_type, True),
         T.StructField("n", T.LongType(), False),
     ])
     a = alpha
@@ -255,23 +262,41 @@ def ewma_stream(
             ["__ts", "__id"]
         )
         if state.exists:
-            s, last_us, n = state.get
+            s, last_us, last_id, n = state.get
         else:
-            s, last_us, n = None, -1, 0
+            s, last_us, last_id, n = None, -1, None, 0
         ts_vals = rows["__ts"].astype("int64")
-        if len(rows) and int(ts_vals.iloc[0]) < last_us:
-            raise ValueError(
-                "ewma_stream: out-of-order arrival across micro-batches "
-                f"(batch min ts {int(ts_vals.iloc[0])} < carried "
-                f"{last_us}); deliver time-ordered batches — an "
-                "order-sensitive fold cannot silently absorb this"
-            )
+        if len(rows):
+            first_ts = int(ts_vals.iloc[0])
+            if first_ts < last_us:
+                raise ValueError(
+                    "ewma_stream: out-of-order arrival across micro-batches "
+                    f"(batch min ts {first_ts} < carried {last_us}); "
+                    "deliver time-ordered batches — an order-sensitive "
+                    "fold cannot silently absorb this"
+                )
+            if (
+                first_ts == last_us
+                and last_id is not None
+                and rows["__id"].iloc[0] < last_id
+            ):
+                raise ValueError(
+                    "ewma_stream: tie straddles a micro-batch boundary out "
+                    f"of order (ts {first_ts} == carried last ts, id "
+                    f"{rows['__id'].iloc[0]!r} sorts before carried "
+                    f"{last_id!r}); the (ts, id) fold order cannot be "
+                    "preserved — deliver (ts, id)-ordered batches"
+                )
         for v in rows["value"]:
             v = float(v)
             s = v if s is None else a * v + (1 - a) * s
             n += 1
-        last = int(ts_vals.iloc[-1]) if len(rows) else last_us
-        state.update((s, max(last, last_us), n))
+        if len(rows):
+            last_us = int(ts_vals.iloc[-1])
+            lid = rows["__id"].iloc[-1]
+            # numpy scalar -> native python for state serialization
+            last_id = lid.item() if hasattr(lid, "item") else lid
+        state.update((s, last_us, last_id, n))
         yield _pd.DataFrame(
             [(key[0], n, s)], columns=[key_name, "n_events", "ewma"]
         )

@@ -1820,62 +1820,112 @@ def _mmeta(spark, sf_dir):
 
 @_q(
     "multimodal_image_decode",
-    None,  # stubbed codec (no image libs in container) → rows-only
-    doc="Arrow-batched image decode via mapInPandas (DeterministicFakeCodec stub)",
+    """
+    SELECT doc_id, 'png' AS format,
+      CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS height,
+      CAST(16 + doc_id % 32 AS DOUBLE)
+        / CAST(16 + (doc_id * 7) % 32 AS DOUBLE) AS aspect
+    FROM documents
+    """,
+    doc="REAL image decode (round 4): a spec-valid solid-color PNG is "
+        "synthesized per doc (dims = arithmetic fn of doc_id), then the "
+        "stdlib IHDR parser reads the true width/height back via "
+        "mapInPandas — the oracle recomputes the dims arithmetically, so "
+        "the whole real-decode path is hash-verified.  Kernels: "
+        "operators/multimodal.py make_image_header_parser (PNG/JPEG/GIF/"
+        "BMP, no PIL needed)",
 )
 def _mdecode(spark, sf_dir):
     from .operators import multimodal as mm
 
     (docs,) = _load(spark, sf_dir, "documents")
-    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
-    return mm.decode_image_features(payload, "payload", "doc_id")
+    payload = mm.synthesize_png_payloads(docs.select("doc_id"), "doc_id")
+    return mm.decode_image_features(payload, "payload", "id").withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 @_q(
     "multimodal_image_resize",
-    None,  # stubbed codec → rows-only
-    doc="binary-in/binary-out resize stage via mapInPandas (stubbed kernel); "
-        "aggregates output payload sizes so the binary column is fully computed",
+    """
+    SELECT doc_id, 'png' AS format,
+      CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="REAL resize stage (round 4): synthesize PNG -> zlib pixel decode "
+        "-> nearest-neighbor numpy resample -> PNG re-encode -> RE-DECODE "
+        "the emitted bytes, proving every output payload is a spec-valid "
+        "64x48 PNG.  Oracle: constant target dims per doc.  Kernels: "
+        "operators/multimodal.py make_png_codec",
 )
 def _mresize(spark, sf_dir):
     from .operators import multimodal as mm
 
     (docs,) = _load(spark, sf_dir, "documents")
-    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
-    resized = mm.resize_images(payload, "payload", "doc_id")
-    return resized.select(
-        "id",
-        "width",
-        "height",
-        F.octet_length("payload").cast("long").alias("resized_bytes"),
+    payload = mm.synthesize_png_payloads(docs.select("doc_id"), "doc_id")
+    resized = mm.resize_images(payload, "payload", "id", target=(64, 48))
+    return (
+        mm.decode_image_features(resized, "payload", "id")
+        .select("id", "format", "width", "height")
+        .withColumnRenamed("id", "doc_id")
     )
 
 
 @_q(
     "multimodal_audio_features",
-    None,  # stubbed codec → rows-only
-    doc="Arrow-batched audio feature extraction via mapInPandas (stubbed kernel)",
+    """
+    SELECT doc_id,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           ELSE 44100 END AS INTEGER) AS sample_rate,
+      CAST(1 AS INTEGER) AS n_channels,
+      CAST(16 AS INTEGER) AS bits_per_sample,
+      CAST(100 + (doc_id % 50) * 10 AS DOUBLE)
+        / CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               ELSE 44100 END AS DOUBLE) AS duration_s,
+      CAST(100 + doc_id % 20000 AS DOUBLE) / 32768 AS rms
+    FROM documents
+    """,
+    doc="REAL audio feature extraction (round 4): a PCM16 WAV is "
+        "synthesized per doc (rate/frames/amplitude = arithmetic fns of "
+        "doc_id), the stdlib RIFF parser reads rate/channels/bits/duration "
+        "and computes TRUE RMS over the samples; constant-signal RMS is "
+        "IEEE-exact (amp/32768), so the oracle matches bit-for-bit.  "
+        "Kernels: operators/multimodal.py make_wav_parser",
 )
 def _maudio(spark, sf_dir):
     from .operators import multimodal as mm
 
     (docs,) = _load(spark, sf_dir, "documents")
-    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
-    return mm.extract_audio_features(payload, "payload", "doc_id")
+    payload = mm.synthesize_wav_payloads(docs.select("doc_id"), "doc_id")
+    return mm.extract_audio_features(payload, "payload", "id").withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 @_q(
     "multimodal_video_frames",
-    None,  # stubbed codec → rows-only
-    doc="video frame sampling via mapInPandas: one row per sampled frame "
-        "(stubbed frame count/fingerprint)",
+    """
+    SELECT doc_id,
+      CAST(unnest(generate_series(0, (doc_id % 300) // 60)) * 60
+           AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+    doc="REAL video frame-sampling plan (round 4): a spec-valid MP4 box "
+        "tree (ftyp + moov/trak/mdia/minf/stbl) is synthesized per doc "
+        "with n_frames = 1 + doc_id %% 300 in stsz; the stdlib ISO-BMFF "
+        "walker reads the true sample count and emits every 60th frame "
+        "index — the oracle regenerates the same index series.  "
+        "frame_md5 (a sampling key, not pixel content) is projected out "
+        "of the compare.  Kernels: operators/multimodal.py make_mp4_parser",
 )
 def _mframes(spark, sf_dir):
     from .operators import multimodal as mm
 
     (docs,) = _load(spark, sf_dir, "documents")
-    payload = docs.withColumn("payload", F.encode("text", "UTF-8"))
-    return mm.sample_video_frames(payload, "payload", "doc_id", every_nth=60)
+    payload = mm.synthesize_mp4_payloads(docs.select("doc_id"), "doc_id")
+    frames = mm.sample_video_frames(payload, "payload", "id", every_nth=60)
+    return frames.select(F.col("id").alias("doc_id"), "frame_idx")
 
 
 # ===========================================================================
@@ -1920,6 +1970,56 @@ def _sinkrt(spark, sf_dir):
     return back.groupBy(F.col("ship_month").cast("long").alias("ship_month")).agg(
         F.count(F.lit(1)).alias("n_items"),
         _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+@_q(
+    "table_modes_roundtrip",
+    f"""
+    SELECT o_orderstatus,
+      COUNT(*) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS total_price
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    """,
+    doc="S10/S11/S14/M2/M4: catalog table sinks through all three save "
+        "modes — overwrite creates the table from the open orders, append "
+        "adds the fulfilled ones, and an ignore-mode write of the FULL "
+        "table must be a no-op (CREATE IF NOT EXISTS semantics) — then "
+        "the table is re-read from the catalog and aggregated.  The "
+        "oracle aggregates the original orders filtered to the two "
+        "written statuses, so a leaked ignore-write (doubled counts, "
+        "status 'P' rows) or a lost append breaks the hash.  Sink: "
+        "sources/writers.py write_table",
+)
+def _tblmodes(spark, sf_dir):
+    import hashlib
+
+    from .sources.writers import write_table
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    digest = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    name = f"automated_batch_data_pipeline_nyc_tbl_modes_{digest}"
+    # A PRIOR PROCESS may have left the managed-table directory behind
+    # while this session's catalog has no entry for it — saveAsTable
+    # then fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
+    # Drop any catalog entry and purge the orphan location first.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    loc = os.path.join(wh.path or wh.netloc, name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    write_table(orders.filter(F.col("o_orderstatus") == "O"), name, mode="overwrite")
+    write_table(orders.filter(F.col("o_orderstatus") == "F"), name, mode="append")
+    write_table(orders, name, mode="ignore")  # must be a no-op
+    back = spark.table(name)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "total_price"),
     )
 
 
@@ -5138,12 +5238,18 @@ _STAGED_DIRS: set[str] = set()
 def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
     """Write ``df`` to a per-(sf,tag) staging dir for the file-source
     stream (memoized per process — see ``_STAGED_DIRS``)."""
+    import hashlib
     import tempfile
 
+    # Key on a hash of the FULL normalized sf_dir, not its basename:
+    # two fixture roots sharing a basename (/a/sf0.1 vs /b/sf0.1) in one
+    # process must not silently reuse each other's staged bytes.
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:12]
     src = os.path.join(
         tempfile.gettempdir(),
         f"automated_batch_data_pipeline_nyc_stream_{tag}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
+        f"{os.path.basename(norm)}_{digest}",
     )
     if src not in _STAGED_DIRS:
         df.repartition(4).write.mode("overwrite").parquet(src)
@@ -6063,10 +6169,14 @@ def _cdc_compact(spark, sf_dir):
         "DuckDB's list_reduce folds accumulator-first with the same "
         "seed, so every intermediate double is computed in the identical "
         "order and the result is bit-exact before the final 6dp round.  "
-        "One user-keyed shuffle; per-key history is bounded (events per "
-        "user), the same locality assumption as sessionization — an "
-        "unbounded-history key would instead fold incrementally per "
-        "batch (the streaming form carries (s, last_ts) as state).",
+        "One user-keyed shuffle.  SCALE CAVEAT: collect_list materializes "
+        "each key's full value history in one aggregation buffer, so this "
+        "batch form is only safe while per-key history is bounded (events "
+        "per user — the same locality assumption as sessionization).  For "
+        "unbounded/hot keys the PRODUCTION form is streaming/jobs.py "
+        "ewma_stream, which folds incrementally with O(1) state "
+        "(s, last_us, last_id, n) per key and is hash-verified against "
+        "this batch fold by the streaming_ewma suite entry.",
 )
 def _ewma(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
@@ -6948,82 +7058,61 @@ def _stream_ewma(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-3 window: the 50 queries the driver verifies this round.  All
-#: oracle-backed, none has ever had a driver correctness row (the whole
-#: dedup / similarity / multimodal / sink / incremental / sampling /
-#: text-enrichment / stats family flagged by VERDICT.md round 2).
+#: Round-4 window: the 50 queries the driver verifies this round.  All
+#: oracle-backed, none has ever had a driver correctness row (VERDICT.md
+#: round 3 priority order: the streaming family first — the only major
+#: family with zero driver signal — then the TPC-H analytic shapes, then
+#: the retrieval / classifier / CDC / boilerplate / index batch, then the
+#: remaining window-function and rolling-metric queries).
 DRIVER_WINDOW: list[str] = [
-    # dedup family (pairs, lossless pruning, spans, clusters, pipeline)
-    "dedup_ngram_jaccard_prefix",
-    "dedup_ngram_jaccard_freq",
-    "duplicated_ngram_spans",
-    "dedup_embedding_cosine_lsh",
-    "dedup_components",
-    "dedup_pipeline_transitive",
-    "url_canonical_dedup",
-    "edit_distance_pairs",
-    "fuzzy_levenshtein",
-    # similarity / embeddings (similarity_topk was driver-green in r1
-    # already — slot given to a never-verified entry)
-    "knn_join_batch",
-    "embedding_gram_matrix",
-    "embedding_quantize",
-    "embedding_group_mean",
-    # multimodal (oracle-backed meta path)
-    "multimodal_payload_meta",
-    # sinks / sources / formats (S7-S14, M2-M4)
-    "sink_roundtrip",
-    "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "schema_evolution_roundtrip",
-    # incremental / warehouse maintenance
-    "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "scd2_orders_history",
-    # temporal / sessionization
-    "asof_click_attribution",
-    "sessionize_events",
-    "interval_overlap_pairs",
-    "resample_gap_fill",
-    "funnel_signup_purchase",
-    # sampling / split / mixture
-    "sample_hash_fraction",
-    "train_test_split_counts",
-    "mixture_by_source",
-    "sample_per_group",
-    "weighted_sample_per_group",
-    "token_budget_mixture",
-    "shuffle_shard_assign",
-    "split_leakproof_by_content",
-    # chunking / packing / corpus prep
-    "chunk_documents",
-    "pack_token_windows",
-    "corpus_prep",
-    # text enrichment
-    "redact_pii",
-    "tfidf_top_terms",
-    "repetition_scores",
-    "decontaminate_overlap",
-    "domain_stats",
-    "token_divergence",
-    "text_normalize_nfc",
-    # stats / sketches / graph
-    "exact_moment_stats",
-    "group_linear_fit",
-    "mutual_information",
-    "pagerank_order_part",
-    "cross_source_contamination",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window
-#: (oracle-backed first, rows-only last — rows-only entries get the
-#: weaker rows-only driver check whenever they are inside the window).
-_NEXT_WINDOW_QUEUE: list[str] = [
-    "similarity_topk",           # driver-green in r1; re-queue after the
-                                 # never-verified backlog clears
-    "equi_depth_histogram",
+    # streaming (hash-verified vs the batch oracle fold)
+    "streaming_sessionize",
+    "streaming_dedup_counts",
+    "streaming_enriched_totals",
+    "streaming_interval_join",
+    "streaming_ewma",
+    # TPC-H analytic shapes (Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/
+    # Q20/Q21/Q22)
+    "local_supplier_volume",
+    "revenue_forecast_band",
+    "bilateral_trade_volume",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "brand_bracket_revenue",
+    "market_share_by_year",
+    "top_supplier_revenue",
+    "dominant_part_suppliers",
+    "sole_supplier_open_orders",
+    "idle_rich_customers",
+    "small_quantity_revenue",
+    "customer_order_distribution",
+    # retrieval / classification / CDC / corpus hygiene
+    "quality_classifier_scores",
+    "quality_classifier_bucketed",
+    "bm25_search",
+    "hybrid_retrieval_rrf",
+    "cdc_apply_orders",
+    "cdc_compact_feed",
+    "session_window_native",
+    "line_boilerplate_removal",
+    "html_text_extraction",
+    "inverted_index_postings",
+    "dedup_survivor_by_quality",
+    "dedup_incremental_batch",
+    "null_safe_enrich",
+    "join_full_outer",
+    # production-default percentile form (VERDICT r3 item 5)
     "window_percentile_ranks_dist",
+    # rolling metrics / windows / stats
+    "ewma_by_user",
+    "user_value_drawdown",
+    "corpus_filter_funnel",
+    "rolling_zscore_anomalies",
+    "sink_quarantine_roundtrip",
+    "bigram_logprob_scores",
+    "dedup_graph_triangles",
+    "equi_depth_histogram",
     "skew_salted_agg",
     "rolling_hour_window",
     "sliding_window_counts",
@@ -7032,6 +7121,14 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "event_transition_matrix",
     "revenue_share_of_total",
     "topk_with_ties_per_nation",
+]
+
+#: Never-driver-verified queries queued for the NEXT round's window
+#: (oracle-backed first, rows-only last — rows-only entries get the
+#: weaker rows-only driver check whenever they are inside the window).
+_NEXT_WINDOW_QUEUE: list[str] = [
+    "similarity_topk",           # driver-green in r1; re-queue after the
+                                 # never-verified backlog clears
     "string_agg_per_group",
     "grouping_sets_quantity",
     "date_arithmetic",
@@ -7039,7 +7136,6 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "having_filter",
     "exists_subquery",
     "window_first_last",
-    "join_full_outer",
     "unpivot_part_metrics",
     "fill_defaults",
     "word_counts",
@@ -7050,52 +7146,22 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "scalar_function_battery",
     "value_histogram",
     "clip_outliers",
-    "window_percentile_ranks",
-    "null_safe_enrich",
+    "window_percentile_ranks",   # exact form: oracle cross-check for the
+                                 # _dist production default (now in window)
     "clean_pipeline_dirty",
-    "small_quantity_revenue",
-    "customer_order_distribution",
     "grouped_mode",
     "robust_spread",
     "zorder_bucket_stats",
-    "market_share_by_year",      # round-3 additions: TPC-H Q8/Q15/Q20/Q21/Q22
-    "dedup_incremental_batch",   # round-3: between-batch dedup contract
-    "streaming_sessionize",      # round-3 streaming family (hash-verified)
-    "streaming_dedup_counts",
-    "streaming_enriched_totals",
-    "top_supplier_revenue",
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
-    "idle_rich_customers",
-    "streaming_interval_join",   # round-3 session 2: stream-stream join
-    "quality_classifier_scores", # round-3 session 2: model-based filtering
-    "line_boilerplate_removal",  # round-3 session 2: CCNet line dedup
-    "html_text_extraction",      # round-3 session 2: WET-style strip
-    "inverted_index_postings",   # round-3 session 2: search index build
-    "dedup_survivor_by_quality", # round-3 session 2: quality-aware survivor
-    "corpus_filter_funnel",      # round-3 session 2: attrition report
-    "rolling_zscore_anomalies",  # round-3 session 2: drift/fraud screen
-    "local_supplier_volume",     # round-3 session 2: TPC-H Q5/Q6/Q7/Q10/
-    "revenue_forecast_band",     #   Q14/Q18/Q19 shapes
-    "bilateral_trade_volume",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "brand_bracket_revenue",
-    "session_window_native",     # round-3 session 2: native session windows
-    "sink_quarantine_roundtrip", # round-3 session 2: contract quarantine
-    "bm25_search",               # round-3 session 2: lexical retrieval
-    "bigram_logprob_scores",     # round-3 session 2: corpus-LM quality proxy
-    "dedup_graph_triangles",     # round-3 session 2: dup-graph health
-    "quality_classifier_bucketed",  # round-3 session 2: broadcast weights
-    "cdc_apply_orders",          # round-3 session 2: CDC with tombstones
-    "cdc_compact_feed",          # round-3 session 2: last-change-per-key
-    "hybrid_retrieval_rrf",      # round-3 session 2: RRF hybrid search
-    "ewma_by_user",              # round-3 session 2: per-key EWMA fold
-    "user_value_drawdown",       # round-3 session 2: running-peak drawdown
-    "streaming_ewma",            # round-3 session 2: stateful online EWMA
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
+    # round-4 additions, queued for the r5 driver window's full hash
+    # check: catalog-table save modes (VERDICT r3 item 6) and the REAL
+    # stdlib multimodal codecs over synthesized spec-valid payloads
+    "table_modes_roundtrip",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",
@@ -7105,15 +7171,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "embedding_centroids_udaf",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
     "approx_quantiles",
     "hll_mergeable_rollup",
 ]
 
-#: Driver-green in r1/r2 (hash-stable; guarded by local oracle parity).
+#: Driver-green in r1/r2/r3 (hash-stable; guarded by local oracle parity).
 #: EXPLICIT on purpose: a new registration that appears in none of the
 #: three lists fails the assert below at import time, so every new query
 #: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
@@ -7168,6 +7230,57 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "text_language_id",
     "text_fingerprint",
     "dedup_exact",
+    # driver-green in r3 (CORRECTNESS_r03.json, 50/50 hash-green)
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_freq",
+    "duplicated_ngram_spans",
+    "dedup_embedding_cosine_lsh",
+    "dedup_components",
+    "dedup_pipeline_transitive",
+    "url_canonical_dedup",
+    "edit_distance_pairs",
+    "fuzzy_levenshtein",
+    "knn_join_batch",
+    "embedding_gram_matrix",
+    "embedding_quantize",
+    "embedding_group_mean",
+    "multimodal_payload_meta",
+    "sink_roundtrip",
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "schema_evolution_roundtrip",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "scd2_orders_history",
+    "asof_click_attribution",
+    "sessionize_events",
+    "interval_overlap_pairs",
+    "resample_gap_fill",
+    "funnel_signup_purchase",
+    "sample_hash_fraction",
+    "train_test_split_counts",
+    "mixture_by_source",
+    "sample_per_group",
+    "weighted_sample_per_group",
+    "token_budget_mixture",
+    "shuffle_shard_assign",
+    "split_leakproof_by_content",
+    "chunk_documents",
+    "pack_token_windows",
+    "corpus_prep",
+    "redact_pii",
+    "tfidf_top_terms",
+    "repetition_scores",
+    "decontaminate_overlap",
+    "domain_stats",
+    "token_divergence",
+    "text_normalize_nfc",
+    "exact_moment_stats",
+    "group_linear_fit",
+    "mutual_information",
+    "pagerank_order_part",
+    "cross_source_contamination",
 ]
 
 _rotated = (

@@ -92,6 +92,16 @@ if __name__ == "__main__":
     print(full, file=sys.stderr)
     print(full)
     sys.stdout.flush()
+    # Persist the complete result object so per-query timings survive the
+    # driver's ~2 KB stdout tail capture (VERDICT r3 item 4) — cross-round
+    # regression analysis diffs BENCH_full.json, not the truncated stdout.
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo, "BENCH_full.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write BENCH_full.json: {exc!r}", file=sys.stderr)
     # Short summary LAST on stdout so any tail capture parses it.
     failed = sorted(n for n, t in result["queries"].items() if t < 0)
     slowest = dict(

@@ -154,3 +154,21 @@ def test_cdc_apply_rejects_missing_op_column(spark):
     no_op = spark.createDataFrame([(1, "b")], ["k", "s"])
     with pytest.raises(ValueError, match="op column"):
         cdc_apply(target, no_op, ["k"])
+
+
+def test_cdc_apply_validate_unique_guard(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import cdc_apply
+
+    target = spark.createDataFrame([(1, "a", 10.0)], ["k", "s", "v"])
+    multi = spark.createDataFrame(
+        [(1, "B", 25.0, "U"), (1, None, None, "D")],  # U then D, same key
+        ["k", "s", "v", "op"],
+    )
+    # default: documented silent fan-out (duplicated rows), no error
+    assert cdc_apply(target, multi, ["k"]).count() == 1  # D filters one branch
+    with pytest.raises(ValueError, match="multiple rows"):
+        cdc_apply(target, multi, ["k"], validate_unique=True)
+    # a clean feed passes the guard unchanged
+    clean = spark.createDataFrame([(1, "B", 25.0, "U")], ["k", "s", "v", "op"])
+    got = cdc_apply(target, clean, ["k"], validate_unique=True).collect()
+    assert [(r.k, r.s, r.v) for r in got] == [(1, "B", 25.0)]

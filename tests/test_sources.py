@@ -257,3 +257,23 @@ def test_manifest_for_dir_counts_per_file(spark, tmp_path):
     os.remove(victim)
     man2 = manifest_for_dir(spark, out).collect()
     assert sum(r.n_rows for r in man2) < 1000
+
+
+def test_manifest_for_dir_decodes_uri_escaped_paths(spark, tmp_path):
+    """Dataset roots / partition values that URI-encode (spaces, '%',
+    '+', non-ASCII) must still relativize — input_file_name() returns
+    URL-encoded URIs (round-4 fix)."""
+    from automated_batch_data_pipeline_nyc_spark.sources.writers import (
+        manifest_for_dir,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "ware house 100%" / "löad+1")
+    df = spark.range(100).withColumn("p", F.col("id") % 2)
+    write_parquet(df.repartition(2, "p"), out, partition_by=["p"])
+    man = manifest_for_dir(spark, out).collect()
+    assert sum(r.n_rows for r in man) == 100
+    assert all(r.file.startswith("p=") for r in man), (
+        f"paths must be relative even under an escaping base: "
+        f"{[r.file for r in man]}"
+    )

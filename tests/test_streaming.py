@@ -491,3 +491,55 @@ def test_streaming_ewma_rejects_out_of_order_batches(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_ewma_rejects_tie_straddling_batches(spark, tmp_path):
+    """A timestamp tie straddling two micro-batches with event_ids in the
+    wrong order must FAIL loudly (round-4 fix): the carried (last_us,
+    last_id) pair detects ts == carried ts with a smaller id, which the
+    old timestamp-only guard silently accepted and mis-folded."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.utils import StreamingQueryException
+
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        ewma_stream,
+        read_event_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    tie_ts = base + datetime.timedelta(seconds=100)
+    # batch 0 ends at (tie_ts, id=20); batch 1 starts at (tie_ts, id=7):
+    # same timestamp, smaller id — the (ts, id) fold order is violated
+    first = [(1, base, 1, "view", 1.0, "{}"), (20, tie_ts, 1, "view", 2.0, "{}")]
+    second = [(7, tie_ts, 1, "view", 3.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    src = str(tmp_path / "tie")
+    os.makedirs(src)
+    for i, rows in enumerate((first, second)):
+        f = os.path.join(src, f"chunk_{i}.parquet")
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f + ".dir")
+        part = glob.glob(f"{f}.dir/part-*.parquet")[0]
+        shutil.move(part, f)
+        shutil.rmtree(f + ".dir")
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = ewma_stream(read_event_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_tie")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="tie straddles"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    finally:
+        q.stop()
