@@ -44,6 +44,7 @@ __all__ = [
     "with_simhash",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "jaccard_prefix_pairs",
     "duplicated_ngram_spans",
     "keep_canonical",
@@ -547,6 +548,65 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Pairwise ASYMMETRIC n-gram containment within a blocking key:
+    ``containment(a in b) = |grams(a) ∩ grams(b)| / |grams(a)|``.
+
+    The near-SUBSET detector Jaccard misses: a short document wholly
+    quoted inside a long one has tiny Jaccard (union is dominated by
+    the long side) but containment ~1.0 — the quote/excerpt/
+    concatenation pathology of crawl corpora.  Emits one row per
+    ordered pair (id_a < id_b) with BOTH directions' scores, keeping
+    pairs where either direction reaches ``threshold``.
+
+    Same scale posture as :func:`ngram_jaccard_pairs`: the blocking
+    column bounds the quadratic term (feed an LSH bucket id at scale);
+    fully SQL-expressible so a DuckDB oracle verifies it exactly.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.size(F.split(F.lower(text_col), " ")) - (n - 1), F.lit(1)
+                ),
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.split(F.lower(text_col), " "), i, n)),
+        )
+    )
+    g = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), grams.alias("__grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect("a.__grams", "b.__grams")).cast("double")
+    c_ab = inter / F.size("a.__grams").cast("double")
+    c_ba = inter / F.size("b.__grams").cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
     )
 
 

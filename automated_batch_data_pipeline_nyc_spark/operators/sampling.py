@@ -32,6 +32,7 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "train_test_split",
+    "kfold_assign",
     "mixture_sample",
     "shuffle_shards",
     "sample_n_per_group",
@@ -82,6 +83,30 @@ def train_test_split(
         F.when(b < int(test_fraction * buckets), F.lit("test")).otherwise(
             F.lit("train")
         ),
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    buckets: int = 10_000,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Assign every row a stable fold id in [0, k) by key hash — the
+    cross-validation / sharded-eval primitive.
+
+    Same engine-portable md5 recipe as :func:`train_test_split`
+    (bucket % k), so folds are reproducible outside Spark, keys keep
+    their fold across corpus versions (no eval leakage on incremental
+    loads), and the assignment is a map-only scan predicate at any
+    scale.  ``buckets`` must be a multiple of ``k`` for exactly equal
+    bucket shares; the default 10000 gives ±1 bucket skew otherwise.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        out_col, (hash_bucket(key_col, buckets) % k).cast("int")
     )
 
 

@@ -7038,6 +7038,448 @@ def _stream_ewma(spark, sf_dir):
 
 
 # ===========================================================================
+# TPC-H analytic shapes, batch 4 (Q2/Q4/Q9/Q11/Q12/Q16 adapted — the
+# fixture has no partsupp table, so lineitem serves as the
+# part-supplier offer relation where the official query reads partsupp)
+# ===========================================================================
+
+@_q(
+    "cheapest_part_supplier_region",
+    """
+    WITH offers AS (
+      SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS price
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1, 2, 3, 4)
+    SELECT o.p_partkey, o.s_name, o.n_name,
+      CAST(o.price AS DOUBLE) AS best_price
+    FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+            ORDER BY price, s_suppkey) AS rn FROM offers) o
+    JOIN part ON o.p_partkey = part.p_partkey
+    WHERE o.rn = 1 AND part.p_size = 25
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier in region): per size-25 part, "
+        "the ASIA supplier offering the lowest price, suppkey tiebreak.  "
+        "The correlated MIN decorrelates to one combinable argmin: "
+        "min(struct(price, suppkey, ...)) — map-side partials, no per-part "
+        "sort, no window.  supplier x nation x region prejoins driver-side "
+        "tiny and broadcasts onto the fact scan; the size filter joins "
+        "broadcast AFTER the argmin so the aggregate stays one pass.",
+)
+def _q2cheapest(spark, sf_dir):
+    li, s, n, r, p = _load(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice").cast(D2)).alias("price"))
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min(F.struct("price", "s_suppkey", "s_name", "n_name")).alias("b")
+    )
+    sized = p.filter(F.col("p_size") == 25).select("p_partkey")
+    return (
+        best.join(F.broadcast(sized), best.l_partkey == sized.p_partkey)
+        .select(
+            "p_partkey",
+            F.col("b.s_name").alias("s_name"),
+            F.col("b.n_name").alias("n_name"),
+            F.col("b.price").cast("double").alias("best_price"),
+        )
+    )
+
+
+@_q(
+    "late_ship_priority_counts",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): orders from one year "
+        "with at least one line item shipped >60 days after ordering, "
+        "counted by priority.  The EXISTS plans as a LEFT SEMI join with "
+        "the datediff predicate evaluated inside the join — one pass over "
+        "each side, no fan-out, order-date filter pushed to the scan.",
+)
+def _q4late(spark, sf_dir):
+    li, o = _load(spark, sf_dir, "lineitem", "orders")
+    od = F.col("o_orderdate")
+    filtered = o.filter(
+        (od >= F.lit("1997-01-01").cast("date"))
+        & (od < F.lit("1998-01-01").cast("date"))
+    )
+    late = filtered.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@_q(
+    "nation_year_profit",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(10,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit): revenue minus a supply-"
+        "cost proxy (10% of retail price x quantity — the fixture has no "
+        "partsupp.ps_supplycost), grouped by supplier nation and ship "
+        "year.  Both dims broadcast onto one fact scan; the profit "
+        "expression stays DECIMAL end-to-end (exact, order-independent "
+        "partial aggregation) and is cast to double once after the sum.",
+)
+def _q9profit(spark, sf_dir):
+    li, s, n, p = _load(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    profit = (
+        F.col("l_extendedprice").cast(D2)
+        * (F.lit(1) - F.col("l_discount").cast("decimal(10,2)"))
+        - F.col("p_retailprice").cast(D2)
+        * F.col("l_quantity").cast(D2)
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    dim = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    econ = p.filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "important_part_values",
+    """
+    WITH val AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY 1)
+    SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE v > (SELECT SUM(v) * CAST(0.005 AS DECIMAL(4,3)) FROM val)
+    """,
+    doc="TPC-H Q11 shape (important stock value): per-part traded value "
+        "from one nation's suppliers, kept when above 0.5% of the "
+        "nation's total — the scalar-aggregate-subquery threshold.  The "
+        "subquery decorrelates to a 1-row aggregate broadcast-cross-"
+        "joined back; the threshold compare runs in exact DECIMAL on "
+        "both engines, so boundary parts can't flap on float rounding.",
+)
+def _q11value(spark, sf_dir):
+    li, s = _load(spark, sf_dir, "lineitem", "supplier")
+    nat = s.filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(D2)).alias("v"))
+    )
+    thr = val.agg(
+        (F.sum("v") * F.lit(0.005).cast("decimal(4,3)")).alias("thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "ship_delay_priority_mix",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'late'
+                WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'slow'
+                ELSE 'fast' END AS delay_bucket,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (shipping-delay priority mix; the fixture has no "
+        "l_shipmode, so ship-delay buckets stand in for mode): one year of "
+        "line items classified by order-to-ship latency, with urgent vs "
+        "other order counts as conditional sums.  The ship-date filter "
+        "pushes to the fact scan; the orders join is the one shuffle; the "
+        "CASE pivot partial-aggregates map-side to 3 rows.",
+)
+def _q12delay(spark, sf_dir):
+    li, o = _load(spark, sf_dir, "lineitem", "orders")
+    sd = F.col("l_shipdate")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(d > 90, F.lit("late")).when(d > 30, F.lit("slow")).otherwise(F.lit("fast"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (sd >= F.lit("1998-01-01").cast("date"))
+            & (sd < F.lit("1999-01-01").cast("date"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_priority"),
+        )
+    )
+
+
+@_q(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 9, 14, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape (supplier variety per part attribute): distinct "
+        "suppliers per (brand, size) over the lineitem offer relation "
+        "(stands in for partsupp), excluding one brand and the "
+        "negative-balance 'complaint' suppliers.  The NOT IN decorrelates "
+        "to a broadcast ANTI join (s_suppkey is non-null, so NOT IN and "
+        "anti-join semantics coincide); the part dim broadcasts; the "
+        "count-distinct is the one shuffle, keyed on (brand, size).",
+)
+def _q16variety(spark, sf_dir):
+    li, p, s = _load(spark, sf_dir, "lineitem", "part", "supplier")
+    keep = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(keep), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+# ===========================================================================
+# Round-4 pipeline additions: maintenance sinks, eval folds,
+# containment dedup, embedding norms
+# ===========================================================================
+
+@_q(
+    "compact_roundtrip",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+      {SQL_SUM.format(col="value")} AS total_value
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="small-file compaction round-trip: the events table is written as "
+        "48 deliberately tiny files, compact_parquet coalesces them to "
+        "~target size through a staging dir + atomic-ish swap, and the "
+        "compacted dataset must aggregate identically to the source — "
+        "any row loss/duplication in the rewrite breaks the hash.  The "
+        "maintenance pass every streaming/incremental sink needs at 100 "
+        "TB (file-count pathology).  Sink: sources/writers.py "
+        "compact_parquet",
+)
+def _compactrt(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from .sources.writers import compact_parquet
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("event_type").isNotNull())
+    digest = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_compact_{digest}",
+    )
+    base.repartition(48).write.mode("overwrite").parquet(out)
+    compact_parquet(spark, out, target_file_mb=256)
+    back = read_parquet(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_money(F.col("value"), "total_value"),
+    )
+
+
+@_q(
+    "manifest_partition_counts",
+    """
+    SELECT event_type, COUNT(*) AS n_rows
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="load-manifest verification: events are written partitioned by "
+        "event_type, manifest_for_dir builds the per-file row-count "
+        "manifest from footer metadata (one metadata-only distributed "
+        "pass), and summing the manifest per partition directory must "
+        "reproduce the source counts — the partial/corrupt-load detector "
+        "a warehouse publishes beside each load.  Exercises the "
+        "URI-decode relativization fix end-to-end.  Sink: "
+        "sources/writers.py manifest_for_dir",
+)
+def _manifestpc(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from .sources.writers import manifest_for_dir, write_parquet
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("event_type").isNotNull())
+    digest = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_manifest_{digest}",
+    )
+    write_parquet(base, out, partition_by=["event_type"], mode="overwrite")
+    man = manifest_for_dir(spark, out)
+    return (
+        man.groupBy(
+            F.regexp_extract("file", "^event_type=([^/]+)/", 1).alias("event_type")
+        )
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+
+
+@_q(
+    "kfold_assign_counts",
+    f"""
+    SELECT CAST({_SQL_BUCKET.format(key="doc_id")} % 5 AS INTEGER) AS fold,
+      lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="k-fold eval assignment: every document gets a stable fold in "
+        "[0,5) from the same engine-portable md5-bucket recipe as the "
+        "train/test split, counted per (fold, lang).  Keys keep their "
+        "fold across corpus versions (no eval leakage on incremental "
+        "loads); assignment is a map-only scan expression.  Operator: "
+        "operators/sampling.py kfold_assign",
+)
+def _kfold(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return (
+        sa.kfold_assign(docs, "doc_id", k=5)
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "containment_pairs_blocked",
+    """
+    WITH g AS (
+      SELECT doc_id, lang,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+          i -> concat_ws(' ',
+                 list_extract(string_split(lower(text),' '), i),
+                 list_extract(string_split(lower(text),' '), i + 1)))) AS grams
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(a.grams) AS DOUBLE) AS containment_a_in_b,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(b.grams) AS DOUBLE) AS containment_b_in_a
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(a.grams) AS DOUBLE) >= 0.3
+       OR CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(b.grams) AS DOUBLE) >= 0.3
+    """,
+    doc="asymmetric n-gram containment pairs (|A∩B|/|A|, both "
+        "directions), language-blocked — the near-SUBSET detector "
+        "Jaccard misses: a short doc quoted inside a long one has tiny "
+        "Jaccard but containment ~1.0 (the excerpt/concatenation crawl "
+        "pathology).  Same blocking scale posture as the Jaccard pair "
+        "family; at scale feed an LSH bucket id as the block.  Operator: "
+        "operators/dedup.py containment_pairs",
+)
+def _containment(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "doc_id", "text", "lang", n=2, threshold=0.3
+    )
+
+
+@_q(
+    "embedding_norm_buckets",
+    """
+    SELECT CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) * 100)
+           AS BIGINT) AS norm_bucket,
+      COUNT(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+    doc="embedding L2-norm histogram (0.01-wide buckets) — the vector-"
+        "hygiene scan run before any ANN build: unnormalized or "
+        "degenerate-norm vectors distort cosine/IP search.  Norms fold "
+        "sequentially over the array (same index order both engines, so "
+        "the doubles match bit-for-bit); map-only + one tiny "
+        "bucket-count shuffle.",
+)
+def _enorm(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(
+        F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        emb.select(
+            F.floor(F.sqrt(norm2) * 100).cast("long").alias("norm_bucket")
+        )
+        .groupBy("norm_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
 # The driver hash-verifies only the FIRST 50 entries of queries() each
@@ -7155,9 +7597,22 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
     "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
     # round-4 additions, queued for the r5 driver window's full hash
-    # check: catalog-table save modes (VERDICT r3 item 6) and the REAL
-    # stdlib multimodal codecs over synthesized spec-valid payloads
+    # check: catalog-table save modes (VERDICT r3 item 6), the REAL
+    # stdlib multimodal codecs over synthesized spec-valid payloads,
+    # the remaining TPC-H shapes (Q2/Q4/Q9/Q11/Q12/Q16 adapted), and
+    # the maintenance/eval/containment/norm pipeline queries
     "table_modes_roundtrip",
+    "cheapest_part_supplier_region",
+    "late_ship_priority_counts",
+    "nation_year_profit",
+    "important_part_values",
+    "ship_delay_priority_mix",
+    "part_supplier_variety",
+    "compact_roundtrip",
+    "manifest_partition_counts",
+    "kfold_assign_counts",
+    "containment_pairs_blocked",
+    "embedding_norm_buckets",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",

@@ -1143,3 +1143,46 @@ def test_strip_html_degenerate_inputs(spark):
     # after '<', and ' b and c ' qualifies, so it IS stripped; documented
     # regex-extractor limitation, DOM extractors handle it
     assert out[4] == "a d"
+
+
+def test_kfold_assign_stable_and_complete(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import sampling as sa2
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = sa2.kfold_assign(df, "k", k=5)
+    got = {r.k: r.fold for r in out.collect()}
+    assert set(got.values()) <= set(range(5))
+    # rerun-stable and growth-stable (a key keeps its fold)
+    bigger = sa2.kfold_assign(spark.range(2000).withColumnRenamed("id", "k"), "k", 5)
+    big = {r.k: r.fold for r in bigger.collect()}
+    assert all(big[k] == v for k, v in got.items())
+    # folds are roughly balanced
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert max(c.values()) < 2 * min(c.values())
+    with pytest.raises(ValueError):
+        sa2.kfold_assign(df, "k", k=1)
+
+
+def test_containment_detects_near_subset(spark):
+    """A short doc quoted inside a long one: Jaccard tiny, containment
+    ~1.0 — the excerpt pathology the operator exists for."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    longdoc = (
+        "filler one two three four five six seven eight nine ten "
+        + quote
+        + " more filler eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    df = spark.createDataFrame(
+        [(1, quote, "en"), (2, longdoc, "en"), (3, "unrelated text here", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    rows = dd.containment_pairs(df, "doc_id", "text", "lang", threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a_in_b == 1.0  # every quote bigram is in the long doc
+    assert r.containment_b_in_a < 0.5   # but not vice versa

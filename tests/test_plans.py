@@ -385,3 +385,61 @@ def test_drawdown_groupby_reuses_window_partitioning(spark):
     assert plan.count("Exchange hashpartitioning") == 1, (
         "the per-key aggregate must reuse the cummax window's hash partitioning"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 TPC-H batch (Q2/Q4/Q9/Q11/Q12/Q16 adapted) + pipeline additions
+# ---------------------------------------------------------------------------
+
+def test_q2_argmin_no_window_no_cartesian(spark):
+    """The correlated MIN decorrelates to a combinable struct-argmin:
+    no per-part Window sort, dims broadcast, no cartesian."""
+    plan = _plan(spark, "cheapest_part_supplier_region")
+    assert "Window" not in plan, "argmin must be an aggregate, not a window sort"
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    plan = _plan(spark, "late_ship_priority_counts")
+    assert "LeftSemi" in plan
+    # the order-date range reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q9_dims_broadcast_single_fact_pass(spark):
+    plan = _plan(spark, "nation_year_profit")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # p_type filter is evaluated dim-side, never against the fact scan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_q11_threshold_is_broadcast_not_shuffle(spark):
+    """The scalar subquery must come back as a 1-row broadcast, not a
+    second fact aggregation joined by shuffle."""
+    plan = _plan(spark, "important_part_values")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q16_complaint_suppliers_broadcast_anti(spark):
+    plan = _plan(spark, "part_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_ship_date_filter_pushed(spark):
+    plan = _plan(spark, "ship_delay_priority_mix")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_embedding_norm_is_map_plus_tiny_shuffle(spark):
+    """One scan, one bucket-count exchange, no Python."""
+    plan = _plan(spark, "embedding_norm_buckets")
+    assert plan.count("Exchange") <= 2  # partial agg + final agg exchange
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_kfold_is_map_only_expression(spark):
+    plan = _plan(spark, "kfold_assign_counts")
+    assert "Python" not in plan, "fold assignment must be a JVM expression"
