@@ -54,9 +54,11 @@ __all__ = [
     "make_png_codec",
     "make_wav_parser",
     "make_mp4_parser",
+    "sniff_media_format",
     "synthesize_png_payloads",
     "synthesize_wav_payloads",
     "synthesize_mp4_payloads",
+    "synthesize_mixed_payloads",
     "DeterministicFakeCodec",
 ]
 
@@ -452,6 +454,68 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(kernel, schema)
 
 
+def synthesize_mixed_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """(id) -> (id, payload): a mixed-media column cycling through all
+    six sniffable containers plus plain text, by ``id % 7``:
+    0=png (real pixels), 1=jpeg (SOF0 header), 2=gif, 3=bmp,
+    4=wav (real PCM), 5=mp4 (real box tree), 6=UTF-8 text (no format).
+    Fixture generator for the format-sniffing triage path.
+    """
+    png_encode = make_png_codec()[1]
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def build(i: int) -> bytes:
+            kind = i % 7
+            if kind == 0:
+                rgb = _np.full((4, 4, 3), i % 256, dtype=_np.uint8)
+                return png_encode(rgb)
+            if kind == 1:
+                return (
+                    b"\xff\xd8\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                    + struct.pack(">HH", 16 + i % 64, 16 + (i * 3) % 64)
+                    + b"\x03" + b"\x00" * 9
+                )
+            if kind == 2:
+                return b"GIF89a" + struct.pack("<HH", 8 + i % 99, 8) + b"\x00" * 6
+            if kind == 3:
+                return (
+                    b"BM" + struct.pack("<IHHI", 146, 0, 0, 54)
+                    + struct.pack("<IiiHH", 40, 4 + i % 31, 4, 1, 24)
+                    + b"\x00" * 100
+                )
+            if kind == 4:
+                data = _np.full(64, 1 + i % 5000, dtype="<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                return (
+                    b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            if kind == 5:
+                def box(t: bytes, b: bytes) -> bytes:
+                    return struct.pack(">I", 8 + len(b)) + t + b
+
+                stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, 1 + i % 30))
+                moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsz)))))
+                return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+            return f"plain text payload number {i}".encode()
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield _pd.DataFrame({"id": ids, "payload": [build(int(i)) for i in ids]})
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
 def synthesize_mp4_payloads(df: DataFrame, id_col: str) -> DataFrame:
     """(id) -> (id, payload): a minimal but SPEC-VALID MP4 box tree per
     row (ftyp + moov(mvhd, trak(mdia(minf(stbl(stsz)))))) with
@@ -544,6 +608,50 @@ def attach_media_meta(
             F.md5(p).alias("content_md5"),
         ),
     )
+
+
+def sniff_media_format(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """Classify an untyped binary column: id -> format in
+    {png, jpeg, gif, bmp, wav, mp4} or NULL for unrecognized bytes.
+
+    The triage scan a mixed media lake runs before routing payloads to
+    type-specific decode stages — all three real parsers tried in
+    sequence (image headers, RIFF/WAVE, ISO-BMFF), map-only, bounded
+    memory via Arrow batches.
+    """
+    img = make_image_header_parser()
+    wav = make_wav_parser()
+    mp4 = make_mp4_parser()
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+    ])
+
+    # closure-pure kernel (parsers are closures, pickled by value)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def sniff(b):
+            f, _w, _h = img(b)
+            if f is not None:
+                return f
+            if wav(b)[0] is not None:
+                return "wav"
+            if mp4(b)[0] is not None:
+                return "mp4"
+            return None
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "format": _pd.Series(
+                    [sniff(b) for b in pdf[payload_col]], dtype="object"
+                ),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
 def decode_image_features(

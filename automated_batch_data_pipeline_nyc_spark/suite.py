@@ -7479,6 +7479,291 @@ def _enorm(spark, sf_dir):
     )
 
 
+@_q(
+    "events_dow_hour_matrix",
+    """
+    SELECT isodow(ts) AS dow, hour(ts) AS hr, COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="calendar heatmap counts (ISO day-of-week x hour) — the traffic-"
+        "shape report behind every ops dashboard.  Spark's dayofweek is "
+        "1=Sunday, so the ISO form is derived arithmetically "
+        "((dow+5)%7+1) to match DuckDB's isodow.  Map-only expression + "
+        "one 168-row-bounded count shuffle.",
+)
+def _dowhour(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(iso.alias("dow"), F.hour("ts").cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_q(
+    "pmi_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+    bi AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_ab FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(ws) - 1, 1)),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+        FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2)
+      GROUP BY 1, 2),
+    nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bi FROM bi)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+      round(ln((CAST(c_ab AS DOUBLE) / n_bi)
+               / ((CAST(ua.c AS DOUBLE) / n_uni)
+                  * (CAST(ub.c AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM bi JOIN uni ua ON bi.w1 = ua.w
+    JOIN uni ub ON bi.w2 = ub.w, nu, nb
+    WHERE c_ab >= 50
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+    doc="top PMI collocations: pointwise mutual information over corpus "
+        "bigrams (min count 50) — the classic phrase/collocation miner "
+        "for tokenizer and quality work.  Unigram and bigram counts "
+        "partial-aggregate map-side (vocabulary-bounded shuffles); the "
+        "two corpus totals come back as broadcast 1-row aggregates; the "
+        "PMI expression is the identical double op tree on both engines "
+        "rounded to 6dp (ln may differ in the last ulp across libm "
+        "implementations); top-100 is TakeOrdered with (w1, w2) "
+        "tiebreak, never a global sort.",
+)
+def _pmi(spark, sf_dir):
+    from .operators.util import spread
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    ex = spread(docs.select(toks.alias("ws")))
+    uni = (
+        ex.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = ex.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    bi = (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 50)
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_bi_all = (
+        pairs.agg(F.count(F.lit(1)).cast("double").alias("n_bi"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_all))
+        .select(
+            "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"), pmi.alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+@_q(
+    "window_cume_nth",
+    """
+    SELECT c_custkey, c_mktsegment,
+      round(cume_dist() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey), 6) AS acctbal_cume,
+      nth_value(c_name, 3) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS third_poorest
+    FROM customer
+    """,
+    doc="cume_dist + nth_value per market segment — the remaining "
+        "§2.7 window functions: cumulative distribution of account "
+        "balance and the segment's third-poorest customer pinned on "
+        "every row.  (acctbal, custkey) makes the order total, so both "
+        "functions are tie-deterministic; one segment-keyed shuffle, "
+        "per-segment sort bounded by segment size.",
+)
+def _cumenth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (cust,) = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("acctbal_cume"),
+        F.nth_value("c_name", 3).over(wf).alias("third_poorest"),
+    )
+
+
+@_q(
+    "multimodal_format_sniff",
+    """
+    SELECT doc_id,
+      CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp4'
+        ELSE NULL END AS format
+    FROM documents
+    """,
+    doc="mixed-media triage: a payload column cycling through all six "
+        "sniffable containers (+ plain text) is classified by trying "
+        "the real parsers in sequence — the routing scan a media lake "
+        "runs before type-specific decode fan-out.  The oracle derives "
+        "the expected format arithmetically from the synthesis rule; "
+        "plain text must come back NULL, so a parser that false-"
+        "positives on arbitrary bytes breaks the hash.  Operator: "
+        "operators/multimodal.py sniff_media_format",
+)
+def _msniff(spark, sf_dir):
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    payload = mm.synthesize_mixed_payloads(docs.select("doc_id"), "doc_id")
+    return mm.sniff_media_format(payload, "payload", "id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@_q(
+    "dedup_family_size_hist",
+    """
+    SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families
+    FROM (SELECT md5(text) AS fp, COUNT(*) AS family_size
+          FROM documents GROUP BY 1)
+    GROUP BY 1
+    """,
+    doc="exact-duplicate family-size histogram — the corpus-health "
+        "metric behind the MinHash collapse_exact design: how many "
+        "byte-identical families exist at each size.  Two count "
+        "shuffles, the first keyed on the md5 fingerprint (map-side "
+        "combinable), the second bounded by max family size.",
+)
+def _famhist(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    fams = docs.groupBy(F.md5(F.col("text").cast("string")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return fams.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families")
+    )
+
+
+@_q(
+    "order_lead_time_monthly",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      CAST(month(o_orderdate) AS BIGINT) AS m,
+      COUNT(*) AS n_lines,
+      CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+        AS total_lead_days,
+      CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+        AS max_lead_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="monthly order-to-ship lead time (integer day sums/max, exact — "
+        "no float averaging): the fulfillment-latency report.  One "
+        "fact-fact shuffle on the order key, then a month-bounded "
+        "aggregate; all metrics are map-side-combinable integers.",
+)
+def _leadtime(spark, sf_dir):
+    li, o = _load(spark, sf_dir, "lineitem", "orders")
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(lead).cast("long").alias("total_lead_days"),
+            F.max(lead).cast("long").alias("max_lead_days"),
+        )
+    )
+
+
+@_q(
+    "supplier_pareto_share",
+    """
+    WITH rev AS (
+      SELECT s_suppkey, s_name,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT SUM(r) AS t FROM rev)
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS revenue,
+      round(CAST(SUM(r) OVER (ORDER BY r DESC, s_suppkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(t AS DOUBLE), 6) AS cum_share
+    FROM rev, tot
+    """,
+    doc="supplier Pareto (cumulative revenue share, descending): the "
+        "80/20 concentration report.  Per-supplier revenue partial-"
+        "aggregates over the fact scan; the running sum is an "
+        "unpartitioned window over the SUPPLIER DIM ONLY (dim-sized "
+        "single sort, never the fact table) in exact DECIMAL, divided "
+        "once by the broadcast total.",
+)
+def _pareto(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li, s = _load(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum(F.col("l_extendedprice").cast(D2)).alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = (
+        Window.orderBy(F.col("r").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("revenue"),
+            F.round(
+                F.sum("r").over(w).cast("double") / F.col("t").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -7613,6 +7898,13 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "kfold_assign_counts",
     "containment_pairs_blocked",
     "embedding_norm_buckets",
+    "events_dow_hour_matrix",
+    "pmi_top_bigrams",
+    "window_cume_nth",
+    "multimodal_format_sniff",
+    "dedup_family_size_hist",
+    "order_lead_time_monthly",
+    "supplier_pareto_share",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",

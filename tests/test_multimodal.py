@@ -326,3 +326,12 @@ def test_fake_codec_is_explicit_opt_in(spark):
         mm.decode_image_features(
             df, "payload", "id", codec=mm.DeterministicFakeCodec(strict=True)
         ).collect()
+
+
+def test_sniff_mixed_formats(spark):
+    ids = spark.range(0, 28).withColumnRenamed("id", "doc_id")
+    payloads = mm.synthesize_mixed_payloads(ids, "doc_id")
+    got = {r.id: r.format for r in mm.sniff_media_format(payloads, "payload", "id").collect()}
+    want = ["png", "jpeg", "gif", "bmp", "wav", "mp4", None]
+    for i in range(28):
+        assert got[i] == want[i % 7], (i, got[i])

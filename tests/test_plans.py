@@ -443,3 +443,18 @@ def test_embedding_norm_is_map_plus_tiny_shuffle(spark):
 def test_kfold_is_map_only_expression(spark):
     plan = _plan(spark, "kfold_assign_counts")
     assert "Python" not in plan, "fold assignment must be a JVM expression"
+
+
+def test_pmi_topk_take_ordered_and_broadcast_totals(spark):
+    plan = _plan(spark, "pmi_top_bigrams")
+    assert "TakeOrderedAndProject" in plan, "top-100 must not globally sort"
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_window_is_dim_sized(spark):
+    """The running sum must window over the aggregated supplier dim,
+    never the fact table: the plan's Window sits above the final
+    supplier aggregate, and the fact join broadcasts the dim."""
+    plan = _plan(spark, "supplier_pareto_share")
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
