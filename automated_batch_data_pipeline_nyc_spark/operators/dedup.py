@@ -45,6 +45,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "containment_pairs",
+    "containment_prefix_pairs",
     "jaccard_prefix_pairs",
     "duplicated_ngram_spans",
     "keep_canonical",
@@ -608,6 +609,98 @@ def containment_pairs(
             | (F.col("containment_b_in_a") >= threshold)
         )
     )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact asymmetric-containment pairs at scale via the ASYMMETRIC
+    prefix filter — the production replacement for blocking
+    :func:`containment_pairs` on a coarse attribute.
+
+    Theorem: ``containment(x in y) = |X∩Y|/|X| >= t`` requires
+    ``|X∩Y| >= ceil(t·|X|)``; with X's grams in a global total order,
+    if none of X's first ``|X| - ceil(t·|X|) + 1`` grams is in Y the
+    overlap is at most ``ceil(t·|X|) - 1`` — so every qualifying pair
+    is found by joining the QUERY side's prefix against the PROBE
+    side's FULL gram list (the probe side cannot be prefixed: Y's
+    size doesn't bound the containment of X).  Both directions are
+    generated (x-prefix vs y-full and y-prefix vs x-full), normalized
+    to id_a < id_b, and exact containment verifies candidates — output
+    identical to the blocked form, lossless.
+
+    Scale shape: the full-side explode is one row per gram OCCURRENCE
+    (corpus-linear, (hash, id) longs), the prefix side is sub-linear
+    (shrinking as t grows), and the candidate join is bounded by
+    per-gram document frequency — never block². Hot grams are the
+    caveat (same as PPJoin); on zipfian text the prefix holds rare
+    grams with tiny df.  The global order is the gram hash value
+    itself (array_sort over xxhash64), so no string re-sort pass.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.array_sort(F.transform(grams, lambda s: F.xxhash64(s))).alias("__h"),
+    )
+    g = g.persist()
+    try:
+        prefix_len = (
+            F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h")) + 1
+        ).cast("int")
+        probe = g.select(
+            F.col(id_col).alias("qid"),
+            F.explode(F.slice(F.col("__h"), 1, prefix_len)).alias("__gram"),
+        )
+        full = g.select(
+            F.col(id_col).alias("fid"), F.explode("__h").alias("__gram")
+        )
+        cand = (
+            probe.join(full, "__gram")
+            .filter(F.col("qid") != F.col("fid"))
+            .select(
+                F.least("qid", "fid").alias("id_a"),
+                F.greatest("qid", "fid").alias("id_b"),
+            )
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("__ha", "__hb")).cast("double")
+        pairs = (
+            cand.join(
+                g.select(F.col(id_col).alias("id_a"), F.col("__h").alias("__ha")),
+                "id_a",
+            )
+            .join(
+                g.select(F.col(id_col).alias("id_b"), F.col("__h").alias("__hb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (inter / F.size("__ha").cast("double")).alias(
+                    "containment_a_in_b"
+                ),
+                (inter / F.size("__hb").cast("double")).alias(
+                    "containment_b_in_a"
+                ),
+            )
+            .filter(
+                (F.col("containment_a_in_b") >= threshold)
+                | (F.col("containment_b_in_a") >= threshold)
+            )
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
 
 
 def jaccard_prefix_pairs(

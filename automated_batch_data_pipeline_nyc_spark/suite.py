@@ -7437,15 +7437,57 @@ def _kfold(spark, sf_dir):
         "directions), language-blocked — the near-SUBSET detector "
         "Jaccard misses: a short doc quoted inside a long one has tiny "
         "Jaccard but containment ~1.0 (the excerpt/concatenation crawl "
-        "pathology).  Same blocking scale posture as the Jaccard pair "
-        "family; at scale feed an LSH bucket id as the block.  Operator: "
-        "operators/dedup.py containment_pairs",
+        "pathology).  SMALL-SF ORACLE CROSS-CHECK FORM (the block join "
+        "is block-quadratic: measured 62× wall for 10× data on this "
+        "hot-vocab fixture — excluded from bench like the O(n²) Jaccard "
+        "form); the production path is containment_pairs_prefix "
+        "(lossless asymmetric prefix filtering, and global rather than "
+        "language-blocked).  Operator: operators/dedup.py "
+        "containment_pairs",
 )
 def _containment(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     return dd.containment_pairs(
         docs, "doc_id", "text", "lang", n=2, threshold=0.3
     )
+
+
+@_q(
+    "containment_pairs_prefix",
+    """
+    WITH g AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+          i -> concat_ws(' ',
+                 list_extract(string_split(lower(text),' '), i),
+                 list_extract(string_split(lower(text),' '), i + 1)))) AS grams
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(a.grams) AS DOUBLE) AS containment_a_in_b,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(b.grams) AS DOUBLE) AS containment_b_in_a
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(a.grams) AS DOUBLE) >= 0.6
+       OR CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(b.grams) AS DOUBLE) >= 0.6
+    """,
+    doc="PRODUCTION containment path: exact near-subset pairs over the "
+        "WHOLE corpus via the asymmetric prefix filter — the query "
+        "side's prefix (|X| - ceil(t|X|) + 1 hash-ordered grams) joins "
+        "the probe side's full gram-occurrence list, so candidates are "
+        "bounded by per-gram document frequency, never block² — then "
+        "exact containment verifies both directions.  Lossless "
+        "(pigeonhole: missing the whole prefix caps overlap below "
+        "ceil(t|X|)); the oracle is the O(n²) cross join, checkable at "
+        "small sf.  Operator: operators/dedup.py "
+        "containment_prefix_pairs",
+)
+def _containment_prefix(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.containment_prefix_pairs(docs, "doc_id", "text", n=2, threshold=0.6)
 
 
 @_q(
@@ -7897,6 +7939,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "manifest_partition_counts",
     "kfold_assign_counts",
     "containment_pairs_blocked",
+    "containment_pairs_prefix",
     "embedding_norm_buckets",
     "events_dow_hour_matrix",
     "pmi_top_bigrams",

@@ -55,9 +55,13 @@ def _run() -> dict:
     ).save()
 
     # Oracle-only O(n^2) cross-check forms; their scale-safe twins
-    # (dedup_ngram_jaccard_prefix / dedup_embedding_cosine_lsh) are the
-    # timed production paths.
-    excluded = ["dedup_ngram_jaccard", "dedup_embedding_cosine"]
+    # (dedup_ngram_jaccard_prefix / dedup_embedding_cosine_lsh /
+    # containment_pairs_prefix) are the timed production paths.
+    excluded = [
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "containment_pairs_blocked",
+    ]
 
     timings: dict[str, float] = {}
     total = 0.0

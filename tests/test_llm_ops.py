@@ -1186,3 +1186,34 @@ def test_containment_detects_near_subset(spark):
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.containment_a_in_b == 1.0  # every quote bigram is in the long doc
     assert r.containment_b_in_a < 0.5   # but not vice versa
+
+
+def test_containment_prefix_is_lossless_vs_brute_force(spark):
+    """The asymmetric prefix filter must find EXACTLY the pairs the
+    O(n^2) cross join finds (same ids, same both-direction scores)."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, quote),
+        (2, "filler one two three " + quote + " tail four five six seven"),
+        (3, "alpha beta unrelated words here entirely different content"),
+        (4, "totally disjoint vocabulary nothing shared with others"),
+        (5, quote + " extra"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "blk", F.lit(1)
+    )
+    brute = {
+        (r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in dd.containment_pairs(
+            df, "doc_id", "text", "blk", threshold=0.6
+        ).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in dd.containment_prefix_pairs(
+            df, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert fast == brute and len(fast) >= 2
