@@ -29,6 +29,9 @@ __all__ = [
     "equi_depth_histogram",
     "hll_partial_sketches",
     "hll_union_estimate",
+    "countmin_bucket",
+    "countmin_sketch",
+    "countmin_estimate",
 ]
 
 #: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
@@ -263,4 +266,99 @@ def hll_union_estimate(
         .agg(F.hll_union_agg(F.col(sketch_col)).alias("__u"))
         .withColumn("approx_distinct", F.hll_sketch_estimate("__u"))
         .drop("__u")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable heavy-hitter counts)
+# ---------------------------------------------------------------------------
+
+def countmin_bucket(item: Column, row: int, width: int = 1024) -> Column:
+    """Row-``row``'s CM bucket for an item: md5-derived universal hash,
+    same engine-portable recipe as ``sampling.hash_bucket`` (DuckDB:
+    ``('0x' || substring(md5(r || ':' || w), 1, 8))::BIGINT % width``),
+    so sketches built here are verifiable — and mergeable — outside
+    Spark."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(row)), F.lit(":"), item.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % width
+
+
+def countmin_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of an item column: ``(row, bucket, cnt)`` —
+    at most ``depth x width`` cells REGARDLESS of corpus size.
+
+    The mergeable heavy-hitter primitive: each occurrence increments
+    one bucket per hash row; an item's estimate is the MIN over its
+    rows' buckets — always >= the true count, with the overcount
+    bounded by colliding mass (eps ~ e/width of total occurrences at
+    confidence 1 - e^-depth).  Build partial sketches per shard/day and
+    SUM cell-wise to merge — counts are linear, so the merged sketch
+    equals the sketch of the union: dashboards over 100 TB read a
+    4096-cell table, never the corpus.
+
+    Plan: one map-only explode of ``depth`` (row, bucket) keys per
+    occurrence, then a count shuffle bounded by ``depth x width`` cells
+    (map-side partials compress it to that bound per task).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    item = F.col(item_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            countmin_bucket(item, r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate each probe item's count from a CM sketch: min over the
+    ``depth`` rows of the probe's bucket counts (absent bucket = 0).
+
+    The sketch is cell-bounded, so every join here broadcasts; probes
+    are dashboard-sized by assumption.  ``depth``/``width`` must match
+    the sketch's build parameters.
+    """
+    item = F.col(item_col)
+    out = probes
+    ests = []
+    for r in range(depth):
+        sk_r = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"__b{r}"), F.col("cnt").alias(f"__c{r}")
+        )
+        out = out.join(
+            F.broadcast(sk_r),
+            countmin_bucket(item, r, width) == F.col(f"__b{r}"),
+            "left",
+        )
+        ests.append(F.coalesce(F.col(f"__c{r}"), F.lit(0)))
+    est = F.least(*ests) if depth > 1 else ests[0]
+    return out.select(
+        *[F.col(c) for c in probes.columns],
+        est.cast("long").alias("cm_estimate"),
     )

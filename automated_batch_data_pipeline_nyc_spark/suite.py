@@ -7806,6 +7806,65 @@ def _pareto(spark, sf_dir):
     )
 
 
+@_q(
+    "countmin_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    cells AS (
+      SELECT i AS r,
+        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || w), 1, 8))::BIGINT
+          % 1024 AS b
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i) h),
+    sk AS (SELECT r, b, COUNT(*) AS cnt FROM cells GROUP BY r, b),
+    probes AS (SELECT w, c FROM cnt WHERE c >= 100)
+    SELECT p.w AS token, CAST(p.c AS BIGINT) AS true_cnt,
+      CAST(least(e0.cnt, e1.cnt, e2.cnt, e3.cnt) AS BIGINT) AS cm_estimate,
+      CAST(least(e0.cnt, e1.cnt, e2.cnt, e3.cnt) - p.c AS BIGINT) AS overcount
+    FROM probes p
+    JOIN sk e0 ON e0.r = 0 AND e0.b =
+      ('0x' || substring(md5('0:' || p.w), 1, 8))::BIGINT % 1024
+    JOIN sk e1 ON e1.r = 1 AND e1.b =
+      ('0x' || substring(md5('1:' || p.w), 1, 8))::BIGINT % 1024
+    JOIN sk e2 ON e2.r = 2 AND e2.b =
+      ('0x' || substring(md5('2:' || p.w), 1, 8))::BIGINT % 1024
+    JOIN sk e3 ON e3.r = 3 AND e3.b =
+      ('0x' || substring(md5('3:' || p.w), 1, 8))::BIGINT % 1024
+    """,
+    doc="Count-Min sketch heavy hitters: a 4x1024-cell CM sketch over "
+        "corpus token occurrences, then every token with true count "
+        ">= 100 is estimated from the sketch (min over its 4 buckets) "
+        "beside its exact count and overcount.  The mergeable counting "
+        "primitive: cells are linear, so per-shard sketches SUM to the "
+        "corpus sketch — heavy-hitter dashboards at 100 TB read 4096 "
+        "cells, never the corpus.  The md5 hash family is the engine-"
+        "portable hash_bucket recipe, so DuckDB rebuilds the IDENTICAL "
+        "sketch and the estimates — overcounts included — match "
+        "bit-for-bit.  Operators: operators/stats.py countmin_sketch / "
+        "countmin_estimate",
+)
+def _cmheavy(spark, sf_dir):
+    from .operators.stats import countmin_estimate, countmin_sketch
+    from .operators.util import spread
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    toks = spread(docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w")))
+    sk = countmin_sketch(toks, "w", depth=4, width=1024)
+    probes = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 100)
+    )
+    est = countmin_estimate(sk, probes, "w", depth=4, width=1024)
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("c").cast("long").alias("true_cnt"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("c")).cast("long").alias("overcount"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -7948,6 +8007,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_family_size_hist",
     "order_lead_time_monthly",
     "supplier_pareto_share",
+    "countmin_heavy_hitters",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",

@@ -1217,3 +1217,33 @@ def test_containment_prefix_is_lossless_vs_brute_force(spark):
         ).collect()
     }
     assert fast == brute and len(fast) >= 2
+
+
+def test_countmin_merge_and_overcount_invariants(spark):
+    """Per-shard sketches must SUM cell-wise to the corpus sketch
+    (linearity = mergeability), and every estimate >= true count."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(i, f"tok{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["i", "w"])
+    whole = countmin_sketch(df, "w", depth=4, width=64)
+    half1 = countmin_sketch(df.filter("i < 1000"), "w", depth=4, width=64)
+    half2 = countmin_sketch(df.filter("i >= 1000"), "w", depth=4, width=64)
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b, "cell-wise sum of shard sketches must equal corpus sketch"
+
+    true = df.groupBy("w").agg(F.count("*").alias("c"))
+    est = countmin_estimate(whole, true, "w", depth=4, width=64)
+    for r in est.collect():
+        assert r.cm_estimate >= r.c, (r.w, r.cm_estimate, r.c)
+    with pytest.raises(ValueError):
+        countmin_sketch(df, "w", depth=0)

@@ -278,3 +278,63 @@ def test_boilerplate_removal_matches_python_reference(spark, data, min_frac, min
         kept = [ln for ln in lines if ln not in boiler]
         assert got[i].clean_text == "\n".join(kept), (lines, boiler)
         assert got[i].n_lines == len(lines) and got[i].n_kept == len(kept)
+
+
+# ---------------------------------------------------------------------------
+# round-4 codecs: pure-Python properties (no Spark jobs — cheap examples)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.multimodal import (
+        make_image_header_parser,
+        make_png_codec,
+    )
+
+    decode, encode = make_png_codec()
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    payload = encode(img)
+    fmt, pw, ph = make_image_header_parser()(payload)
+    assert (fmt, pw, ph) == ("png", w, h)
+    out = decode(payload)
+    assert out is not None and out.shape == (h, w, c)
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    n=st.integers(min_value=0, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_parser_rms_matches_numpy(rate, n, seed):
+    import struct
+
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.multimodal import (
+        make_wav_parser,
+    )
+
+    samples = np.random.default_rng(seed).integers(-32768, 32768, size=n).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    prate, ch_, bits, dur, rms = make_wav_parser()(wav)
+    assert (prate, ch_, bits) == (rate, 1, 16)
+    assert dur == n / rate
+    x = samples.astype(np.float64) / 32768.0
+    want = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    assert rms == want
