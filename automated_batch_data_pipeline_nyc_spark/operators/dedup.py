@@ -292,8 +292,11 @@ def minhash_pairs(
     if collapse_exact:
         # md5 (128-bit), not xxhash64: a fingerprint collision would
         # silently merge two different texts, and at 10^10 docs the
-        # 64-bit birthday bound is no longer negligible.
-        fam = base.select(
+        # 64-bit birthday bound is no longer negligible.  NULL text is
+        # excluded: md5(NULL) is NULL, which would otherwise group every
+        # null-text doc into one false "family" (the uncollapsed path
+        # emits no pairs for them — null shingles never collide).
+        fam = base.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp")
         )
         reps = fam.groupBy("__fp").agg(F.min(id_col).alias("__rep"))

@@ -1247,3 +1247,17 @@ def test_countmin_merge_and_overcount_invariants(spark):
         assert r.cm_estimate >= r.c, (r.w, r.cm_estimate, r.c)
     with pytest.raises(ValueError):
         countmin_sketch(df, "w", depth=0)
+
+
+def test_minhash_collapse_ignores_null_text(spark):
+    """md5(NULL) is NULL — null-text docs must NOT group into one false
+    'family' under collapse_exact (round-4 edge fix)."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real content shared by nobody else")],
+        ["doc_id", "text"],
+    )
+    assert dd.minhash_pairs(df, "text", "doc_id").count() == 0
+    kept = sorted(r.doc_id for r in dd.minhash_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 2, 3], "null-text docs all survive, never paired"
