@@ -662,14 +662,28 @@ def containment_prefix_pairs(
         ).cast("int")
         probe = g.select(
             F.col(id_col).alias("qid"),
+            F.size("__h").alias("__qsz"),
             F.explode(F.slice(F.col("__h"), 1, prefix_len)).alias("__gram"),
         )
         full = g.select(
-            F.col(id_col).alias("fid"), F.explode("__h").alias("__gram")
+            F.col(id_col).alias("fid"),
+            F.size("__h").alias("__fsz"),
+            F.explode("__h").alias("__gram"),
         )
+        # per-direction length filter (lossless): containment(q in f)
+        # >= t forces |F| >= ceil(t·|Q|) since the overlap can't exceed
+        # |F|.  A pair qualifying only in the other direction is still
+        # generated by the other direction's probe rows.
         cand = (
-            probe.join(full, "__gram")
-            .filter(F.col("qid") != F.col("fid"))
+            probe.join(
+                full,
+                (probe["__gram"] == full["__gram"])
+                & (F.col("qid") != F.col("fid"))
+                & (
+                    F.col("__fsz")
+                    >= F.ceil(F.lit(threshold) * F.col("__qsz"))
+                ),
+            )
             .select(
                 F.least("qid", "fid").alias("id_a"),
                 F.greatest("qid", "fid").alias("id_b"),

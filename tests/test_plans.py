@@ -458,3 +458,9 @@ def test_pareto_window_is_dim_sized(spark):
     plan = _plan(spark, "supplier_pareto_share")
     assert "Window" in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_containment_prefix_no_cartesian_equi_join(spark):
+    plan = _plan(spark, "containment_pairs_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
