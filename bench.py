@@ -54,6 +54,20 @@ def _run() -> dict:
         "overwrite"
     ).save()
 
+    # Host-speed calibration anchor: a fixed CPU-bound workload timed on
+    # the warmed session.  This host's effective CPU allocation varies
+    # run-to-run (round-4 measured 2-8x inflation from outside load), so
+    # cross-round query-time comparisons should be read relative to
+    # calib_s, not as absolutes.
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        # double accumulators: ANSI-safe (a bigint sum of 2e8 64-bit
+        # hashes overflows), still one xxhash64 + fma per row
+        "sum(cast(xxhash64(id) as double))",
+        "sum(cast(id as double) * cast(id as double))",
+    ).write.format("noop").mode("overwrite").save()
+    calib_s = round(time.perf_counter() - t0, 3)
+
     # Oracle-only O(n^2) cross-check forms; their scale-safe twins
     # (dedup_ngram_jaccard_prefix / dedup_embedding_cosine_lsh /
     # containment_pairs_prefix) are the timed production paths.
@@ -86,6 +100,7 @@ def _run() -> dict:
         "queries": timings,
         "excluded": excluded,
         "sf": sf,
+        "calib_s": calib_s,
     }
 
 
@@ -119,6 +134,7 @@ if __name__ == "__main__":
         "value": result["value"],
         "unit": result["unit"],
         "sf": result["sf"],
+        "calib_s": result["calib_s"],
         "n_queries": len(result["queries"]),
         "n_failed": len(failed),
         "failed": failed[:10],
