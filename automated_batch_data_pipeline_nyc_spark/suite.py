@@ -7867,6 +7867,39 @@ def _cmheavy(spark, sf_dir):
     )
 
 
+@_q(
+    "skew_salted_join",
+    f"""
+    SELECT s_name, COUNT(*) AS n_items,
+      {SQL_SUM.format(col="l_extendedprice")} AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    doc="skew-safe salted equi join: the big side's key is salted over 8 "
+        "buckets and the small side replicated per salt, so one hot key "
+        "spreads across 8 tasks instead of stalling a single reducer — "
+        "then per-supplier revenue proves the salt is SEMANTICALLY "
+        "INVISIBLE (the oracle is the plain join; any row loss or "
+        "duplication from the salt plumbing breaks the hash).  The "
+        "join-side companion to skew_salted_agg; at Spark 3.2+ AQE's "
+        "skew-join split covers sort-merge cases automatically, manual "
+        "salting remains the lever for broadcast-ineligible hot keys.  "
+        "Operator: operators/skew.py salted_join",
+)
+def _saltjoin(spark, sf_dir):
+    from .operators import skew as sk
+
+    li, s = _load(spark, sf_dir, "lineitem", "supplier")
+    dim = s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    j = sk.salted_join(
+        li.select("l_suppkey", "l_extendedprice"), dim, on="l_suppkey"
+    )
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8010,6 +8043,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "order_lead_time_monthly",
     "supplier_pareto_share",
     "countmin_heavy_hitters",
+    "skew_salted_join",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",
