@@ -7900,6 +7900,48 @@ def _saltjoin(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_countmin",
+    """
+    WITH cells AS (
+      SELECT i AS row,
+        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+                               || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+          % 256 AS bucket
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) h
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY 1, 2
+    """,
+    doc="STREAMING Count-Min sketch, hash-verified against the batch "
+        "oracle: the same countmin_sketch operator runs unchanged on a "
+        "file-source stream (stateless cell explode + complete-mode "
+        "count), and because sketch cells are LINEAR the incrementally "
+        "maintained sketch is bit-identical to the batch one — the "
+        "property that lets a streaming job keep live heavy-hitter "
+        "counts whose merged state equals a from-scratch rebuild.  "
+        "4x256 cells of per-user occurrence counts; DuckDB rebuilds the "
+        "identical sketch via the portable md5 hash family.  Operators: "
+        "operators/stats.py countmin_sketch over streaming/jobs.py "
+        "read_event_stream",
+)
+def _scountmin(spark, sf_dir):
+    from .operators.stats import countmin_sketch
+    from .streaming.jobs import read_event_stream
+
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    # identical frame to the sessionizer's staging -> shared dir
+    src = _stage_stream_src(spark, sf_dir, "sess", base)
+    sk = countmin_sketch(read_event_stream(spark, src), "user_id", depth=4, width=256)
+    name = _run_stream_to_table(sk, "complete")
+    return spark.table(name).select(
+        "row", "bucket", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8044,6 +8086,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "supplier_pareto_share",
     "countmin_heavy_hitters",
     "skew_salted_join",
+    "streaming_countmin",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",

@@ -543,3 +543,38 @@ def test_streaming_ewma_rejects_tie_straddling_batches(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, staged_events):
+    """Sketch cells are linear, so the incrementally maintained
+    streaming CM sketch (one file per micro-batch) must equal the
+    from-scratch batch sketch cell-for-cell."""
+    import uuid
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        countmin_sketch,
+    )
+
+    src, batch = staged_events
+    stream_sk = countmin_sketch(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        "user_id", depth=4, width=64,
+    )
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_sk.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = {(r.row, r.bucket): r.cnt for r in spark.table(name).collect()}
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(batch, "user_id", depth=4, width=64).collect()
+    }
+    assert got == want
