@@ -42,6 +42,7 @@ __all__ = [
     "minhash_dedup",
     "simhash_signature",
     "with_simhash",
+    "with_minhash_portable",
     "simhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "containment_pairs",
@@ -426,8 +427,21 @@ def _simhash_from_hashes(hashes: Column, n: Column, bits: int = 64) -> Column:
     return sig
 
 
+def _md5_hash32(tok: Column) -> Column:
+    """Engine-portable 32-bit token hash: the first 8 hex chars of the
+    md5, as a bigint — DuckDB computes the identical value via
+    ``('0x' || substring(md5(w), 1, 8))::BIGINT``.  Slower than
+    xxhash64 (string md5 per token) — use only where cross-engine
+    verifiability is the point."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
 def with_simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash", bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash per row: each distinct token votes +1/-1 on every bit of
     its 64-bit hash; signature bit i is 1 iff the vote sum is positive.
@@ -436,16 +450,48 @@ def with_simhash(
     the 64 bit-votes against that column.  Keeping the hash array as a
     real column is what stops Catalyst's expression inlining from
     re-hashing the document per bit.  Map-only, no explode, no Python.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 32-bit hash
+    family (``bits`` then must be <= 32): slower, but any ANSI-SQL
+    engine reproduces the signature bit-for-bit — how the suite
+    hash-verifies the SimHash ALGORITHM itself against DuckDB
+    (production stays on xxhash64).
     """
+    if portable and bits > 32:
+        raise ValueError(
+            f"portable simhash uses a 32-bit hash family; bits={bits} > 32"
+        )
     t = F.col(text_col)
+    toks = F.array_distinct(F.split(F.lower(t), "\\s+"))
     hashes = F.transform(
-        F.array_distinct(F.split(F.lower(t), "\\s+")), lambda tok: F.xxhash64(tok)
+        toks, _md5_hash32 if portable else (lambda tok: F.xxhash64(tok))
     )
     staged = df.withColumn("__sh_hs", hashes).withColumn("__sh_n", F.size("__sh_hs"))
     out = staged.withColumn(
         out_col, _simhash_from_hashes(F.col("__sh_hs"), F.col("__sh_n"), bits)
     )
     return out.drop("__sh_hs", "__sh_n")
+
+
+def with_minhash_portable(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "minhash",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Cross-engine-verifiable MinHash signature column: the SAME
+    ``(a, b) mod p`` permutation family as :func:`minhash_signature`,
+    but over the md5-derived 32-bit token hashes, so an ANSI-SQL engine
+    reproduces every signature component exactly.  For verifying the
+    MinHash ALGORITHM (the suite hash-checks it against DuckDB) — the
+    hot path stays on xxhash64 shingles.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+"))
+    staged = df.withColumn("__mh_h32", F.transform(toks, _md5_hash32))
+    out = staged.withColumn(
+        out_col, _minhash_from_h32(F.col("__mh_h32"), num_hashes)
+    )
+    return out.drop("__mh_h32")
 
 
 def simhash_signature(text: Column | str, bits: int = 64) -> Column:

@@ -7942,6 +7942,90 @@ def _scountmin(spark, sf_dir):
     )
 
 
+def _simhash_portable_oracle(bits: int = 32) -> str:
+    """32 conditional bit-vote sums over the portable md5-32 token hash
+    — reproduces operators/dedup.py _simhash_from_hashes exactly
+    (vote sum > 0 <=> 2*ones > n; ties -> 0)."""
+    terms = "\n      + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS w
+      FROM documents),
+    h AS (SELECT doc_id,
+            ('0x' || substring(md5(w), 1, 8))::BIGINT AS hv FROM t)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash32
+    FROM h GROUP BY doc_id
+    """
+
+
+@_q(
+    "dedup_simhash_portable",
+    _simhash_portable_oracle(),
+    doc="SimHash ALGORITHM verification: the identical bit-vote "
+        "signature (distinct tokens vote +-1 per bit, tie -> 0) computed "
+        "over the engine-portable md5-32 hash family on both engines — "
+        "every one of 500 32-bit signatures must match bit-for-bit, so "
+        "the signature math itself is hash-verified, not just executed.  "
+        "Production SimHash keeps xxhash64 (registered rows-only as "
+        "dedup_simhash); same staged-array plan, map-only.  Operator: "
+        "operators/dedup.py with_simhash(portable=True)",
+)
+def _simhash_portable(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.with_simhash(
+        docs, "text", out_col="simhash32", bits=32, portable=True
+    ).select("doc_id", "simhash32")
+
+
+def _minhash_portable_oracle(num_hashes: int = 16) -> str:
+    """The same (a, b) mod p permutation family as the production
+    signature (operators/dedup.py _mh_coeffs seed 7), evaluated over
+    the portable md5-32 token hash — one MIN per permutation."""
+    from .operators.dedup import _MH_PRIME, _mh_coeffs
+
+    coeffs = ", ".join(
+        f"struct_pack(j := {j}, a := {a}::BIGINT, b := {b}::BIGINT)"
+        for j, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS w
+      FROM documents),
+    h AS (SELECT doc_id,
+            ('0x' || substring(md5(w), 1, 8))::BIGINT AS hv FROM t),
+    c AS (SELECT unnest([{coeffs}]) AS p)
+    SELECT h.doc_id, CAST(c.p.j AS INTEGER) AS perm,
+      MIN((c.p.a * h.hv + c.p.b) % {_MH_PRIME}) AS sig
+    FROM h, c GROUP BY 1, 2
+    """
+
+
+@_q(
+    "dedup_minhash_portable",
+    _minhash_portable_oracle(),
+    doc="MinHash ALGORITHM verification: the production permutation "
+        "family ((a_j h + b_j) mod p, seed-7 coefficients, p = first "
+        "prime > 2^32) evaluated over the portable md5-32 token hash on "
+        "both engines — all 16 signature components of all 500 docs "
+        "must match exactly, so the universal-hash minima themselves "
+        "are verified cross-engine.  Production MinHash keeps xxhash64 "
+        "shingles (rows-only as dedup_minhash).  Operator: "
+        "operators/dedup.py with_minhash_portable",
+)
+def _minhash_portable(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    sig = dd.with_minhash_portable(docs, "text", out_col="__sig", num_hashes=16)
+    return sig.select(
+        "doc_id", F.posexplode("__sig").alias("perm", "sig")
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8087,6 +8171,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "countmin_heavy_hitters",
     "skew_salted_join",
     "streaming_countmin",
+    "dedup_simhash_portable",
+    "dedup_minhash_portable",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",

@@ -1261,3 +1261,20 @@ def test_minhash_collapse_ignores_null_text(spark):
     assert dd.minhash_pairs(df, "text", "doc_id").count() == 0
     kept = sorted(r.doc_id for r in dd.minhash_dedup(df, "text", "doc_id").collect())
     assert kept == [1, 2, 3], "null-text docs all survive, never paired"
+
+
+def test_portable_signatures_guard_and_discriminate(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "totally different words")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="32"):
+        dd.with_simhash(df, "text", portable=True, bits=64)
+    sigs = {r.doc_id: r.simhash32 for r in dd.with_simhash(
+        df, "text", out_col="simhash32", bits=32, portable=True).collect()}
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
+    mh = {r.doc_id: r.minhash for r in dd.with_minhash_portable(
+        df, "text", out_col="minhash").collect()}
+    assert mh[1] == mh[2] and mh[1] != mh[3]
