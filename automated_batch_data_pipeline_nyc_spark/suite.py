@@ -8026,6 +8026,89 @@ def _minhash_portable(spark, sf_dir):
     )
 
 
+@_q(
+    "kmeans_step_verified",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, seeds.cid,
+        list_dot_product(e.x, e.x)
+          - 2 * list_dot_product(e.x, seeds.c)
+          + list_dot_product(seeds.c, seeds.c) AS dist
+      FROM e, seeds),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d)
+      WHERE rn = 1),
+    m AS (
+      SELECT a.cid AS cluster,
+        generate_subscripts(em.embedding, 1) - 1 AS pos,
+        unnest(em.embedding) AS v
+      FROM a JOIN embeddings em ON a.vec_id = em.vec_id)
+    SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+      CAST(round(avg(CAST(v AS DOUBLE)), 6) AS DOUBLE) AS mean_v,
+      COUNT(*) AS n_members
+    FROM m GROUP BY 1, 2
+    """,
+    doc="Lloyd (KMeans) ITERATION verification: from 8 deterministic "
+        "seed centroids (vec_id < 8), assign every vector to its "
+        "nearest seed (squared distance expanded as |x|^2 - 2 x.c + "
+        "|c|^2, identical fold order both engines, cid tiebreak) and "
+        "recompute per-cluster means — the full assignment + update "
+        "step hash-matched against DuckDB.  This verifies the exact "
+        "KMeans math the rows-only IVF/centroid paths iterate "
+        "(those stay rows-only only because numpy's multi-iteration "
+        "trajectory is engine-specific).  Plan: seeds broadcast, "
+        "|x|^2 staged once, argmin as combinable min(struct), mean "
+        "shuffle bounded by clusters x dim.",
+)
+def _kmeans_step(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+        )
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    ).withColumn("__xx", dot(F.col("x"), F.col("x")))
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda v: v.cast("double")).alias("c"),
+        )
+        .withColumn("__cc", dot(F.col("c"), F.col("c")))
+    )
+    dist = (
+        F.col("__xx") - F.lit(2) * dot(F.col("x"), F.col("c")) + F.col("__cc")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster"))
+    )
+    return (
+        assign.join(emb, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8173,6 +8256,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "streaming_countmin",
     "dedup_simhash_portable",
     "dedup_minhash_portable",
+    "kmeans_step_verified",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",
