@@ -73,27 +73,41 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward AS-OF join: for every left row, the right row with the
-    greatest ``right_ts <= left_ts`` within the same ``by`` key (ties on
-    the boundary match; NULL values when no prior right row exists).
+    """AS-OF join: for every left row, the nearest right row within the
+    same ``by`` key — ``direction='backward'`` (default) takes the
+    greatest ``right_ts <= left_ts`` (last state as of the event: price
+    lookups, slowly-changing attributes), ``'forward'`` the smallest
+    ``right_ts >= left_ts`` (next event after: click -> next purchase
+    attribution, time-to-response).  Boundary ties match in both
+    directions; NULL values when no qualifying right row exists.
 
     Spark has no native ASOF, and the naive theta join
     (``l.ts >= r.ts`` then windowed max) explodes quadratically per
     key.  This is the scalable *union trick*: tag both sides, union,
-    and carry the last non-null right value forward with
-    ``last(ignorenulls) OVER (by, ORDER BY ts, side)`` — ONE shuffle on
-    the key, linear in rows, same partitioning as any window.  The
-    right side must be unique per (by, right_ts) — pre-aggregate it if
-    not, or the carried value is partition-order-dependent.
+    and carry the nearest non-null right value across with
+    ``last(ignorenulls)`` over an unbounded-preceding frame (backward)
+    or ``first(ignorenulls)`` over an unbounded-following frame
+    (forward) — ONE shuffle on the key, linear in rows, same
+    partitioning as any window.  The side tag orders left AFTER right
+    at equal timestamps (backward) or BEFORE it (forward) so boundary
+    ties land inside the frame.  The right side must be unique per
+    (by, right_ts) — pre-aggregate it if not, or the carried value is
+    partition-order-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     from pyspark.sql import Window
 
+    backward = direction == "backward"
     lcols = left.columns
     tagged_l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),  # left sorts AFTER right at equal ts
+        # backward: left sorts AFTER right at equal ts (tie inside the
+        # preceding frame); forward: BEFORE it (tie inside following)
+        F.lit(1 if backward else 0).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
     )
     tagged_r = right.select(
@@ -104,25 +118,24 @@ def asof_join(
             if c not in by
         ],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(0 if backward else 1).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = tagged_l.select(sorted(tagged_l.columns)).unionByName(
         tagged_r.select(sorted(tagged_r.columns))
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.asc("__ts"), F.asc("__side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy(*by).orderBy(F.asc("__ts"), F.asc("__side"))
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        carry = lambda c: F.last(f"__r_{c}", ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        carry = lambda c: F.first(f"__r_{c}", ignorenulls=True).over(w)  # noqa: E731
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        *[carry(c).alias(f"__m_{c}") for c in value_cols],
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == (1 if backward else 0)).select(
         *[F.col(c) for c in lcols],
         *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
     )

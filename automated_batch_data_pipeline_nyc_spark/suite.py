@@ -8109,6 +8109,56 @@ def _kmeans_step(spark, sf_dir):
     )
 
 
+@_q(
+    "asof_next_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    purch AS (
+      SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_event_id
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+      p.purchase_ts AS asof_purchase_ts,
+      p.purchase_event_id AS asof_purchase_event_id
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.purchase_ts >= c.ts
+    """,
+    doc="§2.6 FORWARD as-of join (earliest same-user purchase at-or-"
+        "after each click — next-event attribution / time-to-convert): "
+        "the mirrored union trick, first(ignorenulls) over an unbounded-"
+        "FOLLOWING frame with the side tag flipped so boundary ties land "
+        "inside the frame; still ONE key shuffle, linear per row.  "
+        "Oracle is DuckDB's native forward ASOF JOIN.  Operator: "
+        "operators/joins.py asof_join(direction='forward')",
+)
+def _asof_fwd(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    return J.asof_join(
+        clicks,
+        purch,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        value_cols=["purchase_ts", "purchase_event_id"],
+        direction="forward",
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8257,6 +8307,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_simhash_portable",
     "dedup_minhash_portable",
     "kmeans_step_verified",
+    "asof_next_purchase",
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",

@@ -1278,3 +1278,24 @@ def test_portable_signatures_guard_and_discriminate(spark):
     mh = {r.doc_id: r.minhash for r in dd.with_minhash_portable(
         df, "text", out_col="minhash").collect()}
     assert mh[1] == mh[2] and mh[1] != mh[3]
+
+
+def test_asof_join_forward_boundary_and_missing(spark):
+    ts = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(5)), (3, 2, ts(10))], ["event_id", "uid", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 100), (1, ts(9), 200), (1, ts(12), 300), (2, ts(9), 400)],
+        ["uid", "rts", "val"],
+    )
+    out = asof_join(
+        left, right, by=["uid"], left_ts="ts", right_ts="rts",
+        value_cols=["val"], direction="forward",
+    )
+    got = {r.event_id: r.asof_val for r in out.collect()}
+    # event 1: earliest rts>=10 is 12 -> 300; event 2: boundary tie
+    # rts==5 matches -> 100; event 3: no rts>=10 for uid 2 -> NULL
+    assert got == {1: 300, 2: 100, 3: None}
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["uid"], "ts", "rts", ["val"], direction="nearest")
