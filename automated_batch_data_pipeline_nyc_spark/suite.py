@@ -8180,138 +8180,92 @@ def _asof_fwd(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-4 window: the 50 queries the driver verifies this round.  All
+#: Round-5 window: the 50 queries the driver verifies this round.  All
 #: oracle-backed, none has ever had a driver correctness row (VERDICT.md
-#: round 3 priority order: the streaming family first — the only major
-#: family with zero driver signal — then the TPC-H analytic shapes, then
-#: the retrieval / classifier / CDC / boilerplate / index batch, then the
-#: remaining window-function and rolling-metric queries).
+#: round 4 priority order: the five REAL-codec multimodal queries first
+#: — round 4's flagship work — then the last §2 sink row
+#: (table_modes_roundtrip), the LSH/k-means/sketch/portable-dedup
+#: verification batch, the forward as-of join, the remaining TPC-H
+#: shapes (Q2/Q4/Q9/Q11/Q12/Q16 adapted), then the §2.4/§2.7 extended
+#: aggregate/window batteries and pipeline-maintenance queries).
 DRIVER_WINDOW: list[str] = [
-    # streaming (hash-verified vs the batch oracle fold)
-    "streaming_sessionize",
-    "streaming_dedup_counts",
-    "streaming_enriched_totals",
-    "streaming_interval_join",
-    "streaming_ewma",
-    # TPC-H analytic shapes (Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/
-    # Q20/Q21/Q22)
-    "local_supplier_volume",
-    "revenue_forecast_band",
-    "bilateral_trade_volume",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "brand_bracket_revenue",
-    "market_share_by_year",
-    "top_supplier_revenue",
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
-    "idle_rich_customers",
-    "small_quantity_revenue",
-    "customer_order_distribution",
-    # retrieval / classification / CDC / corpus hygiene
-    "quality_classifier_scores",
-    "quality_classifier_bucketed",
-    "bm25_search",
-    "hybrid_retrieval_rrf",
-    "cdc_apply_orders",
-    "cdc_compact_feed",
-    "session_window_native",
-    "line_boilerplate_removal",
-    "html_text_extraction",
-    "inverted_index_postings",
-    "dedup_survivor_by_quality",
-    "dedup_incremental_batch",
-    "null_safe_enrich",
-    "join_full_outer",
-    # production-default percentile form (VERDICT r3 item 5)
-    "window_percentile_ranks_dist",
-    # rolling metrics / windows / stats
-    "ewma_by_user",
-    "user_value_drawdown",
-    "corpus_filter_funnel",
-    "rolling_zscore_anomalies",
-    "sink_quarantine_roundtrip",
-    "bigram_logprob_scores",
-    "dedup_graph_triangles",
-    "equi_depth_histogram",
-    "skew_salted_agg",
-    "rolling_hour_window",
-    "sliding_window_counts",
-    "rolling_distinct_users",
-    "first_event_per_user",
-    "event_transition_matrix",
-    "revenue_share_of_total",
-    "topk_with_ties_per_nation",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window
-#: (oracle-backed first, rows-only last — rows-only entries get the
-#: weaker rows-only driver check whenever they are inside the window).
-_NEXT_WINDOW_QUEUE: list[str] = [
-    "similarity_topk",           # driver-green in r1; re-queue after the
-                                 # never-verified backlog clears
-    "string_agg_per_group",
-    "grouping_sets_quantity",
-    "date_arithmetic",
-    "conditional_agg",
-    "having_filter",
-    "exists_subquery",
-    "window_first_last",
-    "unpivot_part_metrics",
-    "fill_defaults",
-    "word_counts",
-    "regexp_extract_supplier",
-    "cube_order_counts",
-    "grouped_median",
-    "window_rank_ntile",
-    "scalar_function_battery",
-    "value_histogram",
-    "clip_outliers",
-    "window_percentile_ranks",   # exact form: oracle cross-check for the
-                                 # _dist production default (now in window)
-    "clean_pipeline_dirty",
-    "grouped_mode",
-    "robust_spread",
-    "zorder_bucket_stats",
-    "dedup_ngram_jaccard",       # O(n^2) oracle cross-check form
-    "dedup_embedding_cosine",    # O(n^2) oracle cross-check form
-    # round-4 additions, queued for the r5 driver window's full hash
-    # check: catalog-table save modes (VERDICT r3 item 6), the REAL
-    # stdlib multimodal codecs over synthesized spec-valid payloads,
-    # the remaining TPC-H shapes (Q2/Q4/Q9/Q11/Q12/Q16 adapted), and
-    # the maintenance/eval/containment/norm pipeline queries
+    # real stdlib multimodal codecs (VERDICT r4 priority #1)
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_format_sniff",
+    # last §2 sink row + algorithm-verification batch
     "table_modes_roundtrip",
+    "similarity_lsh_topk",
+    "kmeans_step_verified",
+    "streaming_countmin",
+    "containment_pairs_prefix",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    # forward as-of join (VERDICT r4 item 3)
+    "asof_next_purchase",
+    # TPC-H analytic shapes (Q2/Q4/Q9/Q11/Q12/Q16 adapted)
     "cheapest_part_supplier_region",
     "late_ship_priority_counts",
     "nation_year_profit",
     "important_part_values",
     "ship_delay_priority_mix",
     "part_supplier_variety",
+    # §2.4 extended aggregate battery
+    "string_agg_per_group",
+    "grouping_sets_quantity",
+    "cube_order_counts",
+    "grouped_median",
+    "grouped_mode",
+    "having_filter",
+    "conditional_agg",
+    "robust_spread",
+    "value_histogram",
+    # §2.7 extended window battery
+    "window_first_last",
+    "window_rank_ntile",
+    "window_cume_nth",
+    # scalar / reshaping / hygiene
+    "date_arithmetic",
+    "exists_subquery",
+    "unpivot_part_metrics",
+    "fill_defaults",
+    "word_counts",
+    "regexp_extract_supplier",
+    "clip_outliers",
+    # pipeline-maintenance / eval / corpus queries
+    "zorder_bucket_stats",
     "compact_roundtrip",
     "manifest_partition_counts",
     "kfold_assign_counts",
-    "containment_pairs_blocked",
-    "containment_pairs_prefix",
     "embedding_norm_buckets",
     "events_dow_hour_matrix",
     "pmi_top_bigrams",
-    "window_cume_nth",
-    "multimodal_format_sniff",
     "dedup_family_size_hist",
     "order_lead_time_monthly",
     "supplier_pareto_share",
     "countmin_heavy_hitters",
     "skew_salted_join",
-    "streaming_countmin",
-    "dedup_simhash_portable",
-    "dedup_minhash_portable",
-    "kmeans_step_verified",
-    "asof_next_purchase",
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
+]
+
+#: Never-driver-verified queries queued for the NEXT round's window,
+#: backlog first (VERDICT r4 item 2): after the 4 oracle-backed
+#: spill-overs and 9 rows-only entries get their r6 slots, every
+#: registered query has a driver row and the window becomes pure
+#: regression re-verification (top up from _PREVIOUSLY_VERIFIED,
+#: oldest green round first).
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # oracle-backed spill-over from the r5 window (54 never-verified
+    # oracle-backed queries, 50 slots): the exact/variant cross-check
+    # forms whose production defaults are already driver-green
+    "window_percentile_ranks",   # exact form: cross-check for the
+                                 # driver-green _dist production default
+    "clean_pipeline_dirty",      # dirty-fixture variant of the green
+                                 # clean_pipeline
+    "scalar_function_battery",
+    "containment_pairs_blocked", # O(n^2) oracle cross-check form for
+                                 # the in-window containment_pairs_prefix
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",
@@ -8319,13 +8273,12 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_simhash",
     "embedding_centroids",
     "embedding_centroids_udaf",
-    "similarity_lsh_topk",
     "similarity_ivf_topk",
     "approx_quantiles",
     "hll_mergeable_rollup",
 ]
 
-#: Driver-green in r1/r2/r3 (hash-stable; guarded by local oracle parity).
+#: Driver-green in r1-r4 (hash-stable; guarded by local oracle parity).
 #: EXPLICIT on purpose: a new registration that appears in none of the
 #: three lists fails the assert below at import time, so every new query
 #: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
@@ -8431,6 +8384,62 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "mutual_information",
     "pagerank_order_part",
     "cross_source_contamination",
+    # driver-green in r4 (CORRECTNESS_r04.json, 50/50 hash-green)
+    "streaming_sessionize",
+    "streaming_dedup_counts",
+    "streaming_enriched_totals",
+    "streaming_interval_join",
+    "streaming_ewma",
+    "local_supplier_volume",
+    "revenue_forecast_band",
+    "bilateral_trade_volume",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "brand_bracket_revenue",
+    "market_share_by_year",
+    "top_supplier_revenue",
+    "dominant_part_suppliers",
+    "sole_supplier_open_orders",
+    "idle_rich_customers",
+    "small_quantity_revenue",
+    "customer_order_distribution",
+    "quality_classifier_scores",
+    "quality_classifier_bucketed",
+    "bm25_search",
+    "hybrid_retrieval_rrf",
+    "cdc_apply_orders",
+    "cdc_compact_feed",
+    "session_window_native",
+    "line_boilerplate_removal",
+    "html_text_extraction",
+    "inverted_index_postings",
+    "dedup_survivor_by_quality",
+    "dedup_incremental_batch",
+    "null_safe_enrich",
+    "join_full_outer",
+    "window_percentile_ranks_dist",
+    "ewma_by_user",
+    "user_value_drawdown",
+    "corpus_filter_funnel",
+    "rolling_zscore_anomalies",
+    "sink_quarantine_roundtrip",
+    "bigram_logprob_scores",
+    "dedup_graph_triangles",
+    "equi_depth_histogram",
+    "skew_salted_agg",
+    "rolling_hour_window",
+    "sliding_window_counts",
+    "rolling_distinct_users",
+    "first_event_per_user",
+    "event_transition_matrix",
+    "revenue_share_of_total",
+    "topk_with_ties_per_nation",
+    # driver-green in r1 (hash rows in CORRECTNESS_r01.json) but kept
+    # in the r2-r4 queues by mistake; filed here where they belong
+    "similarity_topk",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
 ]
 
 _rotated = (

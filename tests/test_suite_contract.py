@@ -16,60 +16,60 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-4 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-5 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
-    "streaming_sessionize",
-    "streaming_dedup_counts",
-    "streaming_enriched_totals",
-    "streaming_interval_join",
-    "streaming_ewma",
-    "local_supplier_volume",
-    "revenue_forecast_band",
-    "bilateral_trade_volume",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "brand_bracket_revenue",
-    "market_share_by_year",
-    "top_supplier_revenue",
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
-    "idle_rich_customers",
-    "small_quantity_revenue",
-    "customer_order_distribution",
-    "quality_classifier_scores",
-    "quality_classifier_bucketed",
-    "bm25_search",
-    "hybrid_retrieval_rrf",
-    "cdc_apply_orders",
-    "cdc_compact_feed",
-    "session_window_native",
-    "line_boilerplate_removal",
-    "html_text_extraction",
-    "inverted_index_postings",
-    "dedup_survivor_by_quality",
-    "dedup_incremental_batch",
-    "null_safe_enrich",
-    "join_full_outer",
-    "window_percentile_ranks_dist",
-    "ewma_by_user",
-    "user_value_drawdown",
-    "corpus_filter_funnel",
-    "rolling_zscore_anomalies",
-    "sink_quarantine_roundtrip",
-    "bigram_logprob_scores",
-    "dedup_graph_triangles",
-    "equi_depth_histogram",
-    "skew_salted_agg",
-    "rolling_hour_window",
-    "sliding_window_counts",
-    "rolling_distinct_users",
-    "first_event_per_user",
-    "event_transition_matrix",
-    "revenue_share_of_total",
-    "topk_with_ties_per_nation",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_format_sniff",
+    "table_modes_roundtrip",
+    "similarity_lsh_topk",
+    "kmeans_step_verified",
+    "streaming_countmin",
+    "containment_pairs_prefix",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "asof_next_purchase",
+    "cheapest_part_supplier_region",
+    "late_ship_priority_counts",
+    "nation_year_profit",
+    "important_part_values",
+    "ship_delay_priority_mix",
+    "part_supplier_variety",
+    "string_agg_per_group",
+    "grouping_sets_quantity",
+    "cube_order_counts",
+    "grouped_median",
+    "grouped_mode",
+    "having_filter",
+    "conditional_agg",
+    "robust_spread",
+    "value_histogram",
+    "window_first_last",
+    "window_rank_ntile",
+    "window_cume_nth",
+    "date_arithmetic",
+    "exists_subquery",
+    "unpivot_part_metrics",
+    "fill_defaults",
+    "word_counts",
+    "regexp_extract_supplier",
+    "clip_outliers",
+    "zorder_bucket_stats",
+    "compact_roundtrip",
+    "manifest_partition_counts",
+    "kfold_assign_counts",
+    "embedding_norm_buckets",
+    "events_dow_hour_matrix",
+    "pmi_top_bigrams",
+    "dedup_family_size_hist",
+    "order_lead_time_monthly",
+    "supplier_pareto_share",
+    "countmin_heavy_hitters",
+    "skew_salted_join",
 ]
 
 
@@ -84,12 +84,13 @@ def test_window_is_all_oracle_backed():
 
 
 def test_window_targets_never_verified_queries():
-    """Every r4 window slot goes to a query with no prior driver-green row."""
+    """Every r5 window slot goes to a query with no prior driver-green row."""
     green: set[str] = set()
     for fname in (
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
