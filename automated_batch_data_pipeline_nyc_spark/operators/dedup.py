@@ -680,7 +680,11 @@ def containment_prefix_pairs(
     size doesn't bound the containment of X).  Both directions are
     generated (x-prefix vs y-full and y-prefix vs x-full), normalized
     to id_a < id_b, and exact containment verifies candidates — output
-    identical to the blocked form, lossless.
+    identical to the blocked form, lossless.  All threshold ceilings
+    carry a downward 1e-9 epsilon so double rounding can never
+    overshoot an exact integer t·|X| and silently shrink a prefix /
+    tighten a length filter; a too-small ceiling only admits extra
+    candidates that exact verification removes.
 
     Scale shape: the full-side explode is one row per gram OCCURRENCE
     (corpus-linear, (hash, id) longs), the prefix side is sub-linear
@@ -704,7 +708,7 @@ def containment_prefix_pairs(
     g = g.persist()
     try:
         prefix_len = (
-            F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h")) + 1
+            F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h") - F.lit(1e-9)) + 1
         ).cast("int")
         probe = g.select(
             F.col(id_col).alias("qid"),
@@ -727,7 +731,7 @@ def containment_prefix_pairs(
                 & (F.col("qid") != F.col("fid"))
                 & (
                     F.col("__fsz")
-                    >= F.ceil(F.lit(threshold) * F.col("__qsz"))
+                    >= F.ceil(F.lit(threshold) * F.col("__qsz") - F.lit(1e-9))
                 ),
             )
             .select(
@@ -814,6 +818,11 @@ def jaccard_prefix_pairs(
       the load instead.  Both orders are lossless — identical output
       pairs — so the exact oracle verifies either; prefer ``"freq"``
       on natural-language corpora at scale.
+
+    Threshold ceilings carry a downward 1e-9 epsilon (see
+    ``containment_prefix_pairs``): double rounding must never overshoot
+    an exact integer t·|X|, or the prefix/length/positional filters
+    tighten by one and the lossless guarantee breaks.
     """
     if order not in ("lex", "freq"):
         raise ValueError(f"order must be 'lex' or 'freq', got {order!r}")
@@ -846,7 +855,7 @@ def jaccard_prefix_pairs(
     p = None
     try:
         prefix_len = (
-            F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h")) + 1
+            F.size("__h") - F.ceil(F.lit(threshold) * F.size("__h") - F.lit(1e-9)) + 1
         ).cast("int")
         if order == "freq":
             # Re-sort each doc's gram hashes by corpus document
@@ -871,7 +880,7 @@ def jaccard_prefix_pairs(
                 )
             )
             prefix_ord = (
-                F.size("__hord") - F.ceil(F.lit(threshold) * F.size("__hord")) + 1
+                F.size("__hord") - F.ceil(F.lit(threshold) * F.size("__hord") - F.lit(1e-9)) + 1
             ).cast("int")
             p = byfreq.select(
                 F.col(id_col),
@@ -893,7 +902,7 @@ def jaccard_prefix_pairs(
         # (see docstring) — arithmetic-only join predicates, evaluated
         # on matched rows before anything reaches the distinct.
         t = F.lit(threshold)
-        need = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("a.__sz") + F.col("b.__sz")))
+        need = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("a.__sz") + F.col("b.__sz")) - F.lit(1e-9))
         overlap_ub = (
             F.least(F.col("a.__pos"), F.col("b.__pos"))
             + 1

@@ -289,12 +289,16 @@ def make_wav_parser():
             cid = b[i:i + 4]
             csize = struct.unpack("<I", b[i + 4:i + 8])[0]
             body = b[i + 8:i + 8 + csize]
-            if cid == b"fmt " and csize >= 16:
+            if cid == b"fmt " and csize >= 16 and len(body) >= 16:
                 fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
                 bits = struct.unpack("<H", body[14:16])[0]
                 if fmt_tag != 1:  # PCM only
                     return none
             elif cid == b"data":
+                if len(body) < csize:
+                    # truncated file: declared data chunk extends past the
+                    # payload — surface NULLs, never partial-file stats
+                    return none
                 data = body
             i += 8 + csize + (csize & 1)  # chunks are word-aligned
         if rate is None or data is None or not channels or not bits:

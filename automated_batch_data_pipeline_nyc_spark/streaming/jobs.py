@@ -214,8 +214,9 @@ def ewma_stream(
     alpha: float = 0.3,
 ) -> DataFrame:
     """Streaming per-key EWMA: the stateful twin of the batch array fold
-    (suite.ewma_by_user).  State per key is exactly (s, last_us, n) — the
-    smoothed value, the last event time consumed, and the count; each
+    (suite.ewma_by_user).  State per key is exactly (s, last_us, last_id,
+    n) — the smoothed value, the last event time consumed, the id of the
+    last row consumed (tie-straddle guard), and the count; each
     micro-batch sorts its rows by (event time, ``id_col`` tiebreak) and
     folds them into the carried state, then emits the updated
     (key, n_events, ewma) row.  The output key column is named and typed
@@ -236,6 +237,16 @@ def ewma_stream(
     does.)  Production late-data policy is the standard online-EWMA
     one: pair with a watermark and accept that late rows never
     retroactively re-smooth.
+
+    Checkpoint compatibility: the state tuple grew from (s, last_us, n)
+    to (s, last_us, last_id, n) when the tie-straddle guard landed.
+    applyInPandasWithState pins the state schema in the checkpoint, so
+    resuming a pre-guard checkpoint with this kernel is NOT supported —
+    start from a fresh checkpoint after upgrading.  As defense in depth
+    the kernel also accepts a 3-field tuple at ``state.get`` and
+    upgrades it with ``last_id=None`` (the tie-straddle guard is then
+    inert for the first post-upgrade tie), in case the state store
+    hands back legacy rows instead of failing fast.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -262,7 +273,12 @@ def ewma_stream(
             ["__ts", "__id"]
         )
         if state.exists:
-            s, last_us, last_id, n = state.get
+            vals = tuple(state.get)
+            if len(vals) == 3:  # legacy (s, last_us, n) checkpoint
+                s, last_us, n = vals
+                last_id = None
+            else:
+                s, last_us, last_id, n = vals
         else:
             s, last_us, last_id, n = None, -1, None, 0
         ts_vals = rows["__ts"].astype("int64")

@@ -6149,6 +6149,14 @@ def _cdc_compact(spark, sf_dir):
     )
 
 
+#: ewma_by_user per-key history cap (rows per aggregation buffer).  At
+#: ~50-100 B per collected (ts, event_id, value) struct this bounds the
+#: worst single buffer to ~100-200 MB — far past any bounded-history
+#: workload, far short of executor OOM.  Read at query-BUILD time so
+#: tests can tighten it (monkeypatch) to pin the fail-fast path.
+EWMA_MAX_HISTORY = 2_000_000
+
+
 @_q(
     "ewma_by_user",
     """
@@ -6174,11 +6182,14 @@ def _cdc_compact(spark, sf_dir):
         "One user-keyed shuffle.  SCALE CAVEAT: collect_list materializes "
         "each key's full value history in one aggregation buffer, so this "
         "batch form is only safe while per-key history is bounded (events "
-        "per user — the same locality assumption as sessionization).  For "
-        "unbounded/hot keys the PRODUCTION form is streaming/jobs.py "
-        "ewma_stream, which folds incrementally with O(1) state "
-        "(s, last_us, last_id, n) per key and is hash-verified against "
-        "this batch fold by the streaming_ewma suite entry.",
+        "per user — the same locality assumption as sessionization).  "
+        "EWMA_MAX_HISTORY enforces the bound: a key whose history "
+        "exceeds it RAISES (assert_true) instead of ballooning the "
+        "buffer toward OOM.  For unbounded/hot keys the PRODUCTION form "
+        "is streaming/jobs.py ewma_stream, which folds incrementally "
+        "with O(1) state (s, last_us, last_id, n) per key and is "
+        "hash-verified against this batch fold by the streaming_ewma "
+        "suite entry.",
 )
 def _ewma(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
@@ -6187,6 +6198,11 @@ def _ewma(spark, sf_dir):
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
+    # fail-fast guard for the SCALE CAVEAT above: a key whose collected
+    # history exceeds the cap raises with a pointer to ewma_stream
+    # instead of silently ballooning one aggregation buffer toward OOM.
+    # Module-level so tests (and operators) can tighten it.
+    cap = F.lit(int(EWMA_MAX_HISTORY))
     arr = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda x: x["value"],
@@ -6202,7 +6218,22 @@ def _ewma(spark, sf_dir):
         ),
         6,
     )
-    return agged.select(
+    guard = F.assert_true(
+        F.size("vs") <= cap,
+        F.concat_ws(
+            "",
+            F.lit("ewma_by_user: per-key history for key "),
+            F.col("user_id").cast("string"),
+            F.lit(" exceeds EWMA_MAX_HISTORY="),
+            cap.cast("string"),
+            F.lit(
+                " rows; the batch collect_list fold is bounded-history "
+                "only — use streaming/jobs.py ewma_stream (O(1) state "
+                "per key) for unbounded/hot keys"
+            ),
+        ),
+    )
+    return agged.where(guard.isNull()).select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.element_at("vs", -1).alias("last_value"),

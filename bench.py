@@ -7,8 +7,10 @@ Usage: ``python bench.py`` (driver contract)
 - output:  the full per-query JSON object (with the ~150-entry
   "queries" timing map) goes to STDERR; stdout carries the same full
   line FIRST and then ends with ONE SHORT summary line
-  {"metric": "suite_wall_seconds", "value": <total>, "unit": "sec",
-   "sf": <sf>, "n_queries": N, "n_failed": N, "slowest": {...top5}}
+  {"metric": "suite_wall_seconds", "value": <total>,
+   "value_calibrated": <total normalized to the anchor host speed>,
+   "unit": "sec", "sf": <sf>, "calib_s": <host calibration>,
+   "n_queries": N, "n_failed": N, "slowest": {...top5}}
   The driver keeps only a ~2 KB tail of stdout, which truncated round
   2's single 4 KB line and lost the head "value" field — the short
   LAST line always survives tail capture and parses on its own.
@@ -32,6 +34,12 @@ import os
 import re
 import sys
 import time
+
+#: calib_s measured on the round-3 driver host (the cleanest run so
+#: far) — the anchor for cross-round normalization.  value_calibrated
+#: = value * (CALIB_ANCHOR_S / calib_s): >1x means the run's host was
+#: slower than the anchor host, and the query times scale accordingly.
+CALIB_ANCHOR_S = 0.55
 
 
 def _run() -> dict:
@@ -97,10 +105,18 @@ def _run() -> dict:
         "metric": "suite_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        # Wall time normalized to the reference host speed (VERDICT r4
+        # item 5): CALIB_ANCHOR_S is the round-3 driver host's calib_s,
+        # so value_calibrated is directly comparable across rounds even
+        # when the host's effective CPU allocation swings 2-8x.
+        "value_calibrated": round(total * (CALIB_ANCHOR_S / calib_s), 3)
+        if calib_s > 0
+        else None,
         "queries": timings,
         "excluded": excluded,
         "sf": sf,
         "calib_s": calib_s,
+        "calib_anchor_s": CALIB_ANCHOR_S,
     }
 
 
@@ -132,6 +148,7 @@ if __name__ == "__main__":
     summary = {
         "metric": result["metric"],
         "value": result["value"],
+        "value_calibrated": result["value_calibrated"],
         "unit": result["unit"],
         "sf": result["sf"],
         "calib_s": result["calib_s"],

@@ -165,3 +165,22 @@ def test_embedding_centroid_paths_agree(spark):
     assert {k for k, _ in jvm} == set(pdv)
     for (label, dim), v in jvm.items():
         assert math.isclose(v, pdv[label][dim], rel_tol=1e-9, abs_tol=1e-12), (label, dim)
+
+
+def test_ewma_by_user_history_cap_fails_fast(spark, monkeypatch):
+    """ewma_by_user's SCALE CAVEAT is enforced in code: a key whose
+    collected history exceeds EWMA_MAX_HISTORY raises (assert_true)
+    with a pointer to the streaming production form, instead of
+    silently growing one aggregation buffer toward OOM (VERDICT r4
+    item 4).  The cap is read at query-build time, so tightening it to
+    1 makes every multi-event user pathological."""
+    from pyspark.errors import SparkRuntimeException
+
+    from automated_batch_data_pipeline_nyc_spark import suite
+
+    q = suite.QUERIES["ewma_by_user"].spark
+    # default cap: the sf0.001 fixture is far below 2M rows per key
+    assert q(spark, "/root/testdata/sf0.001").count() > 0
+    monkeypatch.setattr(suite, "EWMA_MAX_HISTORY", 1)
+    with pytest.raises(SparkRuntimeException, match="EWMA_MAX_HISTORY=1"):
+        q(spark, "/root/testdata/sf0.001").count()

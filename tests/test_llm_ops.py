@@ -1299,3 +1299,69 @@ def test_asof_join_forward_boundary_and_missing(spark):
     assert got == {1: 300, 2: 100, 3: None}
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, ["uid"], "ts", "rts", ["val"], direction="nearest")
+
+
+# ---------------------------------------------------------------------------
+# IVF index quality (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+def test_ivf_search_recall_vs_brute_force(spark):
+    """IVF recall curve vs the exact brute-force oracle on the real
+    embeddings fixture (VERDICT r4 item 6) — pins the index's QUALITY,
+    not just its determinism (similarity_ivf_topk is rows-only in the
+    driver; KMeans has no SQL oracle).
+
+    The fixture's embeddings are isotropic-random (measured mean
+    pairwise cosine ~0.0, no label structure) — the hardest case for a
+    coarse quantizer: true neighbors spread across Voronoi cells, so
+    recall is bounded by the probed-corpus fraction, not centroid
+    polish.  This test still forced two real fixes:
+
+    - metric="cosine" spherical k-means in build_ivf_index —
+      raw-Euclidean clustering + cosine probing measured 0.68 mean
+      recall@10 at nprobe=4; normalized clustering measured 0.78-0.86;
+    - full-corpus fit here: fit_fraction=0.25 of the 500-row fixture
+      (125 points for k=8) produced skewed lists (sizes 3..167) and
+      run-dependent recall.  Sampling is the 100 TB strategy, not the
+      500-row one.
+
+    Pinned curve (10 queries, n_lists=8, measured deterministic across
+    processes at 0.78 / 0.91 / 1.0): nprobe=4 >= 0.7, nprobe=6 >= 0.85,
+    and nprobe=n_lists EXACTLY 1.0 — probing every list is brute force,
+    the lossless limit.  On a real clustered corpus the low-nprobe end
+    sits far higher; the exactness invariant is geometry-independent.
+    """
+    from automated_batch_data_pipeline_nyc_spark.operators import similarity as sim
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(10).collect()
+    ]
+    assigned, centroids = sim.build_ivf_index(emb, "embedding", n_lists=8)
+    assigned = assigned.persist()
+    try:
+        exact = [
+            {r["vec_id"] for r in sim.brute_force_topk(emb, "embedding", q, k=10).collect()}
+            for q in queries
+        ]
+
+        def mean_recall(nprobe):
+            hits = 0
+            for q, truth in zip(queries, exact):
+                got = {
+                    r["vec_id"]
+                    for r in sim.ivf_search(
+                        assigned, centroids, "embedding", q, k=10, nprobe=nprobe
+                    ).collect()
+                }
+                hits += len(truth & got)
+            return hits / (10 * len(queries))
+
+        r8, r6, r4 = mean_recall(8), mean_recall(6), mean_recall(4)
+        assert r8 == 1.0, f"nprobe=n_lists must equal brute force, got {r8}"
+        assert r6 >= 0.85, f"recall@10 nprobe=6/8 {r6} < 0.85"
+        assert r4 >= 0.7, f"recall@10 nprobe=4/8 {r4} < 0.7"
+    finally:
+        assigned.unpersist()

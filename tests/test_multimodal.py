@@ -196,6 +196,31 @@ def test_wav_parser_stereo_and_8bit():
     assert bits == 8 and rms == pytest.approx(0.5)
 
 
+def test_wav_parser_rejects_truncated_data_chunk():
+    """A data chunk declaring more bytes than the payload carries is a
+    truncated file: all-None, never duration/RMS from the partial tail
+    (ADVICE r4 — 'unparseable payloads yield NULL, never a fake
+    number')."""
+    parse = mm.make_wav_parser()
+    data = np.full(300, 5000, dtype="<i2").tobytes()
+    whole = _wav(data=data)
+    assert parse(whole)[3] is not None  # sanity: intact file parses
+    # chop the payload 20 bytes into the data chunk — declared size
+    # (600) now exceeds what's actually present
+    truncated = whole[: whole.index(b"data") + 8 + 20]
+    assert parse(truncated) == (None,) * 5
+    # fmt chunk truncated at EOF (declared 16, only 8 present, total
+    # length past the 44-byte floor) must yield None, not struct.error
+    fmt8 = struct.pack("<HHI", 1, 1, 16000)
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 48) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 20) + b"\x00" * 20
+        + b"fmt " + struct.pack("<I", 16) + fmt8
+    )
+    assert len(bad_fmt) >= 44
+    assert parse(bad_fmt) == (None,) * 5
+
+
 def test_wav_parser_rejects_non_wav():
     parse = mm.make_wav_parser()
     assert parse(b"RIFF1234AVI LIST") == (None,) * 5

@@ -29,14 +29,18 @@ from automated_batch_data_pipeline_nyc_spark import suite  # noqa: E402
 
 
 def main() -> None:
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    # name -> round index of the MOST RECENT driver-green row
+    last_green: dict[str, int] = {}
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    ):
         for name, row in json.load(open(path)).items():
             ok = row.get("hash_match")
             if ok is None:  # rows-only driver check
                 ok = row.get("rows_match")
             if ok:
-                green.add(name)
+                last_green[name] = rnd
+    green = set(last_green)
 
     registered = list(suite.QUERIES)
     oracle = {n for n, q in suite.QUERIES.items() if q.oracle is not None}
@@ -46,9 +50,15 @@ def main() -> None:
 
     window = (never_oracle + never_rows)[:50]
     if len(window) < 50:
-        # top up with already-verified queries, oldest rotation first
+        # top up with already-verified queries: the one whose most recent
+        # driver-green row is OLDEST re-verifies first (registration
+        # order breaks ties within a round)
         seen = set(window)
-        window += [n for n in registered if n not in seen][: 50 - len(window)]
+        stale_first = sorted(
+            (n for n in registered if n not in seen),
+            key=lambda n: (last_green.get(n, -1), registered.index(n)),
+        )
+        window += stale_first[: 50 - len(window)]
     leftover = [n for n in never_oracle + never_rows if n not in set(window)]
 
     print(f"# registered: {len(registered)}  driver-green ever: {len(green)}")
