@@ -80,8 +80,17 @@ def asof_join(
     greatest ``right_ts <= left_ts`` (last state as of the event: price
     lookups, slowly-changing attributes), ``'forward'`` the smallest
     ``right_ts >= left_ts`` (next event after: click -> next purchase
-    attribution, time-to-response).  Boundary ties match in both
-    directions; NULL values when no qualifying right row exists.
+    attribution, time-to-response), ``'nearest'`` whichever of the two
+    is closer in time (sensor alignment, quote-to-trade matching; a
+    distance tie between the backward and forward candidate resolves
+    BACKWARD, and an equal-timestamp right row is a distance-0
+    backward match).  Boundary ties match in both directions; NULL
+    values when no qualifying right row exists.  ``'nearest'`` adds an
+    ``asof_matched_side`` column ('b'/'f', NULL when no match) and
+    requires a timestamp/date/numeric ``ts`` (distances compare on an
+    epoch-micros key), still in the same ONE shuffle: both carries run
+    over the same (ts, side) sort, so Spark plans a single Window node
+    pair on one Exchange.
 
     Spark has no native ASOF, and the naive theta join
     (``l.ts >= r.ts`` then windowed max) explodes quadratically per
@@ -96,9 +105,14 @@ def asof_join(
     (by, right_ts) — pre-aggregate it if not, or the carried value is
     partition-order-dependent.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     from pyspark.sql import Window
+
+    if direction == "nearest":
+        return _asof_nearest(left, right, by, left_ts, right_ts, value_cols)
 
     backward = direction == "backward"
     lcols = left.columns
@@ -140,6 +154,103 @@ def asof_join(
         *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
     )
     return out
+
+
+def _epoch_key(col: Column, dtype) -> Column:
+    """Orderable epoch-micros key for as-of distance comparison.
+
+    NTZ goes through wall-clock ``timestampdiff`` arithmetic, not an
+    LTZ cast — the session-timezone-proof recipe of
+    ``operators/util.epoch_micros`` (unix_micros only accepts LTZ).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+        )
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01")).cast("long") * F.lit(86_400_000_000)
+    return col.cast("long")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """nearest-direction body of :func:`asof_join` (see its docstring).
+
+    One (ts, side) sort with right BEFORE left at equal timestamps:
+    the backward carry (last preceding right row) then sees equal-ts
+    rights at distance 0, and since a distance tie resolves backward,
+    the forward carry can be strictly-after without losing any match.
+    Both carries share the sort, so the plan is one Exchange + one
+    Sort feeding two Window frames — same single-shuffle contract as
+    the directional forms.
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left AFTER right at equal ts
+        F.lit(None).cast("long").alias("__rkey"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    tagged_r = right.select(
+        *[F.col(c) for c in by],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in by
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        _epoch_key(F.col(right_ts), right.schema[right_ts].dataType).alias("__rkey"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_l.select(sorted(tagged_l.columns)).unionByName(
+        tagged_r.select(sorted(tagged_r.columns))
+    )
+    base = Window.partitionBy(*by).orderBy(F.asc("__ts"), F.asc("__side"))
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    carried = unioned.select(
+        "*",
+        F.last("__rkey", ignorenulls=True).over(wb).alias("__bkey"),
+        F.first("__rkey", ignorenulls=True).over(wf).alias("__fkey"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}") for c in value_cols],
+        *[F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}") for c in value_cols],
+    )
+    lkey = _epoch_key(F.col("__ts"), left.schema[left_ts].dataType)
+    # backward wins a distance tie; a missing side loses outright
+    use_b = F.col("__bkey").isNotNull() & (
+        F.col("__fkey").isNull()
+        | ((lkey - F.col("__bkey")) <= (F.col("__fkey") - lkey))
+    )
+    side = F.when(use_b, F.lit("b")).when(
+        F.col("__fkey").isNotNull(), F.lit("f")
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[
+            F.when(use_b, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        side.alias("asof_matched_side"),
+    )
 
 
 def range_join(

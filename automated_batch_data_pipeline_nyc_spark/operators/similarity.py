@@ -396,11 +396,17 @@ def build_ivf_index(
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     v = _as_double(F.col(vec_col))
     if metric == "cosine":
-        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+        # stage the norm as a column FIRST: Catalyst inlines expression
+        # trees per use site, so `x / norm` inside the transform lambda
+        # would re-evaluate the O(d) aggregate per ELEMENT (O(d²)/row)
+        df = df.withColumn(
+            "__norm", F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+        )
         v = F.when(
-            norm > 0, F.transform(v, lambda x: x / norm)
+            F.col("__norm") > 0,
+            F.transform(v, lambda x: x / F.col("__norm")),
         ).otherwise(v)
-    feat = df.withColumn("__features", array_to_vector(v))
+    feat = df.withColumn("__features", array_to_vector(v)).drop("__norm")
     fit_on = feat.sample(fit_fraction, seed=seed) if fit_fraction else feat
     model = KMeans(
         k=n_lists,

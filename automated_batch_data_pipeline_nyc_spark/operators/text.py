@@ -38,6 +38,7 @@ __all__ = [
     "canonical_url",
     "hashed_linear_score",
     "quality_classifier",
+    "gopher_rules",
     "remove_boilerplate_lines",
     "strip_html",
     "inverted_index",
@@ -645,6 +646,81 @@ def quality_classifier(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (F.col("_s.w_sum") >= 0).alias("keep"),
     )
+
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", Appendix A1.1).
+#: The required-stopword list is the paper's: a document must contain
+#: at least two of these to pass the stopword rule.
+GOPHER_REQUIRED_STOPS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1) —
+    the document-level subset (the line-level bullet/ellipsis rules
+    need a multi-line corpus; line hygiene lives in
+    :func:`remove_boilerplate_lines`):
+
+    - ``r_word_count``:   50 <= word count <= 100,000
+    - ``r_mean_word_len``: 3 <= mean word length <= 10
+    - ``r_symbol_ratio``: (count of '#' + '...') / words <= 0.1
+    - ``r_alpha_words``:  >= 80% of words contain a letter
+    - ``r_stopwords``:    contains >= 2 of GOPHER_REQUIRED_STOPS
+    - ``gopher_keep``:    all of the above
+
+    All map-only JVM expressions, one projection — no UDF, no shuffle.
+    The token array is staged as a column ONCE (Catalyst inlines
+    expression trees per use site; referencing the split five times
+    would re-split five times).  Ratios are exact integer counts until
+    the final double division, so DuckDB replays them bit-for-bit.
+    """
+    t = F.col(text_col)
+    staged = df.withColumn("__w", F.split(t, " "))
+    n = F.size("__w")
+    nd = n.cast("double")
+    mean_len = (
+        F.aggregate("__w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / nd
+    )
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    )
+    symbol_ratio = n_symbols.cast("double") / nd
+    frac_alpha = (
+        F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]"))).cast("double") / nd
+    )
+    n_req_stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
+            lambda s: F.array_contains("__w", s),
+        )
+    )
+    out = staged.withColumns(
+        {
+            "n_words": n.cast("long"),
+            "mean_word_len": F.round(mean_len, 6),
+            "symbol_ratio": F.round(symbol_ratio, 6),
+            "frac_alpha_words": F.round(frac_alpha, 6),
+            "n_required_stops": n_req_stops.cast("long"),
+        }
+    ).drop("__w")
+    rules = {
+        "r_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
+        "r_mean_word_len": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "r_symbol_ratio": F.col("symbol_ratio") <= 0.1,
+        "r_alpha_words": F.col("frac_alpha_words") >= 0.8,
+        "r_stopwords": F.col("n_required_stops") >= 2,
+    }
+    out = out.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
 
 
 def remove_boilerplate_lines(

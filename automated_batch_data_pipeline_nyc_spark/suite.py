@@ -8190,6 +8190,184 @@ def _asof_fwd(spark, sf_dir):
     )
 
 
+@_q(
+    "asof_nearest_event",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    purch AS (
+      SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_event_id
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts,
+        p.purchase_ts AS b_ts, p.purchase_event_id AS b_id
+      FROM clicks c
+      ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.purchase_ts <= c.ts
+    ),
+    f AS (
+      SELECT c.event_id, p.purchase_ts AS f_ts, p.purchase_event_id AS f_id
+      FROM clicks c
+      ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.purchase_ts > c.ts
+    ),
+    j AS (
+      SELECT b.event_id, b.user_id, b.ts, b.b_ts, b.b_id, f.f_ts, f.f_id,
+        (b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+          epoch_us(b.ts) - epoch_us(b.b_ts)
+            <= epoch_us(f.f_ts) - epoch_us(b.ts))) AS use_b
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, ts,
+      CASE WHEN use_b THEN b_ts ELSE f_ts END AS asof_purchase_ts,
+      CASE WHEN use_b THEN b_id ELSE f_id END AS asof_purchase_event_id,
+      CASE WHEN use_b THEN 'b' WHEN f_ts IS NOT NULL THEN 'f' END
+        AS asof_matched_side
+    FROM j
+    """,
+    doc="§2.6 NEAREST as-of join (closest same-user purchase in either "
+        "time direction from each click — sensor alignment / "
+        "quote-to-trade matching): both the backward and the forward "
+        "carry run over ONE (ts, side) sort — a single Exchange+Sort "
+        "feeding one Window node — and the per-row winner is the "
+        "smaller epoch-micros distance, ties backward.  Oracle is a "
+        "pair of native DuckDB ASOF joins (<= and >) merged by the "
+        "same distance rule.  Operator: operators/joins.py "
+        "asof_join(direction='nearest')",
+)
+def _asof_nearest(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    base = events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    return J.asof_join(
+        clicks,
+        purch,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        value_cols=["purchase_ts", "purchase_event_id"],
+        direction="nearest",
+    )
+
+
+@_q(
+    "gopher_quality_rules",
+    """
+    WITH s AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+          / len(w), 6) AS mean_word_len,
+        round(CAST((len(text) - len(replace(text, '#', '')))
+          + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+          / len(w), 6) AS symbol_ratio,
+        round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          AS DOUBLE) / len(w), 6) AS frac_alpha_words,
+        CAST(len(list_filter(
+          ['the','be','to','of','and','that','have','with'],
+          st -> list_contains(w, st))) AS BIGINT) AS n_required_stops
+      FROM s),
+    r AS (
+      SELECT *,
+        (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+        (symbol_ratio <= 0.1) AS r_symbol_ratio,
+        (frac_alpha_words >= 0.8) AS r_alpha_words,
+        (n_required_stops >= 2) AS r_stopwords
+      FROM m)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+      n_required_stops, r_word_count, r_mean_word_len, r_symbol_ratio,
+      r_alpha_words, r_stopwords,
+      (r_word_count AND r_mean_word_len AND r_symbol_ratio
+        AND r_alpha_words AND r_stopwords) AS gopher_keep
+    FROM r
+    """,
+    doc="Gopher quality-rule battery (Rae et al. 2021 Appendix A1.1, the "
+        "document-level subset): word-count bounds, mean word length, "
+        "symbol-to-word ratio, alpha-word fraction, required-stopword "
+        "presence, and the conjunction keep flag — the standard "
+        "heuristic pre-filter ahead of model-based scoring "
+        "(quality_classifier_scores) in an LLM data pipeline.  Pure "
+        "map-only JVM expressions, token array staged once; exact "
+        "integer counts until the final double division.  Operator: "
+        "operators/text.py gopher_rules",
+)
+def _gopher(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    out = tx.gopher_rules(docs.filter(F.col("text").isNotNull()), "text")
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "frac_alpha_words", "n_required_stops", "r_word_count",
+        "r_mean_word_len", "r_symbol_ratio", "r_alpha_words",
+        "r_stopwords", "gopher_keep",
+    )
+
+
+@_q(
+    "user_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    g AS (
+      SELECT user_id, day,
+        date_diff('day', DATE '1970-01-01', day)
+          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+      CAST(max(len) AS BIGINT) AS longest_streak,
+      CAST(count(*) AS BIGINT) AS n_streaks,
+      CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM s GROUP BY user_id
+    """,
+    doc="§2.7 consecutive-day activity streaks per user (engagement / "
+        "retention feature): the classic gaps-and-islands shape — "
+        "distinct active days, then (epoch_day - row_number) labels each "
+        "run of consecutive days with a constant, one groupBy per run "
+        "then per user.  Two user-keyed shuffles total (distinct + "
+        "window share one), no self-join, no explode over date ranges — "
+        "the date-dimension cross-join alternative is corpus x days and "
+        "dies at scale.",
+)
+def _streaks(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    days = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Wn.partitionBy("user_id").orderBy(F.asc("day"))
+    grouped = days.withColumn(
+        "__grp", F.unix_date(F.col("day")) - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "__grp").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("__len").cast("long").alias("n_active_days"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8297,6 +8475,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "scalar_function_battery",
     "containment_pairs_blocked", # O(n^2) oracle cross-check form for
                                  # the in-window containment_pairs_prefix
+    # round-5 additions, queued for the r6 window's full hash check
+    "asof_nearest_event",
+    "gopher_quality_rules",
+    "user_activity_streaks",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -1298,7 +1298,47 @@ def test_asof_join_forward_boundary_and_missing(spark):
     # rts==5 matches -> 100; event 3: no rts>=10 for uid 2 -> NULL
     assert got == {1: 300, 2: 100, 3: None}
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, ["uid"], "ts", "rts", ["val"], direction="nearest")
+        asof_join(left, right, ["uid"], "ts", "rts", ["val"], direction="sideways")
+
+
+def test_asof_join_nearest_tie_and_sides(spark):
+    """nearest direction: closer of backward/forward wins, a distance
+    tie resolves backward, an equal-ts right row is a distance-0
+    backward match, and a key with rights on only one side still
+    matches that side."""
+    ts = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [
+            (1, 1, ts(10)),  # b@9 (d=1) vs f@12 (d=2) -> backward 200
+            (2, 1, ts(11)),  # b@9 (d=2) vs f@12 (d=1) -> forward 300
+            (3, 1, ts(9)),   # equal-ts right -> distance-0 backward 200
+            (4, 2, ts(10)),  # only forward candidate (rts 11) -> 400
+            (5, 3, ts(10)),  # no rights at all -> NULL/NULL
+            (6, 4, ts(10)),  # b@8 vs f@12: tie d=2 -> backward 500
+        ],
+        ["event_id", "uid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(5), 100), (1, ts(9), 200), (1, ts(12), 300),
+            (2, ts(11), 400),
+            (4, ts(8), 500), (4, ts(12), 600),
+        ],
+        ["uid", "rts", "val"],
+    )
+    out = asof_join(
+        left, right, by=["uid"], left_ts="ts", right_ts="rts",
+        value_cols=["val"], direction="nearest",
+    )
+    got = {r.event_id: (r.asof_val, r.asof_matched_side) for r in out.collect()}
+    assert got == {
+        1: (200, "b"),
+        2: (300, "f"),
+        3: (200, "b"),
+        4: (400, "f"),
+        5: (None, None),
+        6: (500, "b"),
+    }
 
 
 # ---------------------------------------------------------------------------
