@@ -464,3 +464,39 @@ def test_containment_prefix_no_cartesian_equi_join(spark):
     plan = _plan(spark, "containment_pairs_prefix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle_one_window(spark):
+    """nearest as-of: BOTH carries (backward last + forward first) must
+    share the one (ts, side) sort — exactly one hash Exchange on the
+    key, one Sort, and no theta/nested-loop join anywhere."""
+    plan = _plan(spark, "asof_nearest_event")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one exchange for the union'd window; the pre-aggregated purchase
+    # side reuses the same key partitioning (no second window shuffle)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Window") == 1, (
+        "both carry frames must merge into a single Window node"
+    )
+
+
+def test_gopher_rules_is_map_only(spark):
+    """The Gopher rule battery is a pure projection: no Exchange, no
+    UDF/Arrow stage, and the scan reads only the needed columns."""
+    plan = _plan(spark, "gopher_quality_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_activity_streaks_user_keyed_shuffles_only(spark):
+    """Streaks must never plan a date-dimension cross join; every
+    Exchange is a hash partition (distinct + window + final agg on the
+    user key), with no global sort."""
+    plan = _plan(spark, "user_activity_streaks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ex = plan.count("Exchange hashpartitioning")
+    assert 0 < ex <= 3, plan.count("Exchange")
+    assert "Exchange rangepartitioning" not in plan
