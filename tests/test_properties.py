@@ -338,3 +338,94 @@ def test_wav_parser_rms_matches_numpy(rate, n, seed):
     x = samples.astype(np.float64) / 32768.0
     want = float(np.sqrt(np.mean(x * x))) if n else 0.0
     assert rms == want
+
+
+@settings(**SETTINGS)
+@given(
+    left_ts=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    right_ts=st.sets(st.integers(0, 50), min_size=1, max_size=12),
+)
+def test_asof_nearest_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    """nearest direction vs pandas merge_asof(direction='nearest').
+    pandas breaks a distance tie BACKWARD (documented: 'prefer the
+    prior entry'), the same rule asof_join uses, so the two must agree
+    on every randomized tie pattern."""
+    left_rows = [(i, 1, t) for i, t in enumerate(left_ts)]
+    right_rows = [(1, t, t * 100) for t in sorted(right_ts)]
+    left = spark.createDataFrame(left_rows, ["event_id", "uid", "ts"])
+    right = spark.createDataFrame(right_rows, ["uid", "rts", "val"])
+    out = asof_join(
+        left, right, by=["uid"], left_ts="ts", right_ts="rts",
+        value_cols=["val"], direction="nearest",
+    )
+    got = {r.event_id: r.asof_val for r in out.collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "uid", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["uid", "rts", "val"]).sort_values("rts")
+    merged = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="uid", direction="nearest"
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "be", "to", "of", "and", "that", "have", "with",
+                 "alpha", "beta", "gamma", "deltadelta", "x", "#", "..."]
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_rules_match_python_reference(spark, docs):
+    """gopher_rules vs a direct Python re-implementation of the Rae
+    et al. A1.1 document-level rules on randomized word soups that mix
+    required stopwords, long words, and symbol tokens."""
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        GOPHER_REQUIRED_STOPS,
+        gopher_rules,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (
+            r.n_words, r.n_required_stops, r.r_word_count,
+            r.r_mean_word_len, r.r_symbol_ratio, r.r_alpha_words,
+            r.r_stopwords, r.gopher_keep,
+        )
+        for r in gopher_rules(df, "text").collect()
+    }
+    for i, text in rows:
+        w = text.split(" ")
+        n = len(w)
+        mean_len = round(sum(len(x) for x in w) / n, 6)
+        n_sym = text.count("#") + (
+            (len(text) - len(text.replace("...", ""))) / 3
+        )
+        sym_ratio = round(n_sym / n, 6)
+        frac_alpha = round(
+            sum(1 for x in w if any(c.isalpha() for c in x)) / n, 6
+        )
+        n_stops = sum(1 for s in GOPHER_REQUIRED_STOPS if s in w)
+        want = (
+            n,
+            n_stops,
+            50 <= n <= 100_000,
+            3.0 <= mean_len <= 10.0,
+            sym_ratio <= 0.1,
+            frac_alpha >= 0.8,
+            n_stops >= 2,
+        )
+        want = want + (all(want[2:]),)
+        assert got[i] == want, (i, text, got[i], want)
