@@ -61,6 +61,14 @@ def _run() -> dict:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the Python/Arrow worker pool: the first mapInPandas stage
+    # otherwise absorbs ~2-3 s of daemon spin-up, charging it to
+    # whichever query happens to run first after a window rotation
+    # (round 5 measured 3.0 s first run vs 0.7 s steady-state on the
+    # same query).
+    spark.range(1_000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Host-speed calibration anchor: a fixed CPU-bound workload timed on
     # the warmed session.  This host's effective CPU allocation varies

@@ -1405,3 +1405,79 @@ def test_ivf_search_recall_vs_brute_force(spark):
         assert r4 >= 0.7, f"recall@10 nprobe=4/8 {r4} < 0.7"
     finally:
         assigned.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# sketch accuracy bounds (the 'measured, not guessed' companion to the
+# determinism/merge-law tests): each approximate operator's error vs the
+# exact answer on the real fixture is pinned, not assumed.
+# ---------------------------------------------------------------------------
+
+def test_percentile_approx_error_vs_exact(spark):
+    """approx_quantiles is rows-only in the driver (GK sketches are
+    engine-specific), so pin its QUALITY here: with accuracy=1000 the
+    rank error bound is 1/1000, i.e. the approximate p50/p95 must land
+    between the exact p49/p51 (resp. p94/p96) of its group."""
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+    from pyspark.sql import functions as F
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+        )
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice",
+                F.array(*[F.lit(x) for x in (0.49, 0.51, 0.94, 0.96)]),
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and approx
+    for g, (p50, p95) in approx.items():
+        lo49, hi51, lo94, hi96 = exact[g]
+        assert lo49 <= p50 <= hi51, (g, p50, lo49, hi51)
+        assert lo94 <= p95 <= hi96, (g, p95, lo94, hi96)
+
+
+def test_hll_estimate_error_vs_exact_distinct(spark):
+    """HLL union estimates (relative_sd=0.05 default path) must land
+    within 3 standard deviations (15%) of the exact per-group distinct
+    count on the real events fixture — the accuracy claim behind
+    hll_mergeable_rollup, asserted instead of cited."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        hll_partial_sketches,
+        hll_union_estimate,
+    )
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+    from pyspark.sql import functions as F
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_union_estimate(
+            hll_partial_sketches(ev, ["event_type", "ts"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys() and est
+    for g, e in est.items():
+        rel = abs(e - exact[g]) / exact[g]
+        assert rel <= 0.15, (g, e, exact[g], rel)
