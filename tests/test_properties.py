@@ -429,3 +429,37 @@ def test_gopher_rules_match_python_reference(spark, docs):
         )
         want = want + (all(want[2:]),)
         assert got[i] == want, (i, text, got[i], want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=400), seed=st.integers(0, 3))
+def test_media_parsers_never_crash_on_arbitrary_bytes(payload, seed):
+    """Every stdlib media parser must be total over arbitrary byte
+    soup: any payload — including ones that START with a valid magic
+    number and then corrupt mid-structure — yields Nones, never an
+    exception.  200 random examples plus magic-prefixed mutations per
+    parser; the per-format golden tests pin the positive paths."""
+    from automated_batch_data_pipeline_nyc_spark.operators import multimodal as mm
+
+    magics = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"RIFF" + payload[:4] + b"WAVE",
+        b"\xff\xd8",
+        payload[:4] + b"ftyp",
+        b"GIF89a",
+        b"BM",
+    ]
+    prefixed = magics[seed % len(magics)] + payload
+
+    png_decode, _ = mm.make_png_codec()
+    img = mm.make_image_header_parser()
+    wav = mm.make_wav_parser()
+    mp4 = mm.make_mp4_parser()
+    for p in (payload, prefixed):
+        png_decode(p)  # any return is fine; raising is the failure
+        assert len(img(p)) == 3
+        r = wav(p)
+        assert isinstance(r, tuple) and len(r) == 5
+        r = mp4(p)
+        assert isinstance(r, tuple) and len(r) == 2
