@@ -8368,6 +8368,96 @@ def _streaks(spark, sf_dir):
     )
 
 
+@_q(
+    "url_ingest_roundtrip",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS revenue
+    FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderstatus
+    """,
+    doc="S1/S15 HASH-VERIFIED: the distributed URL-manifest ingest moves "
+        "real bytes end to end — a deterministic orders subset is "
+        "exported to CSV, a (url, dest) manifest of file:// URLs fans "
+        "out over executors (fetch_url_manifest, the same urllib kernel "
+        "that serves http/https), every fetch must report ok=true, and "
+        "the FETCHED copies are re-read and aggregated against the "
+        "oracle over the ORIGINAL table — so a corrupted, truncated, or "
+        "dropped transfer breaks the hash.  file:// stands in for http "
+        "only at the scheme level; the transfer path (open-stream, "
+        "chunked copy, size accounting, per-row error capture) is "
+        "exactly the production one.  Sources: readers.py "
+        "fetch_url_manifest + read_csv_glob, writers.py write_csv",
+)
+def _urlrt(spark, sf_dir):
+    import glob as _glob
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources.readers import fetch_url_manifest, read_csv_glob
+    from .sources.writers import write_csv
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_urlsrc_{tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_urldst_{tag}")
+    write_csv(
+        orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        src,
+    )
+    parts = sorted(_glob.glob(os.path.join(src, "*.csv")))
+    manifest = spark.createDataFrame(
+        [(f"file://{pp}", os.path.join(dst, os.path.basename(pp))) for pp in parts],
+        ["url", "dest"],
+    )
+    fetched = fetch_url_manifest(manifest).collect()
+    bad = [r for r in fetched if not r.ok]
+    if bad or len(fetched) != len(parts):
+        raise RuntimeError(f"url ingest failed: {bad!r}")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv_glob(spark, os.path.join(dst, "*.csv"), schema=schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@_q(
+    "sql_extract_roundtrip",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+      {SQL_SUM.format(col="l_extendedprice")} AS revenue
+    FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
+    """,
+    doc="S5 HASH-VERIFIED (catalog path): the SQL-extract source reads a "
+        "registered table through read_sql_table with a pushed-down "
+        "predicate string — the same API whose jdbc_url branch talks to "
+        "an external database (that branch stays documented-untested: no "
+        "driver jar in the sandbox, README Known limitations) — and the "
+        "extract aggregates against the oracle over the raw table.  "
+        "Source: readers.py read_sql_table",
+)
+def _sqlrt(spark, sf_dir):
+    from .sources.readers import read_sql_table
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    view = "sql_extract_lineitem_src"
+    lineitem.createOrReplaceTempView(view)
+    ext = read_sql_table(spark, view, predicate="l_quantity > 25")
+    return ext.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8476,6 +8566,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "containment_pairs_blocked", # O(n^2) oracle cross-check form for
                                  # the in-window containment_pairs_prefix
     # round-5 additions, queued for the r6 window's full hash check
+    "url_ingest_roundtrip",
+    "sql_extract_roundtrip",
     "asof_nearest_event",
     "gopher_quality_rules",
     "user_activity_streaks",
