@@ -8401,6 +8401,12 @@ def _urlrt(spark, sf_dir):
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_urlsrc_{tag}")
     dst = os.path.join(tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_urldst_{tag}")
+    # part-file basenames are unique per write (uuid suffix), so a
+    # previous run's fetched copies would survive in dst and double the
+    # glob read — clear the destination like a real ingest staging dir
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
     write_csv(
         orders.filter(F.col("o_orderkey") % 4 == 0).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -8455,6 +8461,93 @@ def _sqlrt(spark, sf_dir):
     return ext.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         _sum_money(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+@_q(
+    "window_range_frame_sum",
+    """
+    SELECT event_id, event_type, value,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS range_sum,
+      CAST(COUNT(*) OVER w AS BIGINT) AS range_n
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value
+                 RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+    """,
+    doc="§2.7 value-RANGE window frame (the non-time RANGE BETWEEN x "
+        "PRECEDING case — rows-frames and time-range frames are covered "
+        "elsewhere): per event type, the sum/count of all values within "
+        "10.0 below each row's value.  RANGE frames are peer-inclusive, "
+        "so equal values see identical frames and the result is "
+        "deterministic without a tiebreak; the sum runs in DECIMAL so "
+        "partial order can't change the double.  One group-keyed "
+        "shuffle + per-group sort.",
+)
+def _rangeframe(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = Wn.partitionBy("event_type").orderBy(F.asc("value")).rangeBetween(-10, 0)
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.sum(F.col("value").cast(D2)).over(w).cast("double").alias("range_sum"),
+            F.count(F.lit(1)).over(w).cast("long").alias("range_n"),
+        )
+    )
+
+
+@_q(
+    "set_ops_multiset",
+    """
+    WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 10),
+    b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+    ex AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_except
+      FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+      GROUP BY l_suppkey),
+    ix AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_intersect
+      FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+      GROUP BY l_suppkey)
+    SELECT COALESCE(ex.l_suppkey, ix.l_suppkey) AS l_suppkey,
+      COALESCE(ex.n_except, CAST(0 AS BIGINT)) AS n_except,
+      COALESCE(ix.n_intersect, CAST(0 AS BIGINT)) AS n_intersect
+    FROM ex FULL JOIN ix ON ex.l_suppkey = ix.l_suppkey
+    """,
+    doc="§2.7 multiset set ops (EXCEPT ALL / INTERSECT ALL — the "
+        "multiplicity-preserving variants; plain distinct forms are "
+        "covered by set_union/intersect/except): per-supplier surplus "
+        "and overlap counts between two overlapping lineitem slices.  "
+        "Spark plans both as hash joins with count bookkeeping (no "
+        "explode); keyed shuffles only.",
+)
+def _setall(spark, sf_dir):
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    a = lineitem.filter(F.col("l_quantity") > 10).select("l_suppkey")
+    b = lineitem.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_except"))
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_intersect"))
+    )
+    return (
+        ex.join(ix, on="l_suppkey", how="full_outer")
+        .select(
+            "l_suppkey",
+            F.coalesce(F.col("n_except"), F.lit(0).cast("long")).alias("n_except"),
+            F.coalesce(F.col("n_intersect"), F.lit(0).cast("long")).alias(
+                "n_intersect"
+            ),
+        )
     )
 
 
@@ -8568,6 +8661,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     # round-5 additions, queued for the r6 window's full hash check
     "url_ingest_roundtrip",
     "sql_extract_roundtrip",
+    "window_range_frame_sum",
+    "set_ops_multiset",
     "asof_nearest_event",
     "gopher_quality_rules",
     "user_activity_streaks",
