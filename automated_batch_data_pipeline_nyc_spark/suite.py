@@ -8522,32 +8522,32 @@ def _rangeframe(spark, sf_dir):
         "multiplicity-preserving variants; plain distinct forms are "
         "covered by set_union/intersect/except): per-supplier surplus "
         "and overlap counts between two overlapping lineitem slices.  "
-        "Spark plans both as hash joins with count bookkeeping (no "
-        "explode); keyed shuffles only.",
+        "Implemented as count ALGEBRA — one scan, conditional counts "
+        "per key, then n_except = max(n_a - n_b, 0) and n_intersect = "
+        "min(n_a, n_b) — because Spark's built-in exceptAll/"
+        "intersectAll plan `Generate replicaterows`: they aggregate to "
+        "per-key counts and then MATERIALIZE the multiplicities as "
+        "rows, so a hot key with a 1M surplus replicates 1M rows just "
+        "to be re-counted.  The algebraic form is the identical "
+        "multiset semantics (oracle IS DuckDB's EXCEPT ALL / INTERSECT "
+        "ALL) in one keyed shuffle with no join and no row "
+        "replication; plan-contract-tested.",
 )
 def _setall(spark, sf_dir):
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    a = lineitem.filter(F.col("l_quantity") > 10).select("l_suppkey")
-    b = lineitem.filter(F.col("l_returnflag") == "R").select("l_suppkey")
-    ex = (
-        a.exceptAll(b)
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_except"))
-    )
-    ix = (
-        a.intersectAll(b)
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_intersect"))
-    )
-    return (
-        ex.join(ix, on="l_suppkey", how="full_outer")
-        .select(
-            "l_suppkey",
-            F.coalesce(F.col("n_except"), F.lit(0).cast("long")).alias("n_except"),
-            F.coalesce(F.col("n_intersect"), F.lit(0).cast("long")).alias(
-                "n_intersect"
-            ),
+    counts = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count_if(F.col("l_quantity") > 10).alias("n_a"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_b"),
         )
+        # keys absent from slice A appear in neither multiset result
+        .filter(F.col("n_a") > 0)
+    )
+    return counts.select(
+        "l_suppkey",
+        F.greatest(F.col("n_a") - F.col("n_b"), F.lit(0)).cast("long").alias("n_except"),
+        F.least(F.col("n_a"), F.col("n_b")).cast("long").alias("n_intersect"),
     )
 
 

@@ -500,3 +500,24 @@ def test_activity_streaks_user_keyed_shuffles_only(spark):
     ex = plan.count("Exchange hashpartitioning")
     assert 0 < ex <= 3, plan.count("Exchange")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_frame_window_single_shuffle(spark):
+    """The value-RANGE frame must plan as one group-keyed hash Exchange
+    + per-group sort — never a global range partitioning."""
+    plan = _plan(spark, "window_range_frame_sum")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
+
+
+def test_multiset_ops_count_algebra_no_replication(spark):
+    """EXCEPT ALL / INTERSECT ALL semantics via count algebra: ONE
+    keyed Exchange, no join, and crucially no `Generate replicaterows`
+    — Spark's built-in exceptAll/intersectAll materialize per-key
+    multiplicities as rows (a hot key with a 1M surplus replicates 1M
+    rows just to be re-counted), which this query must never plan."""
+    plan = _plan(spark, "set_ops_multiset")
+    assert "replicaterows" not in plan, "multiset ops must not explode counts"
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
