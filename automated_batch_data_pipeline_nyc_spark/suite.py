@@ -8557,6 +8557,63 @@ def _setall(spark, sf_dir):
     )
 
 
+@_q(
+    "schema_contract_enforced",
+    """
+    WITH drifted AS (
+      SELECT o_orderkey AS order_key,
+        CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+        o_orderstatus, 'v2' AS producer_tag
+      FROM orders),
+    aligned AS (
+      SELECT order_key,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        o_orderstatus,
+        CAST(NULL AS DATE) AS o_orderdate
+      FROM drifted)
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      CAST(COUNT(o_orderdate) AS BIGINT) AS n_dated
+    FROM aligned GROUP BY o_orderstatus
+    """,
+    doc="P-ext schema contract HASH-VERIFIED: a producer-drifted feed "
+        "(renamed key, price re-typed to string, extra producer_tag "
+        "column, o_orderdate dropped) is aligned back to a contract "
+        "schema by cleaning.enforce_schema — extras dropped, the string "
+        "price cast back to double, the missing date NULL-filled — and "
+        "the aggregate over the aligned frame must match the oracle "
+        "replaying the same drift+alignment in SQL: a silently "
+        "mis-cast or mis-filled column breaks the hash.  Map-only.  "
+        "Operator: operators/cleaning.py enforce_schema",
+)
+def _schemacontract(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from .operators.cleaning import enforce_schema
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    drifted = orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        "o_orderstatus",
+        F.lit("v2").alias("producer_tag"),
+    )
+    contract = T.StructType(
+        [
+            T.StructField("order_key", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderdate", T.DateType()),
+        ]
+    )
+    aligned = enforce_schema(drifted, contract, fail_on_missing=False)
+    return aligned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "revenue"),
+        F.count("o_orderdate").cast("long").alias("n_dated"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8665,6 +8722,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "containment_pairs_blocked", # O(n^2) oracle cross-check form for
                                  # the in-window containment_pairs_prefix
     # round-5 additions, queued for the r6 window's full hash check
+    "schema_contract_enforced",
     "url_ingest_roundtrip",
     "sql_extract_roundtrip",
     "window_range_frame_sum",
