@@ -1481,3 +1481,48 @@ def test_hll_estimate_error_vs_exact_distinct(spark):
     for g, e in est.items():
         rel = abs(e - exact[g]) / exact[g]
         assert rel <= 0.15, (g, e, exact[g], rel)
+
+
+def test_minhash_recall_and_precision_vs_exact_jaccard(spark):
+    """MinHash-LSH pairs vs ground-truth Jaccard on the real documents
+    fixture (same 'measured, not guessed' theme as the IVF recall
+    curve): the exact-verification stage guarantees ZERO false
+    positives (every emitted pair must truly clear the threshold), and
+    16 bands x 8 rows gives band-collision probability >= 0.99 for the
+    fixture's J>=0.85 duplicate families, so recall must be >= 0.95.
+    collapse_exact=False for the member-level pair list (the default
+    star reduction is component-equivalent, not pair-identical)."""
+    import itertools
+
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    found = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.7, collapse_exact=False
+        ).collect()
+    }
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+            if r["text"] is not None]
+
+    def shingles(t, n=5):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {t.lower()}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {d: shingles(t) for d, t in rows}
+    truth = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= 0.7:
+            truth.add((a, b))
+
+    assert truth, "fixture must contain near-dup families"
+    false_pos = found - truth
+    assert not false_pos, f"exact verification must kill these: {sorted(false_pos)[:5]}"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, (recall, sorted(truth - found)[:5])
