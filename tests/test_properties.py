@@ -463,3 +463,55 @@ def test_media_parsers_never_crash_on_arbitrary_bytes(payload, seed):
         assert isinstance(r, tuple) and len(r) == 5
         r = mp4(p)
         assert isinstance(r, tuple) and len(r) == 2
+
+
+@settings(**SETTINGS)
+@given(
+    day_offsets=st.lists(
+        st.sets(st.integers(0, 40), min_size=1, max_size=25),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_activity_streaks_match_python_reference(spark, day_offsets):
+    """user_activity_streaks' gaps-and-islands labeling vs a direct
+    Python run-length scan over randomized per-user day sets — the
+    boundary cases (single active day, gap of exactly one day, runs
+    touching the range edges) all appear under generation."""
+    import datetime
+
+    from pyspark.sql import functions as F, Window as Wn
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (uid, base + datetime.timedelta(days=off))
+        for uid, offs in enumerate(day_offsets)
+        for off in offs
+    ]
+    days = spark.createDataFrame(rows, ["user_id", "day"]).distinct()
+    w = Wn.partitionBy("user_id").orderBy(F.asc("day"))
+    grouped = days.withColumn(
+        "__grp", F.unix_date(F.col("day")) - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "__grp").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r.user_id: (r.longest, r.n_streaks, r.n_days)
+        for r in streaks.groupBy("user_id")
+        .agg(
+            F.max("n").alias("longest"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("n").alias("n_days"),
+        )
+        .collect()
+    }
+    for uid, offs in enumerate(day_offsets):
+        ds = sorted(offs)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        assert got[uid] == (max(runs), len(runs), len(ds)), (uid, ds, got[uid])
