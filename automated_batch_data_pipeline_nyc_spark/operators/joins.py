@@ -33,6 +33,7 @@ __all__ = [
     "interval_overlap_join",
     "null_safe_join",
     "edit_distance_pairs",
+    "bloom_prefilter",
 ]
 
 
@@ -405,4 +406,56 @@ def edit_distance_pairs(
         .withColumn("edit_dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("edit_dist") <= max_distance)
         .select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    m_bits: int = 8192,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom semi-join reduction: prune *fact* rows whose key cannot
+    exist in *dim_keys* BEFORE any shuffle — the runtime-filter
+    pattern (Spark's own InjectRuntimeFilter, Delta/Iceberg bloom
+    skipping) as an explicit, engine-portable operator.
+
+    The dim side collapses to an ``m_bits``-bit filter (one pass,
+    ``bit_or`` shuffle bounded by ``m_bits/64`` words —
+    :func:`~..operators.stats.bloom_build`), the single-row bitmap
+    broadcast-joins onto the fact scan, and the membership test is
+    pure JVM bit arithmetic inside whole-stage codegen.  At 100 TB
+    this is the difference between shuffling the whole fact table
+    into a join and shuffling only the ~matching fraction: false
+    positives still shuffle (rate ~(1-e^{-kn/m})^k, size ``m_bits``
+    accordingly), false negatives never happen — so a downstream
+    exact join over the prefiltered fact is IDENTICAL to one over
+    the raw fact (hash-verified by ``bloom_prefilter_join``).
+
+    The filter never sees fact data, so unlike a broadcast semi-join
+    the dim side may be arbitrarily large: the sketch stays
+    ``m_bits`` bits no matter how many keys feed it.
+
+    The bitmap is materialized on the driver (bounded at ``m_bits/64``
+    longs BY CONSTRUCTION, like Spark's own InjectRuntimeFilter, which
+    aggregates its bloom to the driver before injecting it into the
+    scan) and inlined as a LITERAL predicate.  This placement is the
+    point: a bitmap attached via a broadcast join becomes a join
+    condition Catalyst keeps ABOVE the downstream equi-join — the fact
+    table would shuffle first and be pruned after (measured: the
+    SortMergeJoin lands under the bloom's BroadcastNestedLoopJoin) —
+    whereas a literal predicate sits directly on the scan, below every
+    exchange.  Plan-size cost is ``n_hashes * m_bits/64`` literals;
+    size ``m_bits`` for pruning power, not perfection — leftovers are
+    false positives the exact join removes anyway.
+    """
+    from .stats import bloom_bitmap, bloom_build, bloom_might_contain
+
+    words = bloom_build(dim_keys, dim_key, m_bits=m_bits, n_hashes=n_hashes)
+    [(dense,)] = bloom_bitmap(words, m_bits).collect()
+    bitmap = F.array(*[F.lit(int(w)).cast("long") for w in dense])
+    return fact.filter(
+        bloom_might_contain(F.col(fact_key), bitmap, m_bits, n_hashes)
     )

@@ -32,6 +32,9 @@ __all__ = [
     "countmin_bucket",
     "countmin_sketch",
     "countmin_estimate",
+    "bloom_build",
+    "bloom_bitmap",
+    "bloom_might_contain",
 ]
 
 #: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
@@ -362,3 +365,97 @@ def countmin_estimate(
         *[F.col(c) for c in probes.columns],
         est.cast("long").alias("cm_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch / semi-join reduction)
+# ---------------------------------------------------------------------------
+
+#: 64 single-bit masks as SIGNED 64-bit longs (bit 63 wraps to -2^63);
+#: a literal lookup array keeps the bit test inside whole-stage codegen
+#: (pyspark's shiftleft/shiftright only accept int literals for the
+#: shift amount, so a column-valued shift needs the table instead).
+_POW2_64 = [(1 << i) - ((1 << 64) if i == 63 else 0) for i in range(64)]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 8192, n_hashes: int = 3
+) -> DataFrame:
+    """Distributed Bloom-filter build over a key column: sparse
+    ``(word_idx, word)`` rows — at most ``m_bits/64`` of them
+    REGARDLESS of input size.
+
+    The membership sketch that turns a join into a map-only pre-filter:
+    each key sets ``n_hashes`` bits (md5-derived universal hashes, the
+    same engine-portable recipe as :func:`countmin_bucket`, so any SQL
+    engine can rebuild the identical filter).  Bits OR monotonically,
+    so per-shard filters merge with a bitwise OR — the sketch of a
+    union equals the union of sketches, same linearity story as the
+    CM sketch.  False positives at rate ~(1 - e^{-kn/m})^k; false
+    negatives NEVER (pinned cross-engine by the ``bloom_fpp_audit``
+    oracle query).
+
+    Plan: one map-only explode of ``n_hashes`` bit positions per key,
+    then a ``bit_or`` shuffle bounded by ``m_bits/64`` words (map-side
+    partials compress each task's output to that bound first).
+    """
+    if m_bits % 64 or m_bits < 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64; got {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"need n_hashes >= 1; got {n_hashes}")
+    key = F.col(key_col)
+    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2_64])
+    positions = F.array(
+        *[countmin_bucket(key, j, m_bits) for j in range(n_hashes)]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(positions).alias("__pos"))
+        .groupBy(F.floor(F.col("__pos") / 64).cast("int").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.element_at(pow2, (F.col("__pos") % 64).cast("int") + 1)
+            ).alias("word")
+        )
+    )
+
+
+def bloom_bitmap(words: DataFrame, m_bits: int) -> DataFrame:
+    """Densify a sparse :func:`bloom_build` word table into ONE row
+    holding the full ``array<long>`` bitmap (``m_bits/64`` words,
+    absent words zero-filled) — the broadcastable form a fact scan
+    consumes.  Stays distributed end to end: the sparse words
+    collapse into a map in a single-row aggregate (bounded by
+    ``m_bits/64`` entries by construction), never through the driver.
+    """
+    n_words = m_bits // 64
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i), F.lit(0)).cast("long"),
+        ).alias("bloom_bitmap")
+    )
+
+
+def bloom_might_contain(
+    item: Column, bitmap: Column, m_bits: int, n_hashes: int = 3
+) -> Column:
+    """Membership test against a :func:`bloom_bitmap` column: true iff
+    every one of the item's ``n_hashes`` bits is set.  Pure JVM
+    bit-arithmetic over the (broadcast) bitmap array — no UDF, stays
+    inside whole-stage codegen; ``m_bits``/``n_hashes`` must match the
+    build parameters.
+    """
+    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2_64])
+    cond = None
+    for j in range(n_hashes):
+        pos = countmin_bucket(item, j, m_bits)
+        word = F.element_at(bitmap, F.floor(pos / 64).cast("int") + 1)
+        mask = F.element_at(pow2, (pos % 64).cast("int") + 1)
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else (cond & hit)
+    return cond

@@ -42,6 +42,9 @@ __all__ = [
     "remove_boilerplate_lines",
     "strip_html",
     "inverted_index",
+    "bpe_word_freq",
+    "bpe_pair_counts",
+    "bpe_train",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -900,4 +903,147 @@ def inverted_index(
                 ",",
             )
         ).alias("postings_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, distributed)
+# ---------------------------------------------------------------------------
+
+def bpe_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency table ``(w, c)`` over lowercased alphabetic words
+    of length >= 2 — the ONE corpus-scale pass of BPE training: every
+    later merge iteration runs over this vocabulary-bounded table,
+    never the corpus again (exactly how reference BPE trainers work —
+    they iterate a word-count dict, not the text)."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """All adjacent symbol pairs of an array, as structs — empty for
+    arrays shorter than 2."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies — the
+    statistic a BPE trainer's FIRST merge maximizes, as one query:
+    ``(left_sym, right_sym, n)`` where n counts occurrences across all
+    word instances (word count x in-word occurrences).
+
+    Plan: corpus shuffle once into the word-frequency table, then a
+    map-only pair explode over the VOCABULARY and a pair-bounded
+    (<= 26x26 here) count shuffle.  All JVM expressions.
+    """
+    wc = bpe_word_freq(df, text_col)
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    return (
+        wc.select(F.explode(_adjacent_pairs(syms)).alias("p"), "c")
+        .groupBy(
+            F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+        )
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right BPE merge of adjacent pair (a, b) into one
+    symbol — the fold every BPE implementation runs per word, as a pure
+    JVM ``aggregate`` (state = (out, skip): overlapping occurrences
+    like 'aaa' under (a,a) merge left-first to [aa, a], never [a, aa]).
+    """
+    merged = a + b
+    idx = F.sequence(F.lit(1), F.size(syms))
+    state0 = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        cur = F.element_at(syms, i)
+        nxt = F.element_at(syms, i + 1)  # NULL past the end
+        do = (
+            (~acc["skip"])
+            & (cur == F.lit(a))
+            & F.coalesce(nxt == F.lit(b), F.lit(False))
+        )
+        out_new = F.when(acc["skip"], acc["out"]).otherwise(
+            F.concat(
+                acc["out"],
+                F.array(F.when(do, F.lit(merged)).otherwise(cur)),
+            )
+        )
+        return F.struct(out_new.alias("out"), do.alias("skip"))
+
+    return F.aggregate(idx, state0, step, lambda acc: acc["out"])
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 16,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules, returned as ``(rank, left_sym,
+    right_sym, pair_count)`` in learned order.
+
+    Deterministic: the argmax pair breaks count ties on
+    (left_sym, right_sym) lexicographically, so the merge sequence is
+    reproducible across partitionings and runs (pinned by pytest
+    against a pure-Python reference).
+
+    Scale shape: the corpus is read ONCE into the word-frequency table
+    (:func:`bpe_word_freq`); each iteration then costs one
+    vocabulary-bounded pair-count shuffle, a 1-row TakeOrdered argmax
+    (driver-sized by construction, the same convergence-probe pattern
+    as graph.py's connected components), and a map-only merge fold.
+    Lineage is truncated every ``checkpoint_every`` iterations via
+    localCheckpoint, or iteration n's plan would nest n merge folds.
+    """
+    spark = df.sparkSession
+    vocab = bpe_word_freq(df, text_col).withColumn(
+        "syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "c")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((rank, a, b, n))
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank long, left_sym string, right_sym string, pair_count long"
     )

@@ -8614,6 +8614,110 @@ def _schemacontract(spark, sf_dir):
     )
 
 
+@_q(
+    "bloom_prefilter_join",
+    f"""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      {SQL_SUM.format(col='o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bloom semi-join reduction HASH-VERIFIED lossless: the fact side "
+        "(orders) is pruned by an 8192-bit Bloom filter of the BUILDING "
+        "customer keys BEFORE the exact join — the runtime-filter pattern "
+        "that keeps a 100 TB fact table from shuffling rows that cannot "
+        "match (Spark's InjectRuntimeFilter / Iceberg bloom skipping as an "
+        "explicit operator).  The oracle is the PLAIN join: a single false "
+        "negative (a pruned matching row) breaks the hash, so the "
+        "no-false-negative guarantee is verified end to end; false "
+        "positives are harmless here because the exact join removes them.  "
+        "Plan: dim collapses to a bit_or shuffle bounded by m/64 words, "
+        "the 1-row bitmap broadcasts onto the fact scan, the membership "
+        "test is JVM bit arithmetic in whole-stage codegen.  "
+        "Operator: operators/joins.py bloom_prefilter",
+)
+def _bloomjoin(spark, sf_dir):
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pre = J.bloom_prefilter(
+        orders, "o_custkey", dim, "c_custkey", m_bits=8192, n_hashes=3
+    )
+    keys = dim.select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        J.semi_join(pre, keys, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@_q(
+    "bloom_fpp_audit",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+    pos AS (
+      SELECT DISTINCT
+        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+           || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p
+      FROM dim, (SELECT unnest([0, 1, 2]) AS i) h),
+    f AS (
+      SELECT o_custkey,
+        EXISTS (SELECT 1 FROM pos WHERE p =
+          ('0x' || substring(md5('0:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096)
+        AND EXISTS (SELECT 1 FROM pos WHERE p =
+          ('0x' || substring(md5('1:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096)
+        AND EXISTS (SELECT 1 FROM pos WHERE p =
+          ('0x' || substring(md5('2:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 4096)
+          AS bloom_pass,
+        EXISTS (SELECT 1 FROM dim WHERE k = o_custkey) AS true_match
+      FROM orders)
+    SELECT bloom_pass, true_match, CAST(COUNT(*) AS BIGINT) AS n
+    FROM f GROUP BY bloom_pass, true_match
+    """,
+    doc="Bloom filter BIT-EXACT cross-engine audit (the countmin-style "
+        "verification, for membership): DuckDB rebuilds the identical "
+        "4096-bit filter from the engine-portable md5 hash family and "
+        "classifies every orders row as (bloom_pass, true_match) — so the "
+        "exact false-positive COUNT of the filter, not just its lossless-"
+        "ness, must match bit-for-bit, and the (false, true) cell — a "
+        "false negative — must be structurally ABSENT from both engines.  "
+        "This pins the sketch's behavior at the bit level: a hash-family "
+        "drift, an off-by-one in the word/bit indexing, or a signed-shift "
+        "bug would flip cells.  Operators: operators/stats.py bloom_build "
+        "/ bloom_bitmap / bloom_might_contain",
+)
+def _bloomaudit(spark, sf_dir):
+    from .operators.stats import bloom_bitmap, bloom_build, bloom_might_contain
+
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bitmap = bloom_bitmap(bloom_build(dim, "c_custkey", 4096, 3), 4096)
+    flagged = (
+        orders.join(F.broadcast(bitmap))
+        .withColumn(
+            "bloom_pass",
+            bloom_might_contain(F.col("o_custkey"), F.col("bloom_bitmap"), 4096, 3),
+        )
+        .join(
+            F.broadcast(
+                dim.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+                    "__hit", F.lit(1)
+                )
+            ),
+            "o_custkey",
+            "left",
+        )
+        .withColumn("true_match", F.col("__hit").isNotNull())
+    )
+    return flagged.groupBy("bloom_pass", "true_match").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8730,6 +8834,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "asof_nearest_event",
     "gopher_quality_rules",
     "user_activity_streaks",
+    "bloom_prefilter_join",
+    "bloom_fpp_audit",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -1526,3 +1526,48 @@ def test_minhash_recall_and_precision_vs_exact_jaccard(spark):
     assert not false_pos, f"exact verification must kill these: {sorted(false_pos)[:5]}"
     recall = len(found & truth) / len(truth)
     assert recall >= 0.95, (recall, sorted(truth - found)[:5])
+
+
+def test_bloom_merge_no_false_negatives_and_prunes(spark):
+    """OR of per-shard bloom filters must equal the corpus filter
+    (monotone bits = mergeability), every inserted key must pass
+    (no false negatives, the guarantee bloom_prefilter rides on),
+    and a disjoint probe set must be mostly pruned."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        bloom_bitmap,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, k = 2048, 3
+    df = spark.createDataFrame([(i,) for i in range(500)], ["key"])
+    whole = {r.word_idx: r.word for r in bloom_build(df, "key", m, k).collect()}
+    h1 = bloom_build(df.filter("key < 250"), "key", m, k).collect()
+    h2 = bloom_build(df.filter("key >= 250"), "key", m, k).collect()
+    merged: dict[int, int] = {}
+    for r in list(h1) + list(h2):
+        merged[r.word_idx] = merged.get(r.word_idx, 0) | r.word
+    assert merged == whole, "bitwise OR of shard filters must equal corpus filter"
+
+    [(dense,)] = bloom_bitmap(bloom_build(df, "key", m, k), m).collect()
+    assert len(dense) == m // 64
+    bitmap = F.array(*[F.lit(int(w)).cast("long") for w in dense])
+    flags = df.select(
+        "key", bloom_might_contain(F.col("key"), bitmap, m, k).alias("hit")
+    )
+    assert all(r.hit for r in flags.collect()), "false negative: inserted key pruned"
+
+    probes = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], ["key"])
+    fp = probes.filter(bloom_might_contain(F.col("key"), bitmap, m, k)).count()
+    # 500 keys * 3 hashes in 2048 bits -> fp rate ~ (1-e^{-1500/2048})^3 ~ 0.14
+    assert fp < 2000 * 0.35, f"pruning power lost: {fp}/2000 disjoint keys passed"
+
+
+def test_bloom_build_rejects_bad_params(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import bloom_build
+
+    df = spark.createDataFrame([(1,)], ["key"])
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", n_hashes=0)

@@ -521,3 +521,16 @@ def test_multiset_ops_count_algebra_no_replication(spark):
     assert "replicaterows" not in plan, "multiset ops must not explode counts"
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_prefilter_reaches_fact_scan(spark):
+    """The bloom membership predicate must evaluate AT THE SCAN, below
+    every exchange — inlined as a literal, never attached via a
+    broadcast join (Catalyst keeps a join-carried bitmap ABOVE the
+    downstream equi-join, shuffling the unpruned fact table first)."""
+    plan = _plan(spark, "bloom_prefilter_join")
+    assert "BroadcastNestedLoopJoin" not in plan, "bitmap leaked into a join"
+    assert "CartesianProduct" not in plan
+    assert "DataFilters: [NOT ((element_at(" in plan, (
+        "bloom predicate did not reach the fact scan's data filters"
+    )
