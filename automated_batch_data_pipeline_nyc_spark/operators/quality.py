@@ -27,6 +27,8 @@ __all__ = [
     "expect_values_between",
     "expect_referential_integrity",
     "null_matrix",
+    "k_anonymity_audit",
+    "k_anonymity_summary",
 ]
 
 
@@ -134,3 +136,49 @@ def null_matrix(df: DataFrame) -> DataFrame:
         for c in df.columns
     ]
     return df.agg(*aggs)
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity risk surface (Sweeney 2002): the quasi-identifier
+    combinations shared by FEWER than ``k`` rows — each is a
+    re-identification risk (someone knowing just those attributes can
+    narrow a released record to < k candidates).  The audit every
+    privacy review runs before publishing a derived dataset; the
+    standard remediations are generalizing a quasi-column (coarser
+    buckets) or suppressing the risky groups.
+
+    Returns ``(*quasi_cols, n)`` with ``n < k``.  One map-side-
+    combinable count shuffle keyed on the quasi columns; output is
+    bounded by the risky-group count, not the corpus.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k=1 is vacuous); got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """One-row k-anonymity census over a quasi-identifier set:
+    group count, risky-group count (< k members), rows at risk, and
+    the minimum group size (the dataset's effective k).  Same single
+    count shuffle as the audit, then a group-table-sized fold."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (k=1 is vacuous); got {k}")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).cast("long").alias(
+            "n_risky_groups"
+        ),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n").alias("effective_k"),
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "gram_matrix",
     "pca_project",
     "knn_join",
+    "semdedup",
 ]
 
 
@@ -605,4 +606,96 @@ def knn_join(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-prune — embeddings are assigned to their nearest
+    centroid, and within each cluster a vector is PRUNED when any
+    lower-id cluster-mate has cosine similarity >= ``threshold``
+    (the deterministic form of the paper's keep-one-per-epsilon-ball
+    rule: survivors are exactly the vectors with no earlier near-
+    duplicate).  Returns ``(id_col, cluster, kept)``.
+
+    *centroids* — ``(__cid, __c: array<double>)`` — lets a trained
+    codebook (e.g. ``build_ivf_index``'s) drive the clustering; the
+    default seeds with the ``n_clusters`` lowest-id vectors, which
+    keeps the whole operator deterministic and SQL-replayable (the
+    ``semdedup_prune`` oracle hash-verifies assignment AND pruning).
+
+    Scale shape: centroids broadcast; assignment is a map-side-
+    combinable argmin (one shuffle of one row per vector); the only
+    quadratic work is WITHIN clusters — the paper's point: cluster
+    count bounds the worst block, so size ``n_clusters`` so that
+    corpus/n_clusters² stays cheap (~sqrt(corpus) clusters).  Never
+    run with a cluster count so low that one cluster holds the
+    corpus.
+    """
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+    )
+    if centroids is None:
+        centroids = (
+            e.orderBy("__id")
+            .limit(n_clusters)
+            .select(F.col("__id").alias("__cid"), F.col("__x").alias("__c"))
+        )
+    cdf = centroids.withColumn("__cc", _dot_raw(F.col("__c"), F.col("__c")))
+    ex = e.withColumn("__xx", _dot_raw(F.col("__x"), F.col("__x")))
+    dist = (
+        F.col("__xx")
+        - F.lit(2.0) * _dot_raw(F.col("__x"), F.col("__c"))
+        + F.col("__cc")
+    )
+    assign = (
+        ex.crossJoin(F.broadcast(cdf))
+        .groupBy("__id")
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("__cid").alias("cid"))).alias(
+                "m"
+            )
+        )
+        .select("__id", F.col("m.cid").alias("cluster"))
+        # three consumers (pair sides a/b + final flag join) would each
+        # recompute the corpus argmin; a lazy checkpoint computes it
+        # once and truncates the lineage (same pattern as graph.py CC)
+        .localCheckpoint(eager=False)
+    )
+    vecs = ex.join(assign, "__id")
+    a = vecs.select(
+        F.col("__id").alias("__ida"),
+        F.col("__x").alias("__va"),
+        F.col("__xx").alias("__na"),
+        "cluster",
+    )
+    b = vecs.select(
+        F.col("__id").alias("__idb"),
+        F.col("__x").alias("__vb"),
+        F.col("__xx").alias("__nb"),
+        "cluster",
+    )
+    cos = _dot_raw(F.col("__va"), F.col("__vb")) / (
+        F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return assign.join(pruned, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "cluster",
+        F.col("__pruned").isNull().alias("kept"),
     )

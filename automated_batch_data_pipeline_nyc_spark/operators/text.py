@@ -10,6 +10,8 @@ ANSI SQL so the DuckDB oracle can verify it exactly.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +47,7 @@ __all__ = [
     "bpe_word_freq",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -979,7 +982,8 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
 
     def step(acc: Column, i: Column) -> Column:
         cur = F.element_at(syms, i)
-        nxt = F.element_at(syms, i + 1)  # NULL past the end
+        # try_: ANSI element_at throws past the end; NULL is what we want
+        nxt = F.try_element_at(syms, i + 1)
         do = (
             (~acc["skip"])
             & (cur == F.lit(a))
@@ -1046,4 +1050,66 @@ def bpe_train(
             vocab = vocab.localCheckpoint()
     return spark.createDataFrame(
         merges, "rank long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    out_col: str = "bpe_syms",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Tokenize a corpus with learned BPE ``merges`` (rank order), via
+    the DICTIONARY-JOIN design that makes encoding scale: the merge
+    folds — expression depth = number of merges — run only over the
+    corpus' distinct-word VOCABULARY; the corpus itself then just
+    joins each word occurrence to its precomputed segmentation and
+    reassembles documents in order.  Per-row iterated merging (the
+    naive port of a Python encoder) would nest len(merges) folds into
+    the corpus scan — vocabulary-bounding it is the standard trick
+    (word-level caching in every production BPE encoder, here as a
+    join).  Returns ``(id_col, out_col: array<string>)`` with each
+    document's symbols in reading order.
+
+    Plan: one distinct-word shuffle (vocabulary-bounded), k map-only
+    merge folds over the vocab with periodic lineage truncation, one
+    word->segmentation equi-join (broadcastable when the vocab is),
+    one doc-keyed reassembly shuffle.
+    """
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: F.length(w) >= 1,
+            )
+        ).alias("__pos", "__w"),
+    )
+    vocab = words.select(F.col("__w").alias("w")).distinct().withColumn(
+        "syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    )
+    for rank, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    return (
+        words.join(vocab.withColumnRenamed("w", "__w"), "__w")
+        .groupBy("__id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias(out_col)
+        )
+        .withColumnRenamed("__id", id_col)
     )

@@ -8718,6 +8718,180 @@ def _bloomaudit(spark, sf_dir):
     )
 
 
+@_q(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents),
+    wc AS (SELECT w, COUNT(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INT), 1) AS a,
+             substring(w, CAST(i AS INT) + 1, 1) AS b, c
+      FROM wc, unnest(range(1, length(w))) AS t(i)),
+    agg AS (
+      SELECT a AS left_sym, b AS right_sym, CAST(SUM(c) AS BIGINT) AS n
+      FROM pairs GROUP BY a, b)
+    SELECT * FROM agg ORDER BY n DESC, left_sym, right_sym LIMIT 100
+    """,
+    doc="BPE tokenizer-training statistic (Sennrich et al. 2016), hash-"
+        "verified: corpus-weighted adjacent character-pair frequencies — "
+        "the argmax a BPE trainer's first merge takes — with the top-100 "
+        "pinned under a (count, pair) total order.  Plan: ONE corpus "
+        "shuffle into the word-frequency table, then a map-only pair "
+        "explode over the VOCABULARY (never the corpus again — the "
+        "trainer's core scale trick) and an alphabet²-bounded count "
+        "shuffle; top-k is TakeOrdered, no global sort.  Operators: "
+        "operators/text.py bpe_word_freq / bpe_pair_counts",
+)
+def _bpepairs(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return (
+        tx.bpe_pair_counts(docs, "text")
+        .orderBy(F.desc("n"), "left_sym", "right_sym")
+        .limit(100)
+    )
+
+
+@_q(
+    "bpe_train_merges",
+    None,
+    doc="full BPE TRAINING loop, distributed (Sennrich et al. 2016): 12 "
+        "merge rules learned from the documents corpus in deterministic "
+        "order (count-desc, pair-lex tiebreak).  Corpus is read once into "
+        "the word-frequency table; each iteration is a vocabulary-bounded "
+        "pair-count shuffle + a 1-row TakeOrdered argmax + a map-only "
+        "greedy merge fold (pure JVM `aggregate`, overlapping runs merge "
+        "left-first), with localCheckpoint lineage truncation every 4 "
+        "rounds.  Rows-only by nature (iterative argmax is not SQL-"
+        "expressible); the merge sequence is pinned by pytest against a "
+        "pure-Python reference trainer.  Operator: operators/text.py "
+        "bpe_train",
+)
+def _bpetrain(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, "text", n_merges=12)
+
+
+@_q(
+    "semdedup_prune",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, seeds.cid,
+        list_dot_product(e.x, e.x)
+          - 2 * list_dot_product(e.x, seeds.c)
+          + list_dot_product(seeds.c, seeds.c) AS dist
+      FROM e, seeds),
+    asn AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d)
+      WHERE rn = 1),
+    v AS (SELECT asn.vec_id, asn.cluster, e.x FROM asn JOIN e USING (vec_id)),
+    pruned AS (
+      SELECT DISTINCT vb.vec_id
+      FROM v va JOIN v vb
+        ON va.cluster = vb.cluster AND va.vec_id < vb.vec_id
+      WHERE list_dot_product(va.x, vb.x)
+          / (sqrt(list_dot_product(va.x, va.x))
+             * sqrt(list_dot_product(vb.x, vb.x))) >= 0.4)
+    SELECT CAST(v.cluster AS BIGINT) AS cluster,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_pruned
+    FROM v LEFT JOIN pruned p ON v.vec_id = p.vec_id
+    GROUP BY v.cluster
+    """,
+    doc="SemDeDup (Abbas et al. 2023) HASH-VERIFIED end to end: embeddings "
+        "cluster to their nearest of 8 deterministic seed centroids (the "
+        "proven portable argmin recipe from kmeans_step_verified), then "
+        "within each cluster every vector with a lower-id cluster-mate at "
+        "cosine >= 0.4 is pruned — the semantic-dedup pass an LLM corpus "
+        "runs AFTER lexical MinHash (paraphrases and re-renders share "
+        "embeddings, not shingles).  Both the assignment and the pruning "
+        "decision replay exactly in DuckDB, so the per-cluster "
+        "kept/pruned census hash-matches.  Scale: centroids broadcast, "
+        "one argmin shuffle, quadratic work bounded WITHIN clusters "
+        "(the paper's design: ~sqrt(corpus) clusters keeps blocks tiny).  "
+        "Operator: operators/similarity.py semdedup",
+)
+def _semdedup(spark, sf_dir):
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    flags = sim.semdedup(emb, "vec_id", "embedding", n_clusters=8, threshold=0.4)
+    return flags.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("long").alias("n_pruned"),
+    )
+
+
+@_q(
+    "bpe_encode_tokens",
+    None,
+    doc="tokenizer APPLICATION at corpus scale: the 8 merges learned by "
+        "bpe_train are applied through the dictionary-join encoder — "
+        "merge folds run over the distinct-word VOCABULARY only, the "
+        "corpus joins each word occurrence to its precomputed "
+        "segmentation and reassembles documents in order (the word-"
+        "level cache every production BPE encoder uses, as a join; a "
+        "per-row fold would nest every merge into the corpus scan).  "
+        "Returns per-doc BPE token counts.  Rows-only (iterative "
+        "training upstream); the encoder itself is pinned by pytest "
+        "against a pure-Python reference.  Operator: operators/text.py "
+        "bpe_encode",
+)
+def _bpeencode(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in tx.bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()
+    ]
+    enc = tx.bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id", F.size("bpe_syms").cast("long").alias("n_bpe_tokens")
+    )
+
+
+@_q(
+    "k_anonymity_events",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             hour(ts) AS h, minute(ts) AS m, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3, 4)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+      CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      CAST(MIN(n) AS BIGINT) AS effective_k
+    FROM g
+    """,
+    doc="k-anonymity privacy audit (Sweeney 2002) over the events table "
+        "released at (event_type, date, hour, minute) granularity — the "
+        "census a privacy review runs before publishing: how many quasi-"
+        "identifier groups, how many have < 5 members (re-identifiable), "
+        "how many rows sit in them, and the dataset's effective k.  The "
+        "minute-precision timestamp is the classic quasi-identifier leak "
+        "this audit exists to catch.  One count shuffle keyed on the "
+        "quasi columns, then a group-table fold.  Operators: "
+        "operators/quality.py k_anonymity_summary / k_anonymity_audit",
+)
+def _kanon(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    quasi = events.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+    )
+    return Q.k_anonymity_summary(quasi, ["event_type", "d", "h", "m"], k=5)
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -8836,6 +9010,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "user_activity_streaks",
     "bloom_prefilter_join",
     "bloom_fpp_audit",
+    "bpe_pair_counts",
+    "semdedup_prune",
+    "k_anonymity_events",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",
@@ -8846,6 +9023,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "similarity_ivf_topk",
     "approx_quantiles",
     "hll_mergeable_rollup",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
 ]
 
 #: Driver-green in r1-r4 (hash-stable; guarded by local oracle parity).

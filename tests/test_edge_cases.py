@@ -184,3 +184,28 @@ def test_ewma_by_user_history_cap_fails_fast(spark, monkeypatch):
     monkeypatch.setattr(suite, "EWMA_MAX_HISTORY", 1)
     with pytest.raises(SparkRuntimeException, match="EWMA_MAX_HISTORY=1"):
         q(spark, "/root/testdata/sf0.001").count()
+
+
+def test_k_anonymity_audit_and_summary(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        k_anonymity_audit,
+        k_anonymity_summary,
+    )
+
+    rows = (
+        [("a", 30, i) for i in range(6)]      # safe group (n=6)
+        + [("a", 40, 100)]                    # risky singleton
+        + [("b", 30, 200), ("b", 30, 201)]    # risky pair
+    )
+    df = spark.createDataFrame(rows, ["city", "age", "rid"])
+    risky = {
+        (r.city, r.age): r.n
+        for r in k_anonymity_audit(df, ["city", "age"], k=5).collect()
+    }
+    assert risky == {("a", 40): 1, ("b", 30): 2}
+    s = k_anonymity_summary(df, ["city", "age"], k=5).collect()[0]
+    assert (s.n_groups, s.n_risky_groups, s.n_rows_at_risk, s.effective_k) == (
+        3, 2, 3, 1,
+    )
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["city"], k=1)

@@ -1571,3 +1571,143 @@ def test_bloom_build_rejects_bad_params(spark):
         bloom_build(df, "key", m_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError):
         bloom_build(df, "key", n_hashes=0)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE trainer must learn the SAME merge sequence
+    as a pure-Python Sennrich-style reference over a word-count dict —
+    including the greedy left-first handling of overlapping runs
+    ('aaa' under merge (a,a) -> [aa, a], never [a, aa]) and the
+    (count desc, pair lex) tiebreak."""
+    import collections
+    import re as _re
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import bpe_train
+
+    corpus = [
+        "the lower the newer the wider",
+        "low lower lowest new newer newest",
+        "wide wider widest aaa aaab banana bandana",
+    ]
+
+    def ref_bpe(texts, n_merges):
+        wc: collections.Counter = collections.Counter()
+        for t in texts:
+            for w in _re.split(r"[^a-z]+", t.lower()):
+                if len(w) >= 2:
+                    wc[w] += 1
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for rank in range(n_merges):
+            pc: collections.Counter = collections.Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, n))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(df, "text", 10).orderBy("rank").collect()
+    ]
+    assert got == ref_bpe(corpus, 10)
+
+
+def test_semdedup_invariants(spark):
+    """Survivor set invariants: every pruned vector has a LOWER-id
+    cluster-mate at cosine >= t (a witness), and no two KEPT
+    cluster-mates are near-duplicates where the later one should have
+    been pruned — i.e. kept(b) implies no kept-or-pruned a<b with
+    cos(a,b) >= t in b's cluster."""
+    import random
+
+    from automated_batch_data_pipeline_nyc_spark.operators.similarity import semdedup
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(12)]
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, v)); vid += 1
+        # two near-copies of each base vector (tiny jitter)
+        for _ in range(2):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup(df, "vec_id", "embedding", n_clusters=4, threshold=0.95)
+    flags = {r.vec_id: (r.cluster, r.kept) for r in out.collect()}
+    assert set(flags) == {r[0] for r in rows}
+
+    vecs = dict(rows)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = sum(x * x for x in vecs[a]) ** 0.5
+        nb = sum(x * x for x in vecs[b]) ** 0.5
+        return num / (na * nb)
+
+    n_pruned = 0
+    for b, (cb, kept_b) in flags.items():
+        mates = [a for a, (ca, _) in flags.items() if ca == cb and a < b]
+        witness = any(cos(a, b) >= 0.95 for a in mates)
+        assert (not kept_b) == witness, (b, kept_b, witness)
+        n_pruned += 0 if kept_b else 1
+    assert n_pruned > 0, "fixture must actually prune near-copies"
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The dictionary-join encoder must produce the same in-order
+    symbol stream as a per-word Python reference applying the merges
+    sequentially — including multi-word docs (order reassembly) and
+    words unseen at training time (fall back to finer segments)."""
+    import re as _re
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = ["the lower the newer", "low lower lowest aaa aaab banana"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(df, "text", 6).orderBy("rank").collect()
+    ]
+    got = {r.doc_id: r.bpe_syms for r in bpe_encode(df, "doc_id", "text", merges).collect()}
+
+    def ref_encode(t):
+        out = []
+        for w in _re.split(r"[^a-z]+", t.lower()):
+            if not w:
+                continue
+            syms = list(w)
+            for a, b in merges:
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            out.extend(syms)
+        return out
+
+    for i, t in enumerate(corpus):
+        assert got[i] == ref_encode(t), i

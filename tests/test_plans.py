@@ -534,3 +534,29 @@ def test_bloom_prefilter_reaches_fact_scan(spark):
     assert "DataFilters: [NOT ((element_at(" in plan, (
         "bloom predicate did not reach the fact scan's data filters"
     )
+
+
+def test_bpe_pair_counts_vocab_bounded_topk(spark):
+    """BPE pair stats: top-k must be TakeOrdered (never a global sort)
+    and the corpus shuffle happens once — every later stage runs over
+    the vocabulary table."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark):
+    """SemDeDup's only quadratic work must be WITHIN clusters: the
+    pair join is an equi-join on the cluster key (shuffle-
+    partitionable), never an unblocked cartesian over the corpus;
+    the centroid attach is the one (broadcast) nested-loop, its
+    build side bounded by n_clusters."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan
+    # the assignment is checkpointed: exactly one centroid-attach BNLJ
+    # (8-row build side) ever executes, and the pair join is an
+    # equi-join keyed on cluster
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert ("SortMergeJoin [cluster" in plan) or (
+        "BroadcastHashJoin [cluster" in plan
+    )
