@@ -29,6 +29,7 @@ __all__ = [
     "null_matrix",
     "k_anonymity_audit",
     "k_anonymity_summary",
+    "profile_table",
 ]
 
 
@@ -182,3 +183,68 @@ def k_anonymity_summary(
         ),
         F.min("n").alias("effective_k"),
     )
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """One-pass table profile — the ANALYZE-TABLE / data-catalog
+    primitive: per column ``(column, n_rows, n_nulls, n_distinct,
+    min_value, max_value)``, computed in a SINGLE aggregate over one
+    scan (never a job per column).
+
+    ``min_value``/``max_value`` serialize through CAST AS STRING so one
+    schema fits every column type; cast raw DOUBLE columns to DECIMAL
+    first when the profile must be engine-portable (float-to-string
+    formatting differs across engines; decimal/date/int renderings do
+    not).  With ``approx_distinct`` the NDV uses HyperLogLog —
+    the 100 TB default: exact COUNT(DISTINCT) per column plans an
+    Expand (one input row fans out per distinct-aggregate), which is
+    one shuffle but columns× the map output; the sketch keeps the scan
+    map-only.  Complex columns (array/map/struct) profile counts and
+    nulls; min/max/NDV are NULL for them.
+    """
+    simple = {
+        f.name: f.dataType.typeName()
+        not in ("array", "map", "struct", "binary")
+        for f in df.schema.fields
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for name, ok in simple.items():
+        c = F.col(name)
+        aggs.append(F.count(c).alias(f"__nn_{name}"))
+        if ok:
+            aggs.append(
+                (
+                    F.approx_count_distinct(c)
+                    if approx_distinct
+                    else F.countDistinct(c)
+                ).alias(f"__nd_{name}")
+            )
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
+    row = df.agg(*aggs)
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{name}")).alias("n_nulls"),
+                (
+                    F.col(f"__nd_{name}")
+                    if ok
+                    else F.lit(None).cast("long")
+                ).alias("n_distinct"),
+                (
+                    F.col(f"__mn_{name}")
+                    if ok
+                    else F.lit(None).cast("string")
+                ).alias("min_value"),
+                (
+                    F.col(f"__mx_{name}")
+                    if ok
+                    else F.lit(None).cast("string")
+                ).alias("max_value"),
+            )
+            for name, ok in simple.items()
+        ]
+    )
+    return row.select(F.explode(cols).alias("p")).select("p.*")

@@ -8892,6 +8892,54 @@ def _kanon(spark, sf_dir):
     return Q.k_anonymity_summary(quasi, ["event_type", "d", "h", "m"], k=5)
 
 
+_PROFILE_SPEC = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(o_totalprice AS DECIMAL(12,2))"),
+    ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+_PROFILE_ORACLE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_nulls,
+      CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+      CAST(MIN({expr}) AS VARCHAR) AS min_value,
+      CAST(MAX({expr}) AS VARCHAR) AS max_value
+    FROM orders"""
+    for name, expr in _PROFILE_SPEC
+)
+
+
+@_q(
+    "profile_orders_table",
+    _PROFILE_ORACLE,
+    doc="ANALYZE-TABLE profile, hash-verified: per-column row/null/NDV "
+        "counts plus min/max for the whole orders table in ONE aggregate "
+        "over one scan (the exact COUNT(DISTINCT) battery plans a single "
+        "Expand shuffle, never a job per column) — the stats pass every "
+        "catalog/optimizer/data-contract workflow runs first.  min/max "
+        "serialize via portable casts (double -> DECIMAL before "
+        "stringifying; float formatting is the one engine-specific "
+        "rendering).  At 100 TB flip approx_distinct=True: HLL NDV keeps "
+        "the scan map-only with no Expand fan-out.  Operator: "
+        "operators/quality.py profile_table",
+)
+def _profile(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    proj = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(D2).alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return Q.profile_table(proj)
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -9013,6 +9061,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "bpe_pair_counts",
     "semdedup_prune",
     "k_anonymity_events",
+    "profile_orders_table",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -209,3 +209,29 @@ def test_k_anonymity_audit_and_summary(spark):
     )
     with pytest.raises(ValueError):
         k_anonymity_audit(df, ["city"], k=1)
+
+
+def test_profile_table_nulls_complex_and_approx(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", [1, 2]), (2, None, [3]), (None, "b", None)],
+        T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+        ]),
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert set(prof) == {"x", "s", "arr"}
+    assert (prof["x"].n_rows, prof["x"].n_nulls, prof["x"].n_distinct) == (3, 1, 2)
+    assert (prof["x"].min_value, prof["x"].max_value) == ("1", "2")
+    assert (prof["s"].n_nulls, prof["s"].min_value) == (1, "a")
+    # complex column: counts only, stats NULL
+    assert prof["arr"].n_nulls == 1
+    assert prof["arr"].n_distinct is None and prof["arr"].min_value is None
+    # approx path keeps the same schema and exact null accounting
+    aprof = {r.column: r for r in profile_table(df, approx_distinct=True).collect()}
+    assert aprof["x"].n_nulls == 1 and aprof["x"].n_distinct >= 1
