@@ -23,7 +23,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "snapshot_diff", "scd2_apply", "cdc_apply"]
+__all__ = [
+    "merge_upsert",
+    "snapshot_diff",
+    "scd2_apply",
+    "cdc_apply",
+    "agg_state",
+    "merge_agg_state",
+]
 
 
 def merge_upsert(
@@ -253,3 +260,54 @@ def cdc_apply(
         ],
     )
     return merged.select(*cols)
+
+
+def agg_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Partial-aggregate STATE for one measure: per key,
+    ``(n, sum_v, min_v, max_v)`` with the sum carried in exact DECIMAL.
+
+    This is the incremental-rollup primitive: the state table is tiny
+    (one row per key), every component is an algebraic aggregate
+    (mergeable by sum/sum/min/max), and :func:`merge_agg_state` folds a
+    new batch's state into it WITHOUT rescanning history — the pattern
+    that turns a 100 TB daily full recompute into a scan of just the
+    new partition.  Derived stats (mean = sum/n) are computed at read
+    time, never stored, so merging stays exact.
+    """
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast(decimal_type)).alias("sum_v"),
+        F.min(F.col(value_col).cast(decimal_type)).alias("min_v"),
+        F.max(F.col(value_col).cast(decimal_type)).alias("max_v"),
+    )
+
+
+def merge_agg_state(state: DataFrame, delta_state: DataFrame) -> DataFrame:
+    """Merge two :func:`agg_state` tables (history ⊕ new batch) into
+    one — pure union + re-aggregate, exploiting that every component is
+    algebraic: counts and DECIMAL sums add, min/max fold.
+
+    Plan shape: NO join — ``unionByName`` then one groupBy whose input
+    is two state tables (key-sized, not corpus-sized).  With both
+    states stored bucketed on the key the exchange disappears entirely.
+    Commutative and associative: days can merge in any order, so
+    backfills and out-of-order loads converge to the same state.
+    """
+    keys = [c for c in state.columns if c not in ("n", "sum_v", "min_v", "max_v")]
+    if set(state.columns) != set(delta_state.columns):
+        raise ValueError("merge_agg_state requires identical state schemas")
+    return (
+        state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "k_anonymity_audit",
     "k_anonymity_summary",
     "profile_table",
+    "population_stability_index",
 ]
 
 
@@ -248,3 +249,91 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
         ]
     )
     return row.select(F.explode(cols).alias("p")).select("p.*")
+
+
+def population_stability_index(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index — the data-drift monitor run between a
+    baseline window ("expected": training data, last month) and a new
+    window ("actual": serving data, this month).
+
+    The value range is cut at the fixed ``edges`` into ``len(edges)+1``
+    bins (bin 0: x < edges[0]; bin i: edges[i-1] <= x < edges[i]; last
+    bin: x >= edges[-1]; NULLs are excluded).  Per bin:
+
+      ``psi_term = (p_actual − p_expected) · ln(p_actual / p_expected)``
+
+    with both shares Laplace-smoothed ``(n_b + α)/(N + α·k)`` so empty
+    bins stay finite.  Σ psi_term is the headline PSI (< 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted — the industry rule of thumb).
+
+    Plan shape: each side is ONE map-side-combined count aggregate whose
+    output is k rows (the bin CASE is a scan-level expression — the
+    corpora are never joined or shuffled row-wise), then two k-row
+    broadcast joins against a literal bin table so every bin appears
+    even when both sides are empty.  Scales with the two scans at any
+    data size.  ``psi_term`` rounds at 6 dp; counts and the single
+    IEEE divisions replay exactly in ANSI SQL.
+    """
+    if list(edges) != sorted(float(e) for e in edges) or len(edges) < 1:
+        raise ValueError("edges must be a non-empty ascending sequence")
+    k = len(edges) + 1
+
+    def _bin(c: Column) -> Column:
+        out: Column = F.lit(k - 1)
+        for i in range(len(edges) - 1, -1, -1):
+            out = F.when(c < F.lit(float(edges[i])), F.lit(i)).otherwise(out)
+        return out
+
+    def _side(df: DataFrame, alias: str) -> DataFrame:
+        c = F.col(value_col).cast("double")
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(_bin(c).cast("long").alias("bin_id"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    bins = expected.sparkSession.range(k).select(F.col("id").alias("bin_id"))
+    e = _side(expected, "n_expected")
+    a = _side(actual, "n_actual")
+    joined = (
+        bins.join(F.broadcast(e), "bin_id", "left")
+        .join(F.broadcast(a), "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+        )
+    )
+    # totals via an unbounded window over the k-row bin table — a
+    # separate .agg + crossJoin would make Catalyst re-plan (and
+    # re-scan) both corpus subtrees once per reference
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()  # k rows — bounded by construction
+    tot = joined.select(
+        "bin_id",
+        "n_expected",
+        "n_actual",
+        F.sum("n_expected").over(wall).alias("__te"),
+        F.sum("n_actual").over(wall).alias("__ta"),
+    )
+    pe = (F.col("n_expected").cast("double") + F.lit(alpha)) / (
+        F.col("__te").cast("double") + F.lit(alpha * k)
+    )
+    pa = (F.col("n_actual").cast("double") + F.lit(alpha)) / (
+        F.col("__ta").cast("double") + F.lit(alpha * k)
+    )
+    return tot.select(
+        "bin_id",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("p_expected"),
+        F.round(pa, 6).alias("p_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_term"),
+    )

@@ -38,6 +38,8 @@ __all__ = [
     "sample_n_per_group",
     "weighted_sample_per_group",
     "downsample_to_token_budget",
+    "dsir_log_weights",
+    "temperature_resample_rates",
 ]
 
 
@@ -295,4 +297,205 @@ def downsample_to_token_budget(
         df.join(F.broadcast(rates), source_col)
         .filter(hash_bucket(key_col, buckets) < F.col("__keep_below"))
         .drop("__keep_below")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    text_col: str,
+    target_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Scores every document by how much more likely its hashed n-gram
+    profile is under a small trusted TARGET corpus (``target_col``, a
+    boolean column marking target members inside ``df``) than under the
+    raw pool — the selection signal used to pick pre-training data that
+    "looks like" Wikipedia/books without training a classifier:
+
+      ``log_weight(d) = Σ_b c_b(d) · (log p_target(b) − log p_raw(b))``
+
+    with c_b(d) the document's count of unigrams+bigrams hashing to
+    bucket b, and both distributions Laplace-smoothed
+    ``(count + α) / (total + α·m)``.
+
+    Plan shape (the 100 TB path): tokens and bigrams stay inside one
+    array expression per row; one ``explode_outer`` (empty docs keep a
+    NULL-gram row, so no restore-join later) feeds a map-side-combined
+    (id, bucket) count — the only corpus-sized shuffle, its width
+    bounded by ``n_buckets`` per doc after combine.  That per-doc
+    bucket table is staged through a lazy ``localCheckpoint``: it has
+    two consumers (the bucket-distribution aggregate and the final
+    per-doc scoring), and without the barrier Catalyst re-plans — and
+    re-executes — the corpus explode once per consumer (measured: 4
+    scans; exchange reuse does not collapse them here).  The
+    ``n_buckets``-row distribution folds its totals with an unbounded
+    window over itself (bounded input by construction), the log-ratios
+    broadcast back, and one doc-keyed aggregate finishes.  Everything
+    is JVM built-ins; the hash is the engine-portable md5 bucket
+    (:func:`hash_bucket`), so the whole weighting replays exactly in
+    ANSI SQL.
+
+    Returns one row per input doc: ``(id_col, n_grams, log_weight)``
+    with ``log_weight`` rounded to 6 dp (the documented float-sum
+    tolerance; term order across partitions is otherwise
+    nondeterministic at the 1e-15 level).  Docs with no tokens keep a
+    row with ``n_grams = 0`` and ``log_weight = 0.0``.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        toks.alias("__t"),
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.zip_with(
+            F.slice("__t", 1, F.size("__t") - 1),
+            F.slice("__t", 2, F.size("__t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = staged.select(
+        id_col,
+        "__tgt",
+        F.explode_outer(F.concat(F.col("__t"), bigrams)).alias("__g"),
+    )
+    # (id, bucket) counts — the one corpus-sized shuffle.  count("__g")
+    # makes the empty-doc NULL-gram row carry c = 0.
+    doc_bucket = (
+        grams.withColumn(
+            "__b",
+            F.when(
+                F.col("__g").isNotNull(), hash_bucket(F.col("__g"), n_buckets)
+            ),
+        )
+        .groupBy(id_col, "__tgt", "__b")
+        .agg(F.count("__g").alias("__c"))
+        .localCheckpoint(eager=False)  # two consumers — see docstring
+    )
+    dist = (
+        doc_bucket.filter(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(
+            F.sum("__c").alias("__raw"),
+            F.sum(
+                F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
+            ).alias("__tgt_c"),
+        )
+    )
+    m = float(n_buckets)
+    wall = Window.partitionBy()  # n_buckets rows — bounded
+    totd = dist.select(
+        "__b",
+        "__raw",
+        "__tgt_c",
+        F.sum("__raw").over(wall).alias("__raw_tot"),
+        F.sum("__tgt_c").over(wall).alias("__tgt_tot"),
+    )
+    lr = totd.select(
+        "__b",
+        (
+            F.log(
+                (F.col("__tgt_c").cast("double") + F.lit(alpha))
+                / (F.col("__tgt_tot").cast("double") + F.lit(alpha * m))
+            )
+            - F.log(
+                (F.col("__raw").cast("double") + F.lit(alpha))
+                / (F.col("__raw_tot").cast("double") + F.lit(alpha * m))
+            )
+        ).alias("__lr"),
+    )
+    return (
+        doc_bucket.join(F.broadcast(lr), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.col("__c").cast("double") * F.coalesce("__lr", F.lit(0.0))
+                ),
+                6,
+            ).alias("log_weight"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def temperature_resample_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-based source rebalancing rates (the multilingual
+    ``p_i^α`` scheme of XLM / mBERT, Conneau & Lample 2019): resampling
+    a mixture toward ``q_i ∝ p_i^α`` flattens the source distribution
+    (α < 1 up-weights rare sources, α = 1 keeps it, α = 0 makes it
+    uniform) without ever starving a head source.
+
+    Returns one row per source: ``(source, n_rows, p_src, q_src,
+    keep_rate)`` where ``keep_rate = min(1, (q_i/p_i) · min_j(p_j/q_j))``
+    — the LARGEST per-source keep fractions that realize the target
+    mixture purely by downsampling (the richest source under the target
+    keeps 100%; nothing is upsampled, so membership can stay a pure
+    hash function of the key).
+
+    Plan: ONE count aggregate over the corpus (output = #sources rows),
+    then every total and the min-ratio scale factor come from unbounded
+    window aggregates OVER THAT TINY TABLE — deriving them as separate
+    ``.agg`` branches would make Catalyst re-plan (and re-scan) the
+    corpus subtree once per reference.  The single-partition window is
+    safe by construction: its input is one row per source, never the
+    corpus.  Pair with :func:`hash_sample` per source (or feed
+    ``keep_rate`` into :func:`mixture_sample`) to materialize the draw.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()  # #sources rows — bounded, see docstring
+    powed = counts.select(
+        F.col(source_col).alias("source"),
+        "n_rows",
+        F.pow(F.col("n_rows").cast("double"), F.lit(alpha)).alias("__w"),
+    )
+    with_p = powed.select(
+        "source",
+        "n_rows",
+        (
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(w).cast("double")
+        ).alias("p_src"),
+        (F.col("__w") / F.sum("__w").over(w)).alias("q_src"),
+    )
+    # scale factor: the binding source keeps exactly 1.0
+    with_s = with_p.select(
+        "source",
+        "n_rows",
+        "p_src",
+        "q_src",
+        F.min(F.col("p_src") / F.col("q_src")).over(w).alias("__s"),
+    )
+    return with_s.select(
+        "source",
+        "n_rows",
+        F.round("p_src", 6).alias("p_src"),
+        F.round("q_src", 6).alias("q_src"),
+        F.round(
+            F.least(F.lit(1.0), F.col("q_src") / F.col("p_src") * F.col("__s")),
+            6,
+        ).alias("keep_rate"),
     )

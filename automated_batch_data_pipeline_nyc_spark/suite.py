@@ -8940,6 +8940,203 @@ def _profile(spark, sf_dir):
     return Q.profile_table(proj)
 
 
+@_q(
+    "temperature_lang_rates",
+    """
+    WITH c AS (
+      SELECT lang AS source, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+    t AS (
+      SELECT SUM(n_rows) AS n_tot, SUM(pow(n_rows, 0.7)) AS w_tot FROM c),
+    p AS (
+      SELECT source, n_rows,
+        CAST(n_rows AS DOUBLE) / n_tot AS p_src,
+        pow(n_rows, 0.7) / w_tot AS q_src
+      FROM c, t),
+    s AS (SELECT MIN(p_src / q_src) AS sc FROM p)
+    SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+      round(p_src, 6) AS p_src, round(q_src, 6) AS q_src,
+      round(LEAST(1.0, q_src / p_src * sc), 6) AS keep_rate
+    FROM p, s
+    """,
+    doc="Temperature-based language rebalancing (XLM's p^alpha scheme, "
+        "Conneau & Lample 2019), hash-verified: per-language corpus "
+        "shares flattened toward q ∝ p^0.7, realized as the largest "
+        "downsampling-only keep rates (the rarest-relative language "
+        "keeps 100%; the over-represented head is trimmed).  Plan: one "
+        "count aggregate (rows = #languages), then source-table-sized "
+        "arithmetic with scalar totals broadcast — the corpus is scanned "
+        "once and never shuffled.  Feed the rates into the deterministic "
+        "hash-bucket filter (mixture_sample) to materialize the draw.  "
+        "Operator: operators/sampling.py temperature_resample_rates",
+)
+def _temp_rates(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return sa.temperature_resample_rates(docs, "lang", alpha=0.7)
+
+
+@_q(
+    "psi_drift_orders",
+    """
+    WITH e AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        AND o_totalprice IS NOT NULL),
+    a AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        AND o_totalprice IS NOT NULL),
+    bins AS (SELECT CAST(unnest(range(5)) AS BIGINT) AS bin_id),
+    be AS (
+      SELECT CASE WHEN v < 100000 THEN 0 WHEN v < 200000 THEN 1
+                  WHEN v < 300000 THEN 2 WHEN v < 400000 THEN 3
+                  ELSE 4 END AS bin_id, COUNT(*) AS c
+      FROM e GROUP BY 1),
+    ba AS (
+      SELECT CASE WHEN v < 100000 THEN 0 WHEN v < 200000 THEN 1
+                  WHEN v < 300000 THEN 2 WHEN v < 400000 THEN 3
+                  ELSE 4 END AS bin_id, COUNT(*) AS c
+      FROM a GROUP BY 1),
+    j AS (
+      SELECT b.bin_id,
+        CAST(COALESCE(be.c, 0) AS BIGINT) AS n_expected,
+        CAST(COALESCE(ba.c, 0) AS BIGINT) AS n_actual
+      FROM bins b LEFT JOIN be USING (bin_id) LEFT JOIN ba USING (bin_id)),
+    t AS (SELECT SUM(n_expected) AS te, SUM(n_actual) AS ta FROM j)
+    SELECT bin_id, n_expected, n_actual,
+      round((n_expected + 0.5) / (te + 2.5), 6) AS p_expected,
+      round((n_actual + 0.5) / (ta + 2.5), 6) AS p_actual,
+      round(((n_actual + 0.5) / (ta + 2.5) - (n_expected + 0.5) / (te + 2.5))
+        * ln(((n_actual + 0.5) / (ta + 2.5))
+           / ((n_expected + 0.5) / (te + 2.5))), 6) AS psi_term
+    FROM j, t
+    """,
+    doc="Population Stability Index drift monitor, hash-verified: "
+        "o_totalprice distribution of pre-1997 orders (the 'training "
+        "window' baseline) vs 1997+ orders (the 'serving window'), cut at "
+        "fixed 100k-wide bins; per-bin Laplace-smoothed shares and "
+        "(p_a − p_e)·ln(p_a/p_e) terms whose sum is the headline PSI "
+        "(< 0.1 stable / > 0.25 shifted).  Plan: the two corpora are "
+        "NEVER joined row-wise — one map-side-combined count aggregate "
+        "per side (k rows out), broadcast-joined to a literal bin table "
+        "so empty bins stay in the output.  The per-round drift check a "
+        "training-data pipeline runs before accepting a new crawl.  "
+        "Operator: operators/quality.py population_stability_index",
+)
+def _psi(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    d = F.col("o_orderdate").cast("date")
+    return Q.population_stability_index(
+        orders.filter(d < cut),
+        orders.filter(d >= cut),
+        "o_totalprice",
+        [100_000.0, 200_000.0, 300_000.0, 400_000.0],
+    )
+
+
+@_q(
+    "incremental_agg_merge",
+    """
+    SELECT o_custkey,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_spend,
+      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_spend,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS avg_spend
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Incremental aggregate maintenance, hash-verified against the "
+        "full recompute: per-customer (count, sum, min, max) state built "
+        "from history (orders before 1997-07-01), a DELTA state from just "
+        "the new slice, then merge_agg_state folds them — union + "
+        "re-aggregate of two KEY-SIZED state tables, no join, no history "
+        "rescan.  The oracle is the direct GROUP BY over all orders, so "
+        "the hash match proves the merge law (algebraic components: "
+        "counts/DECIMAL sums add, min/max fold) holds cross-engine.  The "
+        "100 TB pattern: daily rollups scan only the new partition; "
+        "derived stats (mean) are computed at read time so merging stays "
+        "exact.  Operators: operators/incremental.py agg_state / "
+        "merge_agg_state",
+)
+def _incr_agg(spark, sf_dir):
+    from .operators import incremental as inc
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    cut = F.lit("1997-07-01").cast("date")
+    hist = orders.filter(F.col("o_orderdate").cast("date") < cut)
+    delta = orders.filter(F.col("o_orderdate").cast("date") >= cut)
+    d18 = "decimal(18,2)"
+    merged = inc.merge_agg_state(
+        inc.agg_state(hist, ["o_custkey"], "o_totalprice", d18),
+        inc.agg_state(delta, ["o_custkey"], "o_totalprice", d18),
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        F.col("sum_v").cast("double").alias("total_spend"),
+        F.col("min_v").cast("double").alias("min_spend"),
+        F.col("max_v").cast("double").alias("max_spend"),
+        (F.col("sum_v").cast("double") / F.col("n")).alias("avg_spend"),
+    )
+
+
+@_q(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, tgt, unnest(list_concat(t,
+        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS g
+      FROM toks),
+    db AS (
+      SELECT doc_id, tgt,
+        ('0x' || substring(md5(g), 1, 8))::BIGINT % 64 AS b,
+        COUNT(*) AS c
+      FROM grams GROUP BY 1, 2, 3),
+    dist AS (
+      SELECT b, SUM(c) AS raw_c, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS tgt_c
+      FROM db GROUP BY 1),
+    lr AS (
+      SELECT b,
+        ln((tgt_c + 0.5) / ((SELECT SUM(tgt_c) FROM dist) + 0.5 * 64))
+        - ln((raw_c + 0.5) / ((SELECT SUM(raw_c) FROM dist) + 0.5 * 64)) AS lr
+      FROM dist),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        round(SUM(c * lr), 6) AS log_weight
+      FROM db JOIN lr USING (b) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+      COALESCE(s.log_weight, 0.0) AS log_weight
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
+    """,
+    doc="DSIR data-selection importance weights (Xie et al. 2023), "
+        "hash-verified end to end: every document scored by how much more "
+        "likely its hashed unigram+bigram profile is under the trusted "
+        "target slice (lang='en') than under the raw pool — the importance-"
+        "resampling signal for picking pre-training data that looks like a "
+        "reference corpus without training a classifier.  Plan: ONE "
+        "corpus-sized (doc, bucket) count shuffle (map-side combined, "
+        "width bounded by 64 buckets/doc), a 64-row distribution aggregate "
+        "over those counts (corpus never rescanned), log-ratios broadcast "
+        "back, one doc-keyed sum.  The md5 bucket hash replays exactly in "
+        "ANSI SQL; log-weight rounds at 6 dp (documented float-sum "
+        "tolerance).  Operator: operators/sampling.py dsir_log_weights",
+)
+def _dsir(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return sa.dsir_log_weights(
+        docs.withColumn("__is_tgt", F.col("lang") == "en"),
+        "text",
+        "__is_tgt",
+        "doc_id",
+        n_buckets=64,
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -9062,6 +9259,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "semdedup_prune",
     "k_anonymity_events",
     "profile_orders_table",
+    "dsir_importance_weights",
+    "incremental_agg_merge",
+    "psi_drift_orders",
+    "temperature_lang_rates",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -235,3 +235,32 @@ def test_profile_table_nulls_complex_and_approx(spark):
     # approx path keeps the same schema and exact null accounting
     aprof = {r.column: r for r in profile_table(df, approx_distinct=True).collect()}
     assert aprof["x"].n_nulls == 1 and aprof["x"].n_distinct >= 1
+
+
+def test_psi_identical_and_shifted_distributions(spark):
+    """PSI ≈ 0 when the two windows share a distribution; large when the
+    distribution shifts; every bin appears even when empty; edges must
+    ascend."""
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        population_stability_index,
+    )
+
+    base = spark.createDataFrame([(float(v),) for v in range(100)], ["v"])
+    same = population_stability_index(base, base, "v", [25.0, 50.0, 75.0])
+    rows = same.collect()
+    assert len(rows) == 4 and {r.bin_id for r in rows} == {0, 1, 2, 3}
+    assert abs(sum(r.psi_term for r in rows)) < 1e-9  # identical → PSI 0
+
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in range(75, 175)], ["v"]
+    )
+    drift = population_stability_index(base, shifted, "v", [25.0, 50.0, 75.0])
+    terms = {r.bin_id: r for r in drift.collect()}
+    assert sum(r.psi_term for r in terms.values()) > 0.25  # "shifted" regime
+    # bin 0 is empty on the actual side but still present, smoothed
+    assert terms[0].n_actual == 0 and terms[0].p_actual > 0
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="ascending"):
+        population_stability_index(base, base, "v", [50.0, 25.0])

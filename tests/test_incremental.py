@@ -172,3 +172,39 @@ def test_cdc_apply_validate_unique_guard(spark):
     clean = spark.createDataFrame([(1, "B", 25.0, "U")], ["k", "s", "v", "op"])
     got = cdc_apply(target, clean, ["k"], validate_unique=True).collect()
     assert [(r.k, r.s, r.v) for r in got] == [(1, "B", 25.0)]
+
+
+def test_agg_state_merge_law_any_order(spark):
+    """merge_agg_state is commutative/associative and equals the direct
+    aggregate — the invariant that lets daily states merge out of order
+    (backfills) and still converge to the full-recompute answer."""
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    rows = [
+        ("a", 1, 10.25), ("a", 1, 5.50), ("b", 1, 7.00),
+        ("a", 2, 1.75), ("b", 2, 99.99), ("c", 2, 3.00),
+        ("b", 3, 0.01), ("c", 3, 3.00),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["k", "day", "v"])
+    days = [agg_state(df.filter(F.col("day") == d), ["k"], "v") for d in (1, 2, 3)]
+
+    def as_dict(state):
+        return {
+            r.k: (r.n, float(r.sum_v), float(r.min_v), float(r.max_v))
+            for r in state.collect()
+        }
+
+    direct = as_dict(agg_state(df, ["k"], "v"))
+    fwd = as_dict(merge_agg_state(merge_agg_state(days[0], days[1]), days[2]))
+    rev = as_dict(merge_agg_state(days[2], merge_agg_state(days[1], days[0])))
+    assert fwd == direct and rev == direct
+    # a day with no rows for a key merges as identity
+    assert direct["c"] == (2, 6.00, 3.00, 3.00)
+
+    with pytest.raises(ValueError, match="identical state schemas"):
+        merge_agg_state(days[0], days[1].withColumnRenamed("sum_v", "s"))

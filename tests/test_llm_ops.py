@@ -1711,3 +1711,101 @@ def test_bpe_encode_matches_python_reference(spark):
 
     for i, t in enumerate(corpus):
         assert got[i] == ref_encode(t), i
+
+
+def test_dsir_log_weights_match_reference(spark):
+    """dsir_log_weights == a pure-Python DSIR reference (hashed
+    unigram+bigram features, Laplace-smoothed log ratio) on a corpus
+    with a distinct target slice; empty docs keep a zero-weight row."""
+    import hashlib
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", True),
+        (2, "stock market crash report", False),
+        (3, "the dog sat", True),
+        (4, "", False),
+        (5, "cat cat cat", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_log_weights(
+            df, "text", "is_tgt", "doc_id", n_buckets=16
+        ).collect()
+    }
+
+    m, alpha = 16, 0.5
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    def grams(t):
+        w = [x for x in t.lower().split(" ") if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _, t, it in rows:
+        for g in grams(t):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if it:
+                tgt[b] = tgt.get(b, 0) + 1
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    for i, t, _ in rows:
+        gs = grams(t)
+        lw = sum(
+            math.log((tgt.get(bucket(g), 0) + alpha) / (tt + alpha * m))
+            - math.log((raw.get(bucket(g), 0) + alpha) / (rt + alpha * m))
+            for g in gs
+        )
+        assert got[i][0] == len(gs)
+        assert abs(got[i][1] - round(lw, 6)) < 2e-6
+    # target-looking docs outrank the target-unlike ones
+    assert got[1][1] > got[2][1] and got[3][1] > got[2][1]
+
+
+def test_temperature_resample_rates_properties(spark):
+    """alpha=1 keeps the mixture (all keep_rate 1); alpha=0 targets
+    uniform (smallest source keeps 1.0, a source k× larger keeps 1/k);
+    rates realize q ∝ p^alpha after downsampling."""
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        temperature_resample_rates,
+    )
+
+    rows = [("web",)] * 80 + [("books",)] * 16 + [("code",)] * 4
+    df = spark.createDataFrame(rows, ["src"])
+
+    keep1 = {
+        r.source: r.keep_rate
+        for r in temperature_resample_rates(df, "src", alpha=1.0).collect()
+    }
+    assert all(abs(v - 1.0) < 1e-9 for v in keep1.values())
+
+    keep0 = {
+        r.source: r.keep_rate
+        for r in temperature_resample_rates(df, "src", alpha=0.0).collect()
+    }
+    assert abs(keep0["code"] - 1.0) < 1e-9
+    assert abs(keep0["books"] - 4 / 16) < 1e-6
+    assert abs(keep0["web"] - 4 / 80) < 1e-6
+
+    # generic alpha: post-sampling counts are proportional to q_src
+    out = {
+        r.source: r
+        for r in temperature_resample_rates(df, "src", alpha=0.5).collect()
+    }
+    kept = {s: out[s].n_rows * out[s].keep_rate for s in out}
+    ratios = {s: kept[s] / out[s].q_src for s in out}
+    vals = list(ratios.values())
+    assert max(vals) / min(vals) < 1 + 1e-4
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="alpha"):
+        temperature_resample_rates(df, "src", alpha=1.5)

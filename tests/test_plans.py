@@ -560,3 +560,43 @@ def test_semdedup_pair_join_is_cluster_keyed(spark):
     assert ("SortMergeJoin [cluster" in plan) or (
         "BroadcastHashJoin [cluster" in plan
     )
+
+
+def test_psi_never_joins_corpora_rowwise(spark):
+    """PSI compares two corpus windows: each side must collapse to a
+    k-row count aggregate BEFORE any join — the joins in the plan are
+    all broadcasts of bin-table-sized inputs, never a row-wise
+    corpus join."""
+    plan = _plan(spark, "psi_drift_orders")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # bins <- expected, actual
+    # the date-window predicates reach the scans
+    assert plan.count("IsNotNull(o_orderdate)") >= 1
+
+
+def test_temperature_rates_single_scan_no_rowwise_join(spark):
+    """Temperature rebalancing arithmetic runs over the #sources-row
+    count table; the corpus itself is scanned once and never joined."""
+    plan = _plan(spark, "temperature_lang_rates")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_incremental_agg_merge_is_union_not_join(spark):
+    """State merge must be union + re-aggregate — a join-based merge
+    would break out-of-order backfill associativity and cost a
+    full-outer shuffle of both states."""
+    plan = _plan(spark, "incremental_agg_merge")
+    assert "Join" not in plan, "merge_agg_state must not plan any join"
+    assert "Union" in plan
+
+
+def test_dsir_broadcasts_logratio_table(spark):
+    """DSIR's 64-row log-ratio table must broadcast back onto the
+    per-doc bucket counts; the only sort-merge join allowed is the
+    doc-keyed restore of empty documents."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan

@@ -515,3 +515,43 @@ def test_activity_streaks_match_python_reference(spark, day_offsets):
                 cur = 1
         runs.append(cur)
         assert got[uid] == (max(runs), len(runs), len(ds)), (uid, ds, got[uid])
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),          # key
+            st.integers(min_value=0, max_value=6),          # partition/day
+            st.decimals(
+                min_value="-999.99", max_value="999.99", places=2
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(min_value=0, max_value=6),
+)
+def test_agg_state_merge_matches_direct_any_split(spark, vals, split):
+    """For ANY dataset and ANY 2-way split point, merging the two
+    halves' agg states equals the direct aggregate — counts, DECIMAL
+    sums, min and max all bit-exact (the invariant incremental rollups
+    rely on)."""
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.incremental import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    rows = [(f"k{k}", d, float(v)) for k, d, v in vals]
+    df = spark.createDataFrame(rows, ["k", "day", "v"])
+    lo = agg_state(df.filter(F.col("day") < split), ["k"], "v")
+    hi = agg_state(df.filter(F.col("day") >= split), ["k"], "v")
+
+    def as_dict(state):
+        return {
+            r.k: (r.n, r.sum_v, r.min_v, r.max_v) for r in state.collect()
+        }
+
+    assert as_dict(merge_agg_state(lo, hi)) == as_dict(agg_state(df, ["k"], "v"))
