@@ -1,0 +1,143 @@
+"""Time-series regularization: gap-fill to a fixed grid + interpolation.
+
+Event tables are irregular; downstream consumers (feature windows,
+forecasting, drift monitors, charting) want one row per (key, slot) on
+a fixed step with the holes filled.  ``gap_fill_interpolate`` is that
+resampling primitive: bucket → per-key dense grid → linear
+interpolation / carry-forward, all in JVM built-ins so the whole
+transform replays exactly in ANSI SQL.
+
+Scale notes (the 100 TB path):
+
+- the ONLY corpus-sized shuffle is the (key, slot) bucket aggregate —
+  map-side combined, output bounded by keys × span/step, never raw
+  events;
+- the dense grid comes from ``sequence()`` exploded per key (bounded by
+  span/step, generated not shuffled), joined to the observed slots on
+  the (key, slot) key — grid-sized, not corpus-sized;
+- prev/next carries are two frames over ONE per-key sort (Spark merges
+  same-partitioning windows), so the window stage is a single exchange
+  whose partition count follows the KEY cardinality — use a
+  corpus-cardinality key (user, series id); for a handful of global
+  groups the single-task-per-group window pathology documented in
+  SCALING.md applies.
+- slots are integer epoch seconds end to end: no timezone, no interval
+  arithmetic, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .util import epoch_micros
+
+__all__ = ["gap_fill_interpolate"]
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    step_seconds: int,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Resample ``df`` onto a dense per-key grid of ``step_seconds``
+    slots spanning each key's observed range, filling holes by linear
+    interpolation and last-observation-carried-forward.
+
+    Output, one row per (key, slot): ``(*group_cols, slot_s, n_obs,
+    v_obs, v_lerp, v_locf)`` —
+
+    - ``slot_s``  integer epoch seconds of the slot start,
+    - ``n_obs``   observations bucketed into the slot (0 for a gap),
+    - ``v_obs``   the slot's exact DECIMAL sum as double (NULL for gaps),
+    - ``v_lerp``  observed value, else the linear interpolation between
+      the nearest observed slots (NULL before the first / after the
+      last observation — no extrapolation).  The interpolation is
+      bit-exact cross-engine BY CONSTRUCTION: the numerator
+      ``pv·(ns−ps) + (nv−pv)·(slot−ps)`` is computed entirely in
+      DECIMAL (every input exact), cast once to double (correctly
+      rounded in every engine) and divided by the integer span in ONE
+      IEEE operation — rounding a lerp at a fixed decimal place is
+      fragile precisely here, because dyadic slot fractions times 2 dp
+      deltas land exactly on round-half boundaries where engines'
+      double-rounding conventions disagree,
+    - ``v_locf``  observed value, else carried forward from the most
+      recent observed slot (NULL before the first).
+
+    Interpolating SUMS is the charting/monitoring convention; pass a
+    pre-aggregated (one row per key+slot) frame with ``value_col``
+    holding means/rates when that is the wanted semantic — the bucket
+    sum over a single row is the identity.
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    groups = list(group_cols)
+    step = int(step_seconds)
+    slot = (
+        F.floor(epoch_micros(df, time_col) / F.lit(1_000_000 * step)) * step
+    ).cast("long")
+    obs = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, slot.alias("slot_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col(value_col).cast(decimal_type)).alias("__v"),
+        )
+        # two consumers (span computation + the grid join): without the
+        # barrier Catalyst re-plans — and re-executes — the corpus
+        # bucket aggregate once per reference (same trap as DSIR's
+        # per-doc bucket table; see SCALING.md round 5)
+        .localCheckpoint(eager=False)
+    )
+    spans = obs.groupBy(*groups).agg(
+        F.min("slot_s").alias("__lo"), F.max("slot_s").alias("__hi")
+    )
+    grid = spans.select(
+        *groups,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias("slot_s"),
+    )
+    j = grid.join(obs, [*groups, "slot_s"], "left")
+
+    wp = (
+        Window.partitionBy(*groups)
+        .orderBy("slot_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*groups)
+        .orderBy("slot_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_slot = F.when(F.col("__v").isNotNull(), F.col("slot_s"))
+    staged = j.select(
+        *groups,
+        "slot_s",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("__v").cast("double").alias("v_obs"),
+        F.last(known_slot, ignorenulls=True).over(wp).alias("__ps"),
+        F.last("__v", ignorenulls=True).over(wp).alias("__pv"),  # DECIMAL
+        F.first(known_slot, ignorenulls=True).over(wn).alias("__ns"),
+        F.first("__v", ignorenulls=True).over(wn).alias("__nv"),  # DECIMAL
+    )
+    # exact-DECIMAL numerator, one double division — see docstring
+    num = F.col("__pv") * (F.col("__ns") - F.col("__ps")) + (
+        F.col("__nv") - F.col("__pv")
+    ) * (F.col("slot_s") - F.col("__ps"))
+    lerp = num.cast("double") / (F.col("__ns") - F.col("__ps"))
+    return staged.select(
+        *groups,
+        "slot_s",
+        "n_obs",
+        "v_obs",
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(F.col("__ps").isNotNull() & F.col("__ns").isNotNull(), lerp)
+        .alias("v_lerp"),
+        F.coalesce("v_obs", F.col("__pv").cast("double")).alias("v_locf"),
+    )

@@ -8941,6 +8941,77 @@ def _profile(spark, sf_dir):
 
 
 @_q(
+    "gapfill_user_hourly",
+    """
+    WITH obs AS (
+      SELECT user_id,
+        CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 AS slot_s,
+        COUNT(*) AS n_obs,
+        SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS slot_s
+      FROM (SELECT user_id, MIN(slot_s) AS lo, MAX(slot_s) AS hi
+            FROM obs GROUP BY 1)),
+    j AS (
+      SELECT g.user_id, g.slot_s,
+        COALESCE(o.n_obs, 0) AS n_obs, CAST(o.v AS DOUBLE) AS v_obs, o.v
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.slot_s = o.slot_s),
+    w AS (
+      SELECT user_id, slot_s, n_obs, v_obs,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN slot_s END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY slot_s
+                ROWS UNBOUNDED PRECEDING) AS ps,
+        LAST_VALUE(v IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY slot_s
+                ROWS UNBOUNDED PRECEDING) AS pv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN slot_s END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY slot_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns,
+        FIRST_VALUE(v IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY slot_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM j)
+    SELECT user_id, slot_s, CAST(n_obs AS BIGINT) AS n_obs, v_obs,
+      CASE WHEN v_obs IS NOT NULL THEN v_obs
+           WHEN ps IS NOT NULL AND ns IS NOT NULL
+             THEN CAST(pv * (ns - ps) + (nv - pv) * (slot_s - ps) AS DOUBLE)
+                  / (ns - ps)
+           END AS v_lerp,
+      COALESCE(v_obs, CAST(pv AS DOUBLE)) AS v_locf
+    FROM w
+    """,
+    doc="Time-series gap-fill + interpolation, hash-verified: every "
+        "user's event stream resampled onto a dense hourly grid spanning "
+        "their observed range, holes filled by linear interpolation "
+        "between the nearest observed slots (no extrapolation past the "
+        "edges) and by carry-forward — the resampling primitive feature "
+        "windows / forecasting / charting need over irregular events.  "
+        "Plan: ONE corpus shuffle (the (user, slot) bucket aggregate); "
+        "the dense grid is sequence()-GENERATED per user (bounded by "
+        "span/step, never shuffled raw), joined grid-sized, and both "
+        "directional carries run as two frames over one user-keyed sort "
+        "(Spark merges same-partitioning windows; partition count scales "
+        "with users).  Slots are integer epoch seconds end to end — no "
+        "timezone, no interval arithmetic.  Operator: "
+        "operators/timeseries.py gap_fill_interpolate",
+)
+def _gapfill(spark, sf_dir):
+    from .operators.timeseries import gap_fill_interpolate
+
+    (events,) = _load(spark, sf_dir, "events")
+    clean = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return gap_fill_interpolate(
+        clean, ["user_id"], "ts", "value", step_seconds=3600
+    )
+
+
+@_q(
     "temperature_lang_rates",
     """
     WITH c AS (
@@ -9263,6 +9334,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "incremental_agg_merge",
     "psi_drift_orders",
     "temperature_lang_rates",
+    "gapfill_user_hourly",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -264,3 +264,52 @@ def test_psi_identical_and_shifted_distributions(spark):
 
     with _p.raises(ValueError, match="ascending"):
         population_stability_index(base, base, "v", [50.0, 25.0])
+
+
+def test_gap_fill_interpolate_reference(spark):
+    """Gap-fill vs a hand-computed reference: dense grid per key, exact
+    lerp on interior gaps, no extrapolation past the edges, LOCF
+    carries, multi-observation slots sum."""
+    from automated_batch_data_pipeline_nyc_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    rows = [
+        # key a: obs at slots 0 and 30 (step 10): two interior gaps
+        ("a", "1970-01-01 00:00:05", 10.0),
+        ("a", "1970-01-01 00:00:31", 40.0),
+        ("a", "1970-01-01 00:00:35", 2.0),   # same slot as :31 -> sums
+        # key b: single observation -> single-slot grid
+        ("b", "1970-01-01 00:00:59", 7.5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).select(
+        "k", F.col("ts").cast("timestamp"), "v"
+    )
+    out = {
+        (r.k, r.slot_s): (r.n_obs, r.v_obs, r.v_lerp, r.v_locf)
+        for r in gap_fill_interpolate(df, ["k"], "ts", "v", 10).collect()
+    }
+    assert len(out) == 5  # a: slots 0,10,20,30; b: slot 50
+    assert out[("a", 0)] == (1, 10.0, 10.0, 10.0)
+    assert out[("a", 10)] == (0, None, (10 * 30 + 32 * 10) / 30, 10.0)
+    assert out[("a", 20)] == (0, None, (10 * 30 + 32 * 20) / 30, 10.0)
+    assert out[("a", 30)] == (2, 42.0, 42.0, 42.0)
+    assert out[("b", 50)] == (1, 7.5, 7.5, 7.5)
+    with pytest.raises(ValueError, match="positive"):
+        gap_fill_interpolate(df, ["k"], "ts", "v", 0)
+
+
+def test_gap_fill_edges_stay_null(spark):
+    """Slots before the first / after the last observation of a key get
+    NULL v_lerp (no extrapolation) — the grid spans observations only,
+    so edge NULLs can only arise from NULL-valued buckets."""
+    from automated_batch_data_pipeline_nyc_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:05", 1.0), ("a", "1970-01-01 00:00:25", 3.0)],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp"), "v")
+    out = gap_fill_interpolate(df, ["k"], "ts", "v", 10).collect()
+    assert {r.slot_s: r.v_lerp for r in out} == {0: 1.0, 10: 2.0, 20: 3.0}

@@ -600,3 +600,19 @@ def test_dsir_broadcasts_logratio_table(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_single_corpus_pass_merged_windows(spark):
+    """Gap-fill must bucket the corpus ONCE (the (key, slot) aggregate is
+    checkpoint-staged for its two consumers), and both directional
+    carries must run as frames of a single merged Window node over one
+    user-keyed sort."""
+    import re
+
+    df = QUERIES["gapfill_user_hourly"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\n[^\n]*\bWindow \[", plan)) == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the corpus subtree is behind the checkpoint barrier: at most the
+    # barrier's own scan may appear, never a duplicated bucket aggregate
+    assert plan.count("FileScan parquet") == 0

@@ -555,3 +555,68 @@ def test_agg_state_merge_matches_direct_any_split(spark, vals, split):
         }
 
     assert as_dict(merge_agg_state(lo, hi)) == as_dict(agg_state(df, ["k"], "v"))
+
+
+@settings(**SETTINGS)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),            # key
+            st.integers(min_value=0, max_value=40),           # slot index
+            st.decimals(min_value="0.01", max_value="99.99", places=2),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    step=st.sampled_from([5, 60, 3600]),
+)
+def test_gap_fill_matches_python_reference(spark, series, step):
+    """Gap-fill vs a pure-Python resampler for ANY sparse series: dense
+    grid per key, summed buckets, exact-decimal lerp on interior gaps,
+    LOCF, NULL edges."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    rows = [
+        (f"k{k}", i * step + (i % max(step - 1, 1)), float(v))
+        for k, i, v in series
+    ]
+    df = spark.createDataFrame(rows, ["k", "sec", "v"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    got = {
+        (r.k, r.slot_s): (r.n_obs, r.v_obs, r.v_lerp, r.v_locf)
+        for r in gap_fill_interpolate(df, ["k"], "ts", "v", step).collect()
+    }
+
+    # python reference on exact Fractions
+    obs: dict[tuple[str, int], list[Fraction]] = {}
+    for k, sec, v in rows:
+        obs.setdefault((k, sec // step * step), []).append(
+            Fraction(str(v))
+        )
+    keys = {k for k, _ in obs}
+    expect = {}
+    for k in keys:
+        slots = sorted(s for kk, s in obs if kk == k)
+        lo, hi = slots[0], slots[-1]
+        known = {s: sum(obs[(k, s)]) for s in slots}
+        for s in range(lo, hi + 1, step):
+            if s in known:
+                v = float(known[s])
+                expect[(k, s)] = (len(obs[(k, s)]), v, v, v)
+            else:
+                ps = max(x for x in known if x < s)
+                ns = min(x for x in known if x > s)
+                # mirror the engine's exactness contract: the numerator
+                # is exact (DECIMAL), converted to double ONCE, then one
+                # IEEE division — not an infinitely-precise lerp
+                num = known[ps] * (ns - ps) + (known[ns] - known[ps]) * (s - ps)
+                lerp = float(num) / (ns - ps)
+                expect[(k, s)] = (0, None, lerp, float(known[ps]))
+    assert got == expect
