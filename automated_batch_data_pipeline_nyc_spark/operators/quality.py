@@ -30,6 +30,7 @@ __all__ = [
     "k_anonymity_audit",
     "k_anonymity_summary",
     "profile_table",
+    "benford_audit",
     "population_stability_index",
 ]
 
@@ -249,6 +250,80 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
         ]
     )
     return row.select(F.explode(cols).alias("p")).select("p.*")
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-significant-digit audit over a positive numeric
+    column — the fraud / fabrication / unit-mixing screen an accounting
+    or data-quality review runs on amount columns: naturally-occurring
+    multiplicative data puts digit d first with probability
+    ``log10(1 + 1/d)``; capped, fabricated, or unit-mixed data does not.
+
+    Per digit 1-9: exact observed count, observed share, the Benford
+    expected share, and the chi-square contribution
+    ``(O_d − n·e_d)² / (n·e_d)``, plus the dataset-wide ``chi2_total``
+    and ``n_total`` repeated on every row (digit-level detail and the
+    headline statistic in one frame).
+
+    Cross-engine exactness: the first digit comes from the DECIMAL
+    string render (``substr(cast(x as decimal) as string, 1, 1)``) —
+    no ``log``/``pow`` anywhere near the corpus scan, so the hot path
+    is pure integer/string codegen.  ``log10`` appears only in the
+    9-row tail and rounds at 6 dp (libm ULP is engine-dependent); the
+    chi terms are then fixed IEEE ops over identical doubles, and the
+    total sums their 6-dp-rounded values in DECIMAL so partial order
+    can't change the result.  Rows with ``value < 1`` or NULL are
+    excluded (their leading character is not a significant digit).
+
+    Plan shape: ONE map-side-combined count shuffle (≤ 9 rows out),
+    a broadcast join against a literal digit table so absent digits
+    surface as zero counts, then window sums over the 9-row frame
+    (bounded by construction — never the corpus).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(value_col)
+    counts = (
+        df.filter(c.isNotNull() & (c >= 1))
+        .groupBy(
+            F.substring(c.cast("decimal(18,2)").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    digits = df.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+    j = digits.join(F.broadcast(counts), "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    wall = Window.partitionBy()  # 9 rows — bounded by construction
+    t = j.select(
+        "digit", "n_obs", F.sum("n_obs").over(wall).alias("n_total")
+    )
+    n = F.col("n_total").cast("double")
+    o = F.col("n_obs").cast("double")
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    term = F.round(((o - n * exp) * (o - n * exp)) / (n * exp), 6)
+    scored = t.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        (o / n).alias("obs_share"),
+        exp.alias("exp_share"),
+        term.alias("chi_term"),
+    )
+    return scored.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        "obs_share",
+        "exp_share",
+        "chi_term",
+        F.sum(F.col("chi_term").cast("decimal(28,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("chi2_total"),
+    )
 
 
 def population_stability_index(

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_second_moments",
     "group_linear_fit",
+    "corr_matrix",
+    "pair_lift",
     "categorical_mutual_information",
     "equi_depth_histogram",
     "hll_partial_sketches",
@@ -153,6 +155,135 @@ def group_linear_fit(
         F.when(fit_ok, slope).alias("slope"),
         F.when(fit_ok, sy / n - slope * (sx / n)).alias("intercept"),
         F.when(fit_ok & (deny != 0), (num * num) / (denx * deny)).alias("r2"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass Pearson correlation matrix over ``k`` integer-valued
+    columns — the column-dependence screen a table profile runs next to
+    :func:`exact_second_moments`' per-pair form.
+
+    ONE aggregate over one scan computes every sufficient statistic at
+    once: ``n``, ``k`` sums, ``k`` square sums and ``k·(k−1)/2`` cross
+    sums, all exact DECIMAL (map-side combinable — the shuffle carries
+    ``k·(k+3)/2 + 1`` numbers, never rows).  The single-row result then
+    EXPLODES into the long-form upper triangle ``(col_x, col_y, n,
+    corr)`` inside the same plan: deriving each pair as its own select
+    branch over the agg would re-plan — and re-execute — the corpus
+    subtree once per pair (the scalar-reuse trap, SCALING.md).
+
+    Columns must be integer-valued (cast money to cents first) so the
+    power sums are exact and order-independent; each ``corr`` is then
+    the fixed IEEE-double closed form of :func:`exact_second_moments`
+    — bit-identical on any engine or partitioning.  Constant columns
+    (zero variance) yield NULL, as does n ≤ 1.
+    """
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        x = F.col(c).cast(_D)
+        aggs.append(F.sum(x).alias(f"__s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(f"__sx_{a}_{b}")
+            )
+    agg = df.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def _d(name: str):
+        return F.col(name).cast("double")
+
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa, sb = _d(f"__s_{a}"), _d(f"__s_{b}")
+            num = n * _d(f"__sx_{a}_{b}") - sa * sb
+            den = F.sqrt(n * _d(f"__ss_{a}") - sa * sa) * F.sqrt(
+                n * _d(f"__ss_{b}") - sb * sb
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.when((F.col("n") > 1) & (den != 0), num / den).alias("corr"),
+                )
+            )
+    return agg.select(
+        F.col("n"), F.explode(F.array(*pairs)).alias("p")
+    ).select("p.col_x", "p.col_y", F.col("n"), "p.corr")
+
+
+def pair_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Market-basket pairwise association: for every unordered item pair
+    co-occurring in ≥ ``min_pair_count`` baskets, exact counts plus
+    ``support``, directional ``confidence`` (a→b) and ``lift`` — the
+    co-occurrence mining primitive behind recommendations and
+    bundle/affinity reports.
+
+    Plan shape (the scale design is bounding the quadratic): baskets
+    collapse to distinct ``(basket, item)`` rows first (one shuffle) and
+    are staged through a lazy ``localCheckpoint`` — the frame feeds
+    three consumers (both sides of the pair join and the basket count)
+    and Catalyst would otherwise re-execute the distinct per consumer
+    (SCALING.md scalar-reuse trap).  The pair join is equi on the
+    basket key with ``item_a < item_b``, so the blow-up is quadratic
+    only WITHIN a basket — bounded by distinct items per basket, never
+    corpus-sized.  Item margins and the basket total are
+    item-table-sized and broadcast back; every ratio divides exact
+    counts (fixed IEEE order, engine-reproducible).
+
+      ``support    = n_ab / n_baskets``
+      ``confidence = n_ab / n_a``           (P(b | a), pairs ordered a<b)
+      ``lift       = (n_ab · n_baskets) / (n_a · n_b)``
+    """
+    b = (
+        df.select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = b.agg(
+        F.countDistinct("__bk").alias("n_baskets")
+    )
+    item_n = b.groupBy("__it").agg(F.count("*").alias("__n_item"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            (F.col("a.__bk") == F.col("bb.__bk"))
+            & (F.col("a.__it") < F.col("bb.__it")),
+        )
+        .groupBy(
+            F.col("a.__it").alias("item_a"), F.col("bb.__it").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    na = F.broadcast(item_n.select(F.col("__it"), F.col("__n_item").alias("n_a")))
+    nb = F.broadcast(item_n.select(F.col("__it"), F.col("__n_item").alias("n_b")))
+    out = (
+        pairs.join(na, pairs.item_a == na.__it)
+        .drop("__it")
+        .join(nb, pairs.item_b == nb.__it)
+        .drop("__it")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        (d("n_ab") / d("n_baskets")).alias("support"),
+        (d("n_ab") / d("n_a")).alias("confidence"),
+        (d("n_ab") * d("n_baskets") / (d("n_a") * d("n_b"))).alias("lift"),
     )
 
 

@@ -9208,6 +9208,233 @@ def _dsir(spark, sf_dir):
     )
 
 
+def _corr_matrix_sql(cols: list[str]) -> str:
+    """Emit the corr-matrix oracle: the same exact-decimal sufficient
+    statistics and fixed IEEE closed form as operators/stats.py
+    corr_matrix, one UNION ALL branch per upper-triangle pair (the
+    branches read a single pre-aggregated 1-row CTE, so DuckDB computes
+    the sums once)."""
+    dec = "DECIMAL(12,0)"
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM(CAST({c} AS {dec})) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} AS {dec}) * CAST({c} AS {dec})) AS DOUBLE) AS ss_{c}"
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS {dec}) * CAST({b} AS {dec})) AS DOUBLE)"
+                f" AS sx_{a}_{b}"
+            )
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            den = (
+                f"sqrt(CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a})"
+                f" * sqrt(CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b})"
+            )
+            num = f"CAST(n AS DOUBLE) * sx_{a}_{b} - s_{a} * s_{b}"
+            branches.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,\n"
+                f"  CASE WHEN n > 1 AND ({den}) <> 0\n"
+                f"    THEN ({num}) / ({den}) END AS corr FROM m"
+            )
+    return (
+        "WITH base AS (\n"
+        "  SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,\n"
+        "    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,\n"
+        "    CAST(floor(l_discount * 100) AS BIGINT) AS disc_c,\n"
+        "    CAST(floor(l_tax * 100) AS BIGINT) AS tax_c\n"
+        "  FROM lineitem),\n"
+        "m AS (\n  SELECT " + ",\n    ".join(sums) + "\n  FROM base)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+@_q(
+    "corr_matrix_lineitem",
+    _corr_matrix_sql(["qty", "price_c", "disc_c", "tax_c"]),
+    doc="one-pass Pearson correlation MATRIX over lineitem's four numeric "
+        "measures (quantity / price / discount / tax as exact cents): ONE "
+        "aggregate over one scan ships every sufficient statistic at once "
+        "(n + 4 sums + 4 square sums + 6 cross sums — 15 numbers through "
+        "the shuffle, map-side combined, never rows), then the 1-row "
+        "result explodes into the long-form upper triangle INSIDE the "
+        "plan (per-pair select branches would re-execute the scan per "
+        "pair, the SCALING.md scalar-reuse trap).  Each corr is the fixed "
+        "IEEE closed form over exact DECIMAL sums — bit-identical on any "
+        "engine or partitioning, unlike the Welford-accumulated corr() "
+        "built-ins.  The column-dependence screen a table profile runs "
+        "beside profile_orders_table.  Operator: operators/stats.py "
+        "corr_matrix",
+)
+def _corrmat(spark, sf_dir):
+    from .operators.stats import corr_matrix
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    return corr_matrix(base, ["qty", "price_c", "disc_c", "tax_c"])
+
+
+@_q(
+    "benford_price_audit",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit,
+        COUNT(*) AS n_obs
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+      GROUP BY 1),
+    digits AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+    j AS (
+      SELECT d.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs
+      FROM digits d LEFT JOIN c USING (digit)),
+    t AS (
+      SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total
+      FROM j),
+    s AS (
+      SELECT digit, n_obs, n_total,
+        CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+        round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share
+      FROM t),
+    s2 AS (
+      SELECT digit, n_obs, n_total, obs_share, exp_share,
+        round(((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_share)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_share))
+              / (CAST(n_total AS DOUBLE) * exp_share), 6) AS chi_term
+      FROM s)
+    SELECT digit, n_obs, n_total, obs_share, exp_share, chi_term,
+      CAST(SUM(CAST(chi_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS chi2_total
+    FROM s2
+    """,
+    doc="Benford first-significant-digit audit of o_totalprice — the "
+        "fraud / fabrication / unit-mixing screen for amount columns: "
+        "per digit 1-9 the exact observed count and share beside the "
+        "log10(1+1/d) expectation and chi-square contribution, plus the "
+        "dataset-wide chi2 on every row.  The digit comes from the "
+        "DECIMAL string render, so the corpus scan is pure integer/"
+        "string codegen (no log/pow near the hot path); log10 appears "
+        "only in the 9-row tail (rounded 6dp, libm-ULP tolerance) and "
+        "the chi total sums 6dp-rounded terms in DECIMAL so partial "
+        "order can't change it.  ONE map-side-combined count shuffle, "
+        "broadcast against a literal digit table, windows over the "
+        "9-row frame.  Operator: operators/quality.py benford_audit",
+)
+def _benford(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return Q.benford_audit(orders, "o_totalprice")
+
+
+@_q(
+    "basket_brand_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+    i AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY 1),
+    p AS (
+      SELECT a.item AS item_a, c.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      GROUP BY 1, 2)
+    SELECT item_a, item_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+      CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+      CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+    FROM p
+    JOIN i ia ON p.item_a = ia.item
+    JOIN i ib ON p.item_b = ib.item
+    CROSS JOIN nb
+    """,
+    doc="market-basket association mining: support / confidence / lift "
+        "for every brand pair co-purchased within an order — the "
+        "co-occurrence primitive behind recommendations and affinity "
+        "reports.  Scale design: baskets collapse to distinct (order, "
+        "brand) FIRST and stage through a lazy localCheckpoint (three "
+        "consumers — both pair-join sides and the basket total — would "
+        "otherwise each re-execute the distinct, the SCALING.md "
+        "scalar-reuse trap); the pair join is equi on the order key so "
+        "the quadratic is bounded WITHIN a basket (≤ 25 distinct brands), "
+        "never corpus-sized; margins and the total are brand-table-sized "
+        "broadcasts, and every ratio divides exact counts.  Operator: "
+        "operators/stats.py pair_lift",
+)
+def _basket(spark, sf_dir):
+    from .operators.stats import pair_lift
+
+    li, part = _load(spark, sf_dir, "lineitem", "part")
+    baskets = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
+    return pair_lift(baskets, "bk", "item")
+
+
+@_q(
+    "bucketed_join_roundtrip",
+    f"""
+    SELECT c_nationkey,
+      COUNT(*) AS n_orders,
+      {SQL_SUM.format(col="o_totalprice")} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    doc="co-bucketed SHUFFLE-FREE join, hash-verified end to end: orders "
+        "and customer are written as catalog tables bucketed (and "
+        "sorted) on the customer key with matching bucket counts, "
+        "re-read, and sort-merge-joined — the plan has NO Exchange "
+        "before the join (contract-tested in test_plans.py), which is "
+        "the pay-once-skip-every-future-shuffle layout for repeated "
+        "100 TB fact-dim joins (the Spark-native replacement for the "
+        "reference's Postgres BTREE join indexes).  The oracle is the "
+        "plain join over the original parquet, so a dropped bucket, a "
+        "mis-hashed row, or a bucket-pruning bug breaks the hash.  "
+        "Sink: sources/writers.py write_table_bucketed",
+)
+def _bucketed_join(spark, sf_dir):
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    from .sources.writers import write_table_bucketed
+
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    digest = hashlib.md5(
+        os.path.abspath(os.path.normpath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    t_o = f"automated_batch_data_pipeline_nyc_bkt_orders_{digest}"
+    t_c = f"automated_batch_data_pipeline_nyc_bkt_customer_{digest}"
+    # same orphan-location hygiene as table_modes_roundtrip: a prior
+    # process may have left the managed directory without a catalog row
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    for name in (t_o, t_c):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(wh.path or wh.netloc, name.lower())
+        shutil.rmtree(loc, ignore_errors=True)
+    write_table_bucketed(
+        orders.select("o_custkey", "o_totalprice"),
+        t_o, ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"],
+    )
+    write_table_bucketed(
+        customer.select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+        ),
+        t_c, ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"],
+    )
+    joined = spark.table(t_o).hint("merge").join(spark.table(t_c), "o_custkey")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice"), "total_price"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -9335,6 +9562,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "psi_drift_orders",
     "temperature_lang_rates",
     "gapfill_user_hourly",
+    "corr_matrix_lineitem",
+    "benford_price_audit",
+    "basket_brand_lift",
+    "bucketed_join_roundtrip",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -616,3 +616,53 @@ def test_gapfill_single_corpus_pass_merged_windows(spark):
     # the corpus subtree is behind the checkpoint barrier: at most the
     # barrier's own scan may appear, never a duplicated bucket aggregate
     assert plan.count("FileScan parquet") == 0
+
+
+def test_corr_matrix_one_scan_no_per_pair_branches(spark):
+    """The correlation matrix must ship ALL sufficient statistics
+    through ONE aggregate over one scan — a per-pair select/union over
+    the agg would re-plan (and re-execute) the corpus subtree per pair
+    (the SCALING.md scalar-reuse trap).  The triangle is exploded from
+    the 1-row result inside the same plan."""
+    plan = _plan(spark, "corr_matrix_lineitem")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Generate explode") == 1
+    # the only exchange is the 15-number single-partition gather
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_benford_hot_path_is_count_shuffle_only(spark):
+    """Benford's corpus-side work is ONE map-side-combined count
+    aggregate (≤ 9 rows out); the digit table broadcasts and the
+    log10/chi tail runs over the 9-row frame, never the corpus."""
+    plan = _plan(spark, "benford_price_audit")
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # the count shuffle
+
+
+def test_basket_lift_pair_join_extracts_basket_key(spark):
+    """The pair self-join must plan as an EQUI join on the basket key
+    (quadratic bounded within a basket) — if Catalyst failed to extract
+    the equi conjunct, the item_a < item_b filter would degrade the join
+    to a corpus-sized nested loop.  The only nested-loop allowed is the
+    1-row basket-total broadcast; the distinct basket frame is
+    checkpoint-staged for its three consumers (no re-planned scans)."""
+    plan = _plan(spark, "basket_brand_lift")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 0  # behind the checkpoint barrier
+
+
+def test_bucketed_roundtrip_joins_without_exchange(spark):
+    """The co-bucketed catalog tables must sort-merge-join with NO
+    exchange before the join (the pay-once layout); the only shuffle in
+    the whole plan is the final nation-keyed aggregate."""
+    plan = _plan(spark, "bucketed_join_roundtrip")
+    assert "SortMergeJoin" in plan
+    assert plan.count("FileScan parquet") == 2  # the two bucketed tables
+    assert plan.count("Exchange hashpartitioning") == 1  # final agg only
