@@ -33,6 +33,7 @@ __all__ = [
     "dedup_exact_rows",
     "with_derived_month",
     "enforce_schema",
+    "impute_group_mean",
 ]
 
 
@@ -98,4 +99,49 @@ def enforce_schema(
             (F.col(name) if name in in_cols else F.lit(None)).cast(dtype).alias(name)
             for name, dtype in contract.items()
         ]
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Null imputation with the GROUP mean of the observed values — the
+    standard feature-repair step between :func:`drop_null_rows` (too
+    destructive when the column is merely sparse) and a constant
+    ``fill_defaults`` (too blunt when groups differ systematically).
+
+    The mean is computed per group over non-null values only, as an
+    exact DECIMAL sum divided once by the non-null count — the same
+    cross-engine exactness recipe as the money aggregates (float
+    summation order can never shift an imputed value).  A group with no
+    observed values at all keeps its NULLs (0/0 — surfaced, not
+    invented; chain a global-constant fill if needed).
+
+    Adds ``out_col`` (default ``{value_col}_imputed``) and
+    ``{value_col}_was_null``; original columns pass through.
+
+    Plan shape: ONE shuffle on the group key (a window over the
+    partition — both the sum and count land in the same Window node),
+    then map-only coalesce.  Key the group on a corpus-cardinality
+    column: a handful of huge groups hits the single-task-per-group
+    window limit documented at ``window_percentile_ranks``.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{value_col}_imputed"
+    w = Window.partitionBy(*group_cols)
+    v = F.col(value_col)
+    mean = (
+        F.sum(v.cast(decimal_type)).over(w).cast("double")
+        / F.count(v).over(w).cast("double")
+    )
+    return df.withColumns(
+        {
+            f"{value_col}_was_null": v.isNull(),
+            out_col: F.coalesce(v, mean),
+        }
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "assign_components", "pagerank"]
+__all__ = ["connected_components", "assign_components", "pagerank", "k_core"]
 
 
 def connected_components(
@@ -187,3 +187,60 @@ def pagerank(
     finally:
         ed.unpersist()
         nodes.unpersist()
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core of an undirected graph: the maximal subgraph
+    in which every node has degree ≥ k, found by iterative peeling —
+    drop every node with degree < k, recompute degrees on the surviving
+    subgraph, repeat until stable.
+
+    The density screen on similarity graphs: in a near-dup graph the
+    2-core separates genuinely clustered duplicate families from
+    incidental one-edge pairings (a doc that matched exactly one other
+    doc is gone from the 2-core; a template family survives), and core
+    number is the standard cohesion feature in graph analytics.
+
+    Returns ``(node, degree)`` — the surviving nodes with their degree
+    WITHIN the k-core.
+
+    Scale shape: each round is one degree count (a shuffle of the
+    SHRINKING edge list keyed on node) plus two semi-join filters of
+    the edges against the surviving-node table; lineage is truncated
+    per round with ``localCheckpoint`` exactly like
+    :func:`connected_components`, and the same Pregel-style
+    ``limit(1).count()`` probe decides convergence (peeling takes at
+    most O(peel depth) rounds — the degeneracy ordering's layer count,
+    tiny for near-dup graphs).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        degrees = edges.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        survivors = degrees.filter(F.col("degree") >= k).localCheckpoint(
+            eager=True
+        )
+        dropped = degrees.filter(F.col("degree") < k).limit(1).count()
+        if dropped == 0:
+            return survivors
+        keep = survivors.select("node")
+        edges = (
+            edges.join(keep, edges.a == keep.node, "left_semi")
+            .join(keep, edges.b == keep.node, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iterations} iterations")

@@ -34,6 +34,7 @@ __all__ = [
     "countmin_bucket",
     "countmin_sketch",
     "countmin_estimate",
+    "countmin_inner_product",
     "bloom_build",
     "bloom_bitmap",
     "bloom_might_contain",
@@ -496,6 +497,52 @@ def countmin_estimate(
         *[F.col(c) for c in probes.columns],
         est.cast("long").alias("cm_estimate"),
     )
+
+
+def countmin_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = 4,
+    out_col: str = "est_join_size",
+) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two CM sketches — the
+    Count-Min inner-product estimator (Cormode & Muthukrishnan 2005,
+    §4.2): per hash row ``Σ_bucket cnt_a·cnt_b``, then the MIN over
+    rows.  Always ≥ the true join size ``Σ_k f_a(k)·f_b(k)``, with the
+    overcount ≤ ``(e/width)·N_a·N_b`` at confidence ``1 − e^{−depth}``.
+
+    This is what a cost-based optimizer (or a pipeline pre-flight
+    check) wants before committing to a fact-fact shuffle at 100 TB:
+    both inputs collapse to depth×width cells at scan time (mergeable —
+    cells are linear, per-shard sketches sum), and the estimate itself
+    is a join of two sketch-sized tables — the corpora never meet.
+    Products run in DECIMAL: two 10¹²-row sides can meet in one bucket
+    without overflowing a long.
+
+    Returns one row: ``(out_col,)`` as a long.  Both sketches must
+    share the build ``depth``/``width``; ``depth`` is needed here too —
+    a hash row whose buckets never overlap has inner product ZERO, and
+    it must still participate in the min (a sketch-only join would
+    silently min over the colliding rows and overestimate a disjoint
+    pair).
+    """
+    j = sketch_a.select(
+        "row", "bucket", F.col("cnt").alias("__ca")
+    ).join(
+        sketch_b.select("row", "bucket", F.col("cnt").alias("__cb")),
+        ["row", "bucket"],
+    )
+    per_row = j.groupBy("row").agg(
+        F.sum(
+            F.col("__ca").cast("decimal(19,0)")
+            * F.col("__cb").cast("decimal(19,0)")
+        ).alias("__ip")
+    )
+    rows = sketch_a.sparkSession.range(depth).select(F.col("id").alias("row"))
+    full = rows.join(F.broadcast(per_row), "row", "left").select(
+        F.coalesce("__ip", F.lit(0).cast("decimal(19,0)")).alias("__ip")
+    )
+    return full.agg(F.min("__ip").cast("long").alias(out_col))
 
 
 # ---------------------------------------------------------------------------

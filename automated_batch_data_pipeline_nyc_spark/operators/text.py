@@ -41,6 +41,7 @@ __all__ = [
     "hashed_linear_score",
     "quality_classifier",
     "gopher_rules",
+    "c4_rules",
     "remove_boilerplate_lines",
     "strip_html",
     "inverted_index",
@@ -727,6 +728,73 @@ def gopher_rules(df: DataFrame, text_col: str) -> DataFrame:
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("gopher_keep", keep)
+
+
+def c4_rules(df: DataFrame, text_col: str) -> DataFrame:
+    """C4 cleaning battery (Raffel et al. 2020, §2.2) — the line + page
+    rules behind the C4/T5 corpus, the other canonical heuristic
+    pre-filter beside :func:`gopher_rules`:
+
+    line level (a line survives iff ALL of):
+    - ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``"``)
+    - has at least 5 words
+    - does not mention ``javascript`` (case-insensitive)
+
+    page level (over the ORIGINAL page, before line filtering):
+    - ``has_lorem``: contains the ``lorem ipsum`` placeholder
+    - ``has_brace``: contains ``{`` (code, not prose)
+    - ``c4_keep``: ≥ 3 sentences survive the line filter (sentence =
+      terminal ``.!?`` in the kept text) AND neither page flag fired
+
+    (The published pipeline also applies a blocklist-word page filter;
+    that list is not reproduced here — slot a broadcast blocklist join
+    ahead of this operator if needed.)
+
+    Output adds ``n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    c4_keep, clean_text``.  Everything is map-only array/string
+    expressions over one staged line split — no UDF, no shuffle, full
+    whole-stage codegen — and every rule is exact string/integer work
+    that replays bit-for-bit in ANSI SQL.
+    """
+    t = F.col(text_col)
+    staged = df.withColumn(
+        "__ln", F.transform(F.split(t, "\n"), lambda l: F.trim(l))
+    )
+
+    def _keep(l):
+        words = F.filter(F.split(l, " "), lambda w: w != "")
+        return (
+            F.substring(l, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(words) >= 5)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter("__ln", _keep)
+    clean = F.concat_ws("\n", kept)
+    out = staged.withColumns(
+        {
+            "n_lines": F.size("__ln").cast("long"),
+            "n_kept": F.size(kept).cast("long"),
+            "clean_text": clean,
+        }
+    ).drop("__ln")
+    n_sent = (
+        F.length("clean_text")
+        - F.length(F.translate("clean_text", ".!?", ""))
+    ).cast("long")
+    out = out.withColumns(
+        {
+            "n_sentences": n_sent,
+            "has_lorem": F.lower(t).contains("lorem ipsum"),
+            "has_brace": t.contains("{"),
+        }
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
 
 
 def remove_boilerplate_lines(

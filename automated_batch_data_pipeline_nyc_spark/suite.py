@@ -9435,6 +9435,461 @@ def _bucketed_join(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_join_view",
+    """
+    SELECT n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="incremental maintenance of an aggregate-over-JOIN view, "
+        "hash-verified against the full recompute: the per-customer "
+        "order state (count + DECIMAL revenue) is built from history "
+        "(orders before 1997-07-01), merged with the delta slice's "
+        "state via merge_agg_state (union + re-aggregate of two "
+        "KEY-SIZED tables — no join, no history rescan), and only THEN "
+        "joined to the broadcast customer→nation dims and rolled up per "
+        "nation.  The point beyond incremental_agg_merge: the "
+        "maintained state makes every downstream dim join and rollup "
+        "corpus-independent — at 100 TB the nightly refresh scans the "
+        "new partition once, and serving N different rollups costs N "
+        "key-table joins, never N fact scans.  Operators: "
+        "operators/incremental.py agg_state / merge_agg_state",
+)
+def _inc_join_view(spark, sf_dir):
+    from .operators.incremental import agg_state, merge_agg_state
+
+    orders, customer, nation = _load(spark, sf_dir, "orders", "customer", "nation")
+    cut = F.lit("1997-07-01").cast("timestamp")
+    hist = agg_state(
+        orders.filter(F.col("o_orderdate") < cut), ["o_custkey"], "o_totalprice"
+    )
+    delta = agg_state(
+        orders.filter(F.col("o_orderdate") >= cut), ["o_custkey"], "o_totalprice"
+    )
+    merged = merge_agg_state(hist, delta)
+    dims = customer.select("c_custkey", "c_nationkey").join(
+        nation.select("n_nationkey", "n_name"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        merged.join(F.broadcast(dims), merged.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("sum_v").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "streaming_upsert_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+    target0 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        CAST(0 AS BIGINT) AS seq
+      FROM base WHERE o_orderkey % 4 <> 0),
+    feed AS (
+      SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        o_totalprice + 50.0 AS o_totalprice, CAST(1 AS BIGINT) AS seq
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 100.0,
+        CAST(2 AS BIGINT)
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'I', o_totalprice, CAST(1 AS BIGINT)
+      FROM base WHERE o_orderkey % 4 = 0),
+    latest AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, seq
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM feed)
+      WHERE rn = 1)
+    SELECT
+      coalesce(l.o_orderkey, t.o_orderkey) AS o_orderkey,
+      CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_custkey
+           ELSE t.o_custkey END AS o_custkey,
+      CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_orderstatus
+           ELSE t.o_orderstatus END AS o_orderstatus,
+      CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice
+           ELSE t.o_totalprice END AS o_totalprice,
+      CASE WHEN l.o_orderkey IS NOT NULL THEN l.seq ELSE t.seq END AS seq
+    FROM target0 t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
+    """,
+    doc="§2.8 streaming MERGE sink, hash-verified end to end: a CDC-style "
+        "feed (two versioned updates per touched key + inserts of keys "
+        "absent from the target) streams through foreachBatch, each "
+        "micro-batch collapses to latest-seq-wins and MERGEs into a "
+        "catalog target table initialized from the pre-update slice — "
+        "the idiomatic bridge from a stream to any batch-only sink, "
+        "idempotent on replay (checkpoint + key-deduped MERGE).  The "
+        "feed is staged partitioned BY KEY so both versions of a key "
+        "share a file: micro-batch boundaries then can't reorder a "
+        "key's versions, making the final table deterministic however "
+        "availableNow splits the backlog.  The oracle replays the same "
+        "latest-wins MERGE in SQL over the original orders — a lost "
+        "update, doubled insert, or stale-version win breaks the hash.  "
+        "Sink: streaming/jobs.py foreach_batch_upsert",
+)
+def _stream_upsert(spark, sf_dir):
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+    from urllib.parse import urlparse
+
+    from .streaming.jobs import foreach_batch_upsert
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target0 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    upd = base.filter(F.col("o_orderkey") % 10 == 0)
+    feed = (
+        upd.select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U1").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(50.0)).alias("o_totalprice"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+        .unionByName(
+            upd.select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit("U2").alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+                F.lit(2).cast("long").alias("seq"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 4 == 0).select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit("I").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+                F.lit(1).cast("long").alias("seq"),
+            )
+        )
+    )
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:10]
+    table = f"automated_batch_data_pipeline_nyc_upsert_{digest}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    for name in (table, f"{table}__staged"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(wh.path or wh.netloc, name.lower())
+        shutil.rmtree(loc, ignore_errors=True)
+    target0.write.saveAsTable(table)
+    # keyed staging (NOT _stage_stream_src's round-robin): both versions
+    # of a key must share a file so batch splits can't reorder them
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_stream_upsertfeed_"
+        f"{os.path.basename(norm)}_{digest}",
+    )
+    if src not in _STAGED_DIRS:
+        feed.repartition(4, "o_orderkey").write.mode("overwrite").parquet(src)
+        _STAGED_DIRS.add(src)
+    stream = spark.readStream.schema(feed.schema).parquet(src)
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_ckpt_upsert_{uuid.uuid4().hex[:8]}"
+    )
+    q = foreach_batch_upsert(stream, table, ["o_orderkey"], ckpt, "seq")
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming upsert did not drain within 600s")
+    finally:
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(table).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq"
+    )
+
+
+@_q(
+    "c4_cleaning_rules",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+        'Document ' || CAST(doc_id AS VARCHAR) || ' from source ' || source
+          || ' opens with a clean first sentence.' || chr(10)
+        || CASE WHEN doc_id % 2 = 0
+             THEN 'It also carries a second well formed sentence right here.'
+             ELSE 'second line lacking any terminal mark' END || chr(10)
+        || CASE WHEN doc_id % 3 = 0
+             THEN 'And a third sentence appears in every third document.'
+             ELSE 'filler words continuing without punctuation' END || chr(10)
+        || 'tiny line.' || chr(10)
+        || 'Please enable javascript to continue reading this content.'
+          || chr(10)
+        || CASE WHEN doc_id % 7 = 0
+             THEN 'Standard lorem ipsum placeholder text lives in this sentence.'
+             ELSE 'A normal closing sentence finishes the document nicely.' END
+          || chr(10)
+        || CASE WHEN doc_id % 11 = 0
+             THEN 'var config = { "a": 1 };'
+             ELSE 'closing filler again with no ending' END || chr(10)
+        || text AS t
+      FROM documents),
+    lines AS (
+      SELECT doc_id, t,
+        list_transform(string_split(t, chr(10)), l -> trim(l)) AS ln
+      FROM seeded),
+    kept AS (
+      SELECT doc_id, t, ln,
+        list_filter(ln, l ->
+          substr(l, -1, 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+          AND NOT contains(lower(l), 'javascript')) AS kl
+      FROM lines),
+    agg AS (
+      SELECT doc_id, t,
+        CAST(len(ln) AS BIGINT) AS n_lines,
+        CAST(len(kl) AS BIGINT) AS n_kept,
+        array_to_string(kl, chr(10)) AS clean_text
+      FROM kept)
+    SELECT doc_id, n_lines, n_kept,
+      CAST(length(clean_text)
+           - length(translate(clean_text, '.!?', '')) AS BIGINT) AS n_sentences,
+      contains(lower(t), 'lorem ipsum') AS has_lorem,
+      contains(t, '{') AS has_brace,
+      (CAST(length(clean_text)
+            - length(translate(clean_text, '.!?', '')) AS BIGINT) >= 3
+       AND NOT contains(lower(t), 'lorem ipsum')
+       AND NOT contains(t, '{')) AS c4_keep,
+      md5(clean_text) AS clean_fp
+    FROM agg
+    """,
+    doc="C4 cleaning battery (Raffel et al. 2020 §2.2), hash-verified: "
+        "line-level keep = terminal punctuation AND ≥5 words AND no "
+        "'javascript'; page-level drop = <3 surviving sentences, 'lorem "
+        "ipsum', or a curly brace.  Fixture docs are single-line and "
+        "punctuation-free, so the query seeds a deterministic 8-line page "
+        "around every body — a doc_id-keyed opening sentence, parity/"
+        "third-document conditional sentences, a too-short line, a "
+        "javascript banner, a %7 lorem line, a %11 code line, and the raw "
+        "body — making every rule provably fire in BOTH directions; "
+        "clean_fp pins the surviving lines and their order.  All map-only "
+        "array/string codegen over one staged split, no shuffle.  "
+        "Operator: operators/text.py c4_rules",
+)
+def _c4(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    seeded = docs.withColumn(
+        "t",
+        F.concat(
+            F.lit("Document "), F.col("doc_id").cast("string"),
+            F.lit(" from source "), F.col("source"),
+            F.lit(" opens with a clean first sentence."), nl,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("It also carries a second well formed sentence right here."),
+            ).otherwise(F.lit("second line lacking any terminal mark")), nl,
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("And a third sentence appears in every third document."),
+            ).otherwise(F.lit("filler words continuing without punctuation")), nl,
+            F.lit("tiny line."), nl,
+            F.lit("Please enable javascript to continue reading this content."), nl,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("Standard lorem ipsum placeholder text lives in this sentence."),
+            ).otherwise(
+                F.lit("A normal closing sentence finishes the document nicely.")
+            ), nl,
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit('var config = { "a": 1 };')
+            ).otherwise(F.lit("closing filler again with no ending")), nl,
+            F.col("text"),
+        ),
+    )
+    out = tx.c4_rules(seeded, "t")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "n_sentences",
+        "has_lorem", "has_brace", "c4_keep",
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
+@_q(
+    "impute_group_mean",
+    """
+    WITH dirty AS (
+      SELECT event_id, user_id,
+        CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, value,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id) AS DOUBLE) AS s,
+        CAST(COUNT(value) OVER (PARTITION BY user_id) AS DOUBLE) AS c
+      FROM dirty)
+    SELECT event_id, user_id,
+      value IS NULL AS value_was_null,
+      COALESCE(value, s / c) AS value_imputed
+    FROM m
+    """,
+    doc="group-mean null imputation, hash-verified: every 17th event's "
+        "value is nulled (the fixtures are null-free — FIXTURES.md "
+        "anonymization policy) and refilled with ITS USER's mean over "
+        "observed values — the standard feature-repair step between "
+        "dropna (too destructive for sparse columns) and a constant "
+        "fill (too blunt across systematically-different groups).  The "
+        "mean is an exact DECIMAL sum over the 2-dp values divided once "
+        "by the non-null count, so the imputed double is bit-identical "
+        "cross-engine.  ONE shuffle on the corpus-cardinality user key "
+        "(sum and count share a single Window node), then map-only "
+        "coalesce.  Operator: operators/cleaning.py impute_group_mean",
+)
+def _impute(spark, sf_dir):
+    from .operators.cleaning import impute_group_mean
+
+    (events,) = _load(spark, sf_dir, "events")
+    dirty = events.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = impute_group_mean(dirty, ["user_id"], "value")
+    return out.select(
+        "event_id", "user_id", "value_was_null", "value_imputed"
+    )
+
+
+@_q(
+    "join_size_estimate_cm",
+    """
+    WITH a AS (
+      SELECT l_partkey AS k FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+    b AS (
+      SELECT l_partkey AS k FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+    ca AS (
+      SELECT i AS r,
+        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+                               || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+          % 4096 AS bk,
+        COUNT(*) AS cnt
+      FROM a, (SELECT unnest([0, 1, 2, 3]) AS i) h GROUP BY 1, 2),
+    cb AS (
+      SELECT i AS r,
+        ('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+                               || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+          % 4096 AS bk,
+        COUNT(*) AS cnt
+      FROM b, (SELECT unnest([0, 1, 2, 3]) AS i) h GROUP BY 1, 2),
+    ip AS (
+      SELECT ca.r,
+        SUM(CAST(ca.cnt AS DECIMAL(19,0)) * CAST(cb.cnt AS DECIMAL(19,0)))
+          AS ip
+      FROM ca JOIN cb ON ca.r = cb.r AND ca.bk = cb.bk GROUP BY ca.r),
+    -- a hash row with NO bucket overlap has inner product ZERO and must
+    -- still participate in the min (disjoint-side correctness)
+    ipf AS (
+      SELECT COALESCE(ip.ip, 0) AS ip
+      FROM (SELECT unnest([0, 1, 2, 3]) AS r) rows_
+      LEFT JOIN ip ON ip.r = rows_.r),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ipf),
+    fa AS (SELECT k, COUNT(*) AS c FROM a GROUP BY k),
+    fb AS (SELECT k, COUNT(*) AS c FROM b GROUP BY k),
+    tru AS (
+      SELECT CAST(COALESCE(SUM(
+        CAST(fa.c AS DECIMAL(19,0)) * CAST(fb.c AS DECIMAL(19,0))), 0)
+        AS BIGINT) AS true_join_size
+      FROM fa JOIN fb USING (k))
+    SELECT est_join_size, true_join_size,
+      CAST(est_join_size - true_join_size AS BIGINT) AS overcount
+    FROM est CROSS JOIN tru
+    """,
+    doc="join-CARDINALITY estimation from two Count-Min sketches (the CM "
+        "inner-product estimator, Cormode & Muthukrishnan 2005 §4.2), "
+        "hash-verified bit-for-bit: the pre/post-1996 lineitem slices "
+        "sketch their part keys into 4x4096 cells, and min-over-rows of "
+        "the per-row bucket dot products upper-bounds the true fact-fact "
+        "join size — what a cost-based optimizer or pipeline pre-flight "
+        "wants before committing a 100 TB shuffle (sketches are linear "
+        "and mergeable; the estimate joins two 16k-cell tables, the "
+        "corpora never meet; a no-overlap hash row contributes a ZERO "
+        "that stays in the min, so disjoint sides estimate small).  The "
+        "true size is computed beside it via "
+        "exact per-key count products (the verification branch — "
+        "production reads only the cells), and the md5 hash family "
+        "replays in ANSI SQL so estimate AND overcount match exactly.  "
+        "Products run in DECIMAL (two 10^12-row sides can share a "
+        "bucket).  Operator: operators/stats.py countmin_inner_product",
+)
+def _cm_joinsize(spark, sf_dir):
+    from .operators.stats import countmin_inner_product, countmin_sketch
+    from .operators.util import spread
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    a = spread(li.filter(F.col("l_shipdate") < cut).select(F.col("l_partkey").alias("k")))
+    b = spread(li.filter(F.col("l_shipdate") >= cut).select(F.col("l_partkey").alias("k")))
+    est = countmin_inner_product(
+        countmin_sketch(a, "k", depth=4, width=4096),
+        countmin_sketch(b, "k", depth=4, width=4096),
+        depth=4,
+    )
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    true_size = fa.join(fb, "k").agg(
+        F.coalesce(
+            F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("true_join_size")
+    )
+    return est.crossJoin(true_size).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") - F.col("true_join_size"))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
+@_q(
+    "dedup_graph_kcore",
+    None,
+    doc="2-core of the near-dup pair graph (iterative peeling — drop "
+        "degree-<k nodes, recompute, repeat; operators/graph.py k_core): "
+        "the density screen that separates genuine duplicate FAMILIES "
+        "(every member ≥2 neighbors) from incidental one-edge pairings "
+        "before survivor selection.  Rows-only by nature (peeling is an "
+        "iterative fixpoint; recursive SQL forbids aggregates in the "
+        "recursive term) — the algorithm is pinned by pytest against a "
+        "pure-Python peeling reference on known graphs, and the edge "
+        "list is the SAME oracle-verified jaccard-prefix pair graph as "
+        "dedup_graph_triangles.  Each round: one degree shuffle of the "
+        "SHRINKING edge list + two semi-join filters, lineage "
+        "checkpoint-truncated; rounds ≤ peel depth (tiny on near-dup "
+        "graphs).",
+)
+def _kcore(spark, sf_dir):
+    pairs = dd.jaccard_prefix_pairs(
+        _load(spark, sf_dir, "documents")[0], "doc_id", "text", n=2, threshold=0.8
+    ).select("id_a", "id_b")
+    return gr.k_core(pairs, k=2)
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -9566,6 +10021,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "benford_price_audit",
     "basket_brand_lift",
     "bucketed_join_roundtrip",
+    "incremental_join_view",
+    "streaming_upsert_apply",
+    "c4_cleaning_rules",
+    "impute_group_mean",
+    "join_size_estimate_cm",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",
@@ -9578,6 +10038,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "hll_mergeable_rollup",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "dedup_graph_kcore",
 ]
 
 #: Driver-green in r1-r4 (hash-stable; guarded by local oracle parity).

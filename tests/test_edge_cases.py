@@ -313,3 +313,189 @@ def test_gap_fill_edges_stay_null(spark):
     ).select("k", F.col("ts").cast("timestamp"), "v")
     out = gap_fill_interpolate(df, ["k"], "ts", "v", 10).collect()
     assert {r.slot_s: r.v_lerp for r in out} == {0: 1.0, 10: 2.0, 20: 3.0}
+
+
+def test_corr_matrix_constant_column_and_perfect_pair(spark):
+    """A constant column yields NULL corr against anything (zero
+    variance); a column correlates perfectly (+1) with itself shifted;
+    anti-correlated pairs hit −1; n ≤ 1 yields all-NULL."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import corr_matrix
+
+    df = spark.createDataFrame(
+        [(i, 2 * i + 5, 10 - i, 7) for i in range(6)], ["a", "b", "c", "k"]
+    )
+    out = {
+        (r.col_x, r.col_y): r.corr
+        for r in corr_matrix(df, ["a", "b", "c", "k"]).collect()
+    }
+    assert abs(out[("a", "b")] - 1.0) < 1e-12      # perfect linear
+    assert abs(out[("a", "c")] + 1.0) < 1e-12      # perfect inverse
+    assert out[("a", "k")] is None                 # constant column
+    assert out[("b", "k")] is None and out[("c", "k")] is None
+
+    one = corr_matrix(
+        spark.createDataFrame([(1, 2)], ["a", "b"]), ["a", "b"]
+    ).collect()
+    assert len(one) == 1 and one[0].corr is None   # n == 1
+
+
+def test_pair_lift_bounds_and_independence(spark):
+    """Pairs only within a basket (single-item baskets emit nothing),
+    counts are exact, and lift > 1 iff the pair co-occurs more than
+    independence predicts."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import pair_lift
+
+    rows = [
+        (1, "x"), (1, "y"),          # x,y together
+        (2, "x"), (2, "y"),          # twice
+        (3, "x"), (3, "z"),
+        (4, "w"),                     # singleton basket: no pairs
+        (5, "z"),
+    ]
+    out = {
+        (r.item_a, r.item_b): r
+        for r in pair_lift(
+            spark.createDataFrame(rows, ["bk", "it"]), "bk", "it"
+        ).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z")}
+    xy = out[("x", "y")]
+    assert (xy.n_ab, xy.n_a, xy.n_b) == (2, 3, 2)
+    assert abs(xy.support - 2 / 5) < 1e-12
+    assert abs(xy.confidence - 2 / 3) < 1e-12
+    assert abs(xy.lift - (2 * 5) / (3 * 2)) < 1e-12  # > 1: co-occur
+
+
+def test_benford_excludes_sub_one_and_keeps_absent_digits(spark):
+    """Values < 1 and NULLs are excluded (no significant first digit);
+    digits that never occur still appear with zero count; shares sum
+    to 1; chi2_total is identical on every row."""
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import benford_audit
+
+    df = spark.createDataFrame(
+        [(123.45,), (19.99,), (1.01,), (0.5,), (None,), (950.0,)], ["v"]
+    )
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[1].n_obs == 3 and rows[9].n_obs == 1  # 0.5/NULL excluded
+    assert rows[2].n_obs == 0                          # absent digit present
+    assert all(r.n_total == 4 for r in rows.values())
+    assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-12
+    assert len({r.chi2_total for r in rows.values()}) == 1
+
+
+def test_impute_group_mean_all_null_group_stays_null(spark):
+    """The imputed value is the group's exact mean over observed values;
+    a group with NO observed values keeps its NULLs (0/0 surfaced, not
+    invented)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.cleaning import (
+        impute_group_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 10.0), ("g1", None), ("g1", 20.0), ("g2", None), ("g2", None)],
+        ["g", "v"],
+    )
+    out = impute_group_mean(df, ["g"], "v").collect()
+    g1 = sorted(
+        (r.v_imputed for r in out if r.g == "g1"), key=lambda x: (x is None, x)
+    )
+    assert g1 == [10.0, 15.0, 20.0]
+    assert all(r.v_imputed is None for r in out if r.g == "g2")
+    assert sum(r.v_was_null for r in out) == 3
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    """Each C4 rule in isolation: terminal punctuation, ≥5 words,
+    javascript kill, the <3-sentence page drop, and the lorem/brace
+    page flags over the ORIGINAL text."""
+    from automated_batch_data_pipeline_nyc_spark.operators.text import c4_rules
+
+    good = "\n".join(
+        [
+            "This sentence has five proper words.",
+            "Another good line with plenty of words here!",
+            'A third quoted sentence ends with a quote."',
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nPlease enable javascript to read this page."),
+            (3, "Too short."  "\nno terminal punctuation in this line"),
+            (4, good.replace("Another good", "Lorem ipsum dolor sit")),
+            (5, good + "\nvar x = { 1 };"),
+        ],
+        ["i", "t"],
+    )
+    out = {r.i: r for r in c4_rules(df, "t").collect()}
+    assert out[1].c4_keep and out[1].n_kept == 3 and out[1].n_sentences == 3
+    # the javascript line dies but the page keeps its 3 good sentences
+    assert out[2].c4_keep and out[2].n_kept == 3
+    assert not out[3].c4_keep and out[3].n_kept == 0
+    assert not out[4].c4_keep and out[4].has_lorem
+    assert not out[5].c4_keep and out[5].has_brace and out[5].n_kept == 3
+
+
+def test_cm_inner_product_bounds(spark):
+    """The CM inner-product estimate is ≥ the true join size always,
+    and exact when the sketches are collision-free; disjoint sides
+    estimate small (only hash-collision mass)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        countmin_inner_product,
+        countmin_sketch,
+    )
+
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], ["k"])   # 5 keys ×10
+    b = spark.createDataFrame([(i % 10,) for i in range(30)], ["k"])  # 10 keys ×3
+    true = 5 * 10 * 3  # keys 0-4 shared: 10·3 each
+    sa = countmin_sketch(a, "k", depth=4, width=1024)
+    sb = countmin_sketch(b, "k", depth=4, width=1024)
+    est = countmin_inner_product(sa, sb).collect()[0].est_join_size
+    assert est >= true
+    assert est == true  # 15 distinct keys in 1024 buckets: no collision
+
+    disjoint = spark.createDataFrame([(1000 + i,) for i in range(20)], ["k"])
+    sd = countmin_sketch(disjoint, "k", depth=4, width=1024)
+    est_d = countmin_inner_product(sa, sd).collect()[0].est_join_size
+    assert est_d < true  # only collision mass
+
+
+def test_k_core_vs_python_peeling_reference(spark):
+    """k_core vs a pure-Python peeling reference on a graph with every
+    interesting shape: a chain (2-core drops it entirely), a triangle
+    with a pendant tail (2-core = the triangle), and a 4-clique
+    (survives even the 3-core)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import k_core
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),                    # chain
+        (10, 11), (11, 12), (10, 12), (12, 13),    # triangle + tail
+        (20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23),  # K4
+    ]
+
+    def ref_k_core(es, k):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    for k in (2, 3):
+        got = {r.node: r.degree for r in k_core(df, k=k).collect()}
+        assert got == ref_k_core(edges, k), f"k={k}"
+    assert set(ref_k_core(edges, 2)) == {10, 11, 12, 20, 21, 22, 23}
+    assert set(ref_k_core(edges, 3)) == {20, 21, 22, 23}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="k must be"):
+        k_core(df, k=0)

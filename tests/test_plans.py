@@ -666,3 +666,34 @@ def test_bucketed_roundtrip_joins_without_exchange(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("FileScan parquet") == 2  # the two bucketed tables
     assert plan.count("Exchange hashpartitioning") == 1  # final agg only
+
+
+def test_incremental_join_view_joins_state_not_corpus(spark):
+    """The join-view refresh must merge key-sized states by union +
+    re-aggregate and only then broadcast-join the dims — a sort-merge
+    join anywhere means a corpus-sized frame reached a join."""
+    plan = _plan(spark, "incremental_join_view")
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # customer -> nation -> state
+
+
+def test_c4_rules_map_only(spark):
+    """The C4 battery is pure line/string codegen over one scan — any
+    exchange or join means the seeding or rules left the map stage."""
+    plan = _plan(spark, "c4_cleaning_rules")
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_impute_group_mean_single_window_shuffle(spark):
+    """Group-mean imputation is ONE shuffle on the group key: the sum
+    and non-null count must land in the same Window node, and no join
+    (a groupBy+join formulation would shuffle twice)."""
+    import re
+
+    plan = _plan(spark, "impute_group_mean")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert len(re.findall(r"\n[^\n]*\bWindow \[", plan)) == 1
+    assert "Join" not in plan
