@@ -27,10 +27,12 @@ __all__ = [
     "group_linear_fit",
     "corr_matrix",
     "pair_lift",
+    "mahalanobis_scores",
     "categorical_mutual_information",
     "equi_depth_histogram",
     "hll_partial_sketches",
     "hll_union_estimate",
+    "hll_overlap_estimate",
     "countmin_bucket",
     "countmin_sketch",
     "countmin_estimate",
@@ -288,6 +290,68 @@ def pair_lift(
     )
 
 
+def mahalanobis_scores(
+    df: DataFrame,
+    cols: Sequence[str],
+    out_col: str = "maha2",
+    reg: float = 1e-9,
+) -> DataFrame:
+    """Squared Mahalanobis distance of every row to the corpus mean
+    under the corpus covariance — the multivariate outlier score that
+    catches jointly-implausible rows a per-column z-score never sees
+    (a 40-unit order at a 2-unit price is wild even though both
+    marginals are ordinary).
+
+    The two-pass sufficient-statistics shape (ship statistics, not
+    data):
+
+    1. ONE aggregate collects ``n``, the ``d`` sums and the d×d cross
+       sums in exact DECIMAL (the same cells as :func:`corr_matrix` —
+       a single driver-sized row regardless of corpus size);
+    2. the d×d sample covariance inverts DRIVER-SIDE with numpy
+       (d is tiny; ``reg·I`` ridge keeps near-singular covariances
+       invertible — deliberate, documented bias, never a crash);
+    3. the inverse's entries become LITERALS in a map-only quadratic
+       form ``(x−μ)ᵀ Σ⁻¹ (x−μ)`` — whole-stage codegen, no UDF, no
+       second shuffle.
+
+    Columns must be integer-valued (cents/counts) so the moments are
+    exact; the scores are then deterministic for a fixed input
+    (the driver-side inverse is the one float step — numpy's, hence
+    rows-only cross-engine; pinned by pytest against numpy directly).
+    Requires ``n ≥ 2``.
+    """
+    import numpy as np
+
+    k = len(cols)
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(_D)).alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(f"sx_{a}_{b}")
+            )
+    row = df.agg(*aggs).collect()[0]  # driver-sized by construction
+    n = float(row["n"])
+    if n < 2:
+        raise ValueError(f"mahalanobis_scores needs n >= 2 rows; got {int(n)}")
+    mu = np.array([float(row[f"s_{c}"]) / n for c in cols])
+    cov = np.empty((k, k))
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            key = f"sx_{a}_{b}" if j >= i else f"sx_{b}_{a}"
+            cov[i, j] = (float(row[key]) - n * mu[i] * mu[j]) / (n - 1.0)
+    inv = np.linalg.inv(cov + reg * np.eye(k))
+
+    centered = [F.col(c).cast("double") - F.lit(float(m)) for c, m in zip(cols, mu)]
+    quad: Column = F.lit(0.0)
+    for i in range(k):
+        for j in range(k):
+            quad = quad + F.lit(float(inv[i, j])) * centered[i] * centered[j]
+    return df.withColumn(out_col, quad)
+
+
 def categorical_mutual_information(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:
@@ -401,6 +465,61 @@ def hll_union_estimate(
         .agg(F.hll_union_agg(F.col(sketch_col)).alias("__u"))
         .withColumn("approx_distinct", F.hll_sketch_estimate("__u"))
         .drop("__u")
+    )
+
+
+def hll_overlap_estimate(
+    partials: DataFrame,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Audience-overlap estimate by inclusion–exclusion over mergeable
+    HLL sketches: ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` — the
+    distinct-user overlap question (bought AND clicked, saw campaign X
+    AND campaign Y) answered from the SAME per-label partials a
+    distinct-count dashboard already maintains, never a corpus rescan
+    (set sketches don't intersect directly; union is register-wise max,
+    so inclusion–exclusion is the standard route).
+
+    Input is the per-label partials table from
+    :func:`hll_partial_sketches` — dashboard-sized; stage it through a
+    lazy ``localCheckpoint`` if it is corpus-derived with multiple
+    consumers (SCALING.md scalar-reuse trap).  Returns one row:
+    ``(label_a, label_b, est_a, est_b, est_union, est_overlap)``.
+
+    Accuracy caveat (documented, pytest-pinned): each estimate carries
+    HLL's ~1.04/√2^lg_k relative error, and the subtraction amplifies
+    it when the overlap is small relative to the union — use lg_k
+    sized to the UNION cardinality, and treat near-zero overlaps as
+    "below sketch resolution", not as exact zeros.
+    """
+    pa = partials.filter(F.col(label_col) == label_a)
+    pb = partials.filter(F.col(label_col) == label_b)
+    pu = partials.filter(F.col(label_col).isin(label_a, label_b))
+
+    def _est(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(sketch_col))
+            ).alias(alias)
+        )
+
+    est = (
+        _est(pa, "est_a")
+        .crossJoin(_est(pb, "est_b"))
+        .crossJoin(_est(pu, "est_union"))
+    )
+    return est.select(
+        F.lit(label_a).alias("label_a"),
+        F.lit(label_b).alias("label_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+            "est_overlap"
+        ),
     )
 
 

@@ -9890,6 +9890,148 @@ def _kcore(spark, sf_dir):
     return gr.k_core(pairs, k=2)
 
 
+@_q(
+    "hierarchy_share_rollup",
+    """
+    WITH nat AS (
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name,
+      CAST(rev AS DOUBLE) AS revenue,
+      CAST(rev AS DOUBLE)
+        / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+        AS share_of_region,
+      CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_total
+    FROM nat
+    """,
+    doc="hierarchical percent-of-parent rollup (region → nation): each "
+        "nation's revenue beside its share of its region and of the "
+        "grand total — the drill-down report shape every BI layer asks "
+        "of an analytics engine.  One fact shuffle into the 25-row "
+        "nation aggregate (dims broadcast); both parent totals are "
+        "unbounded window sums OVER THE DIM-SIZED aggregate in exact "
+        "DECIMAL (safe single-partition windows — input bounded by "
+        "construction, the PSI/scalar-reuse pattern), so no second "
+        "corpus pass and no re-planned scan per share level.  Shares "
+        "divide two engine-identical exact decimals once.",
+)
+def _hier_share(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders, customer, nation, region = _load(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    dims = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(nation.select("n_nationkey", "n_name", "n_regionkey"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    nat = (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    w_region = Window.partitionBy("r_name")  # 25-row frame: bounded
+    w_all = Window.partitionBy()
+    rev_d = F.col("rev").cast("double")
+    return nat.select(
+        "r_name",
+        "n_name",
+        rev_d.alias("revenue"),
+        (rev_d / F.sum("rev").over(w_region).cast("double")).alias(
+            "share_of_region"
+        ),
+        (rev_d / F.sum("rev").over(w_all).cast("double")).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@_q(
+    "mahalanobis_outliers",
+    None,
+    doc="multivariate outlier detection: top-100 lineitem rows by squared "
+        "Mahalanobis distance over the four cents-exact measures — the "
+        "jointly-implausible-row screen per-column z-scores can't see.  "
+        "Two passes, both corpus-shaped: ONE exact-DECIMAL moment "
+        "aggregate (the corr_matrix cells; a single driver-sized row), "
+        "a d×d numpy inverse ON THE DRIVER (ridge-regularized), then the "
+        "quadratic form as map-only codegen with literal coefficients — "
+        "no UDF, no second shuffle; top-k is TakeOrdered with a unique "
+        "key tiebreak.  Rows-only: the matrix inverse is the one float "
+        "step with no portable SQL replay; the math is pinned by pytest "
+        "against numpy end to end.  Operator: operators/stats.py "
+        "mahalanobis_scores",
+)
+def _maha(spark, sf_dir):
+    from .operators.stats import mahalanobis_scores
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    scored = mahalanobis_scores(base, ["qty", "price_c", "disc_c", "tax_c"])
+    return scored.orderBy(
+        F.desc("maha2"), "l_orderkey", "l_linenumber"
+    ).select("l_orderkey", "l_linenumber", F.round("maha2", 6).alias("maha2")).limit(100)
+
+
+@_q(
+    "hll_audience_overlap",
+    None,
+    doc="distinct-user audience overlap (purchased AND clicked) by "
+        "inclusion–exclusion over mergeable HLL sketches: est(A) + "
+        "est(B) − est(A∪B), answered from the SAME per-event-type "
+        "partials a distinct dashboard already maintains — union is "
+        "register-wise max, so the corpus is scanned once for the "
+        "partials (checkpoint-staged for the three estimate consumers) "
+        "and never again.  The exact overlap rides along (two distinct "
+        "key sets, one semi join) so the sketch error is visible in "
+        "the output and pinned by pytest (< 5% at lg_k=12 on the "
+        "fixture).  Rows-only: DataSketches register semantics have no "
+        "SQL replay.  Operator: operators/stats.py "
+        "hll_overlap_estimate",
+)
+def _hll_overlap(spark, sf_dir):
+    from .operators.stats import hll_overlap_estimate, hll_partial_sketches
+
+    (events,) = _load(spark, sf_dir, "events")
+    both = events.filter(F.col("event_type").isin("purchase", "click"))
+    partials = hll_partial_sketches(
+        both, ["event_type"], "user_id", lg_k=12
+    ).localCheckpoint(eager=False)
+    est = hll_overlap_estimate(partials, "event_type", "purchase", "click")
+    pa = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    pb = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    exact = pa.join(pb, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_overlap")
+    )
+    return est.crossJoin(exact).select(
+        "label_a", "label_b",
+        F.round("est_a", 3).alias("est_a"),
+        F.round("est_b", 3).alias("est_b"),
+        F.round("est_union", 3).alias("est_union"),
+        F.round("est_overlap", 3).alias("est_overlap"),
+        "exact_overlap",
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -10026,6 +10168,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "c4_cleaning_rules",
     "impute_group_mean",
     "join_size_estimate_cm",
+    "hierarchy_share_rollup",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",
@@ -10039,6 +10182,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "bpe_train_merges",
     "bpe_encode_tokens",
     "dedup_graph_kcore",
+    "mahalanobis_outliers",
+    "hll_audience_overlap",
 ]
 
 #: Driver-green in r1-r4 (hash-stable; guarded by local oracle parity).

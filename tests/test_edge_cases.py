@@ -499,3 +499,58 @@ def test_k_core_vs_python_peeling_reference(spark):
 
     with _p.raises(ValueError, match="k must be"):
         k_core(df, k=0)
+
+
+def test_mahalanobis_vs_numpy_reference(spark):
+    """mahalanobis_scores vs numpy end to end on correlated data: the
+    engine's exact-moment covariance + driver inverse must reproduce
+    numpy's Mahalanobis distances, and the planted joint outlier (big
+    qty at a small price — both marginals ordinary) must rank first."""
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        mahalanobis_scores,
+    )
+
+    rng = [(i, 10 + (i % 7), 100 + 10 * (i % 7) + (i % 3)) for i in range(60)]
+    rng.append((60, 16, 101))  # qty high where price says low: joint outlier
+    df = spark.createDataFrame(rng, ["rid", "qty", "price"])
+    got = {
+        r.rid: r.maha2
+        for r in mahalanobis_scores(df, ["qty", "price"]).collect()
+    }
+
+    x = np.array([[q, p] for _, q, p in rng], dtype=float)
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1) + 1e-9 * np.eye(2)
+    inv = np.linalg.inv(cov)
+    d = x - mu
+    ref = np.einsum("ij,jk,ik->i", d, inv, d)
+    for idx, (rid, _, _) in enumerate(rng):
+        assert abs(got[rid] - ref[idx]) < 1e-6 * max(1.0, ref[idx]), rid
+    assert max(got, key=got.get) == 60
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="n >= 2"):
+        mahalanobis_scores(
+            spark.createDataFrame([(1, 2)], ["a", "b"]), ["a", "b"]
+        )
+
+
+def test_hll_overlap_accuracy_and_identity(spark):
+    """Inclusion–exclusion overlap from HLL partials: within 5% of the
+    exact overlap on a known-overlap fixture, and est_overlap always
+    equals est_a + est_b − est_union by construction."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        hll_overlap_estimate,
+        hll_partial_sketches,
+    )
+
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(1000, 4000)]
+    df = spark.createDataFrame(rows, ["lab", "uid"])  # exact overlap: 1000
+    partials = hll_partial_sketches(df, ["lab"], "uid", lg_k=12)
+    r = hll_overlap_estimate(partials, "lab", "a", "b").collect()[0]
+    assert abs(r.est_overlap - (r.est_a + r.est_b - r.est_union)) < 1e-6
+    assert abs(r.est_overlap - 1000) / 1000 < 0.05
+    assert abs(r.est_union - 4000) / 4000 < 0.05

@@ -697,3 +697,14 @@ def test_impute_group_mean_single_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert len(re.findall(r"\n[^\n]*\bWindow \[", plan)) == 1
     assert "Join" not in plan
+
+
+def test_hierarchy_share_single_fact_pass(spark):
+    """The share rollup must scan the fact once, broadcast the dims,
+    and fold both parent totals as windows over the dim-sized nation
+    aggregate — a second corpus scan or a shuffled dim join means the
+    scalar-reuse trap or a broadcast miss."""
+    plan = _plan(spark, "hierarchy_share_rollup")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("FileScan parquet") == 4  # orders + customer/nation/region once each
