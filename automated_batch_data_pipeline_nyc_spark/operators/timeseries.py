@@ -12,15 +12,15 @@ Scale notes (the 100 TB path):
 - the ONLY corpus-sized shuffle is the (key, slot) bucket aggregate —
   map-side combined, output bounded by keys × span/step, never raw
   events;
-- the dense grid comes from ``sequence()`` exploded per key (bounded by
-  span/step, generated not shuffled), joined to the observed slots on
-  the (key, slot) key — grid-sized, not corpus-sized;
-- prev/next carries are two frames over ONE per-key sort (Spark merges
-  same-partitioning windows), so the window stage is a single exchange
-  whose partition count follows the KEY cardinality — use a
-  corpus-cardinality key (user, series id); for a handful of global
-  groups the single-task-per-group window pathology documented in
-  SCALING.md applies.
+- the dense grid is GENERATED, never joined: one ``lead()`` window over
+  the observed-slot table (observed-sized) attaches each observation's
+  successor, and each ``[p, n)`` segment explodes its own slots via
+  ``sequence()`` with both interpolation endpoints already on the row —
+  the grid-sized frame only ever passes through map-only expressions;
+- the single window's partition count follows the KEY cardinality —
+  use a corpus-cardinality key (user, series id); for a handful of
+  global groups the single-task-per-group window pathology documented
+  in SCALING.md applies.
 - slots are integer epoch seconds end to end: no timezone, no interval
   arithmetic, bit-identical across engines.
 """
@@ -88,56 +88,55 @@ def gap_fill_interpolate(
             F.count(F.lit(1)).alias("n_obs"),
             F.sum(F.col(value_col).cast(decimal_type)).alias("__v"),
         )
-        # two consumers (span computation + the grid join): without the
-        # barrier Catalyst re-plans — and re-executes — the corpus
-        # bucket aggregate once per reference (same trap as DSIR's
-        # per-doc bucket table; see SCALING.md round 5)
-        .localCheckpoint(eager=False)
     )
-    spans = obs.groupBy(*groups).agg(
-        F.min("slot_s").alias("__lo"), F.max("slot_s").alias("__hi")
-    )
-    grid = spans.select(
+    # SEGMENT form (round-5 optimization; ~5× on the sf0.1 fixture):
+    # a lead() over the OBSERVED-slot table (observed-sized, one window)
+    # attaches each observation's successor, and every [p, n) segment
+    # GENERATES its own grid slots with both lerp endpoints already on
+    # the row — so the dense grid is never joined and no corpus-sized
+    # carry windows exist.  The earlier grid-join + two-directional-
+    # window form computed the same thing over grid-sized frames
+    # (measured 11-12 s vs ~2 s at sf0.1, identical output hash).
+    w = Window.partitionBy(*groups).orderBy("slot_s")
+    seg = obs.select(
         *groups,
+        F.col("slot_s").alias("__ps"),
+        "n_obs",
+        F.col("__v").alias("__pv"),  # DECIMAL
+        F.lead("slot_s").over(w).alias("__ns"),
+        F.lead("__v").over(w).alias("__nv"),  # DECIMAL
+    )
+    gen = seg.select(
+        *groups,
+        "__ps",
+        "n_obs",
+        "__pv",
+        "__ns",
+        "__nv",
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            F.sequence(
+                F.col("__ps"),
+                # the final observation (no successor) contributes just
+                # its own slot; every other segment is [p, n)
+                F.coalesce(F.col("__ns") - F.lit(step), F.col("__ps")),
+                F.lit(step),
+            )
         ).alias("slot_s"),
     )
-    j = grid.join(obs, [*groups, "slot_s"], "left")
-
-    wp = (
-        Window.partitionBy(*groups)
-        .orderBy("slot_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = (
-        Window.partitionBy(*groups)
-        .orderBy("slot_s")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    known_slot = F.when(F.col("__v").isNotNull(), F.col("slot_s"))
-    staged = j.select(
-        *groups,
-        "slot_s",
-        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-        F.col("__v").cast("double").alias("v_obs"),
-        F.last(known_slot, ignorenulls=True).over(wp).alias("__ps"),
-        F.last("__v", ignorenulls=True).over(wp).alias("__pv"),  # DECIMAL
-        F.first(known_slot, ignorenulls=True).over(wn).alias("__ns"),
-        F.first("__v", ignorenulls=True).over(wn).alias("__nv"),  # DECIMAL
-    )
+    observed = F.col("slot_s") == F.col("__ps")
+    v_obs = F.when(observed, F.col("__pv").cast("double"))
     # exact-DECIMAL numerator, one double division — see docstring
     num = F.col("__pv") * (F.col("__ns") - F.col("__ps")) + (
         F.col("__nv") - F.col("__pv")
     ) * (F.col("slot_s") - F.col("__ps"))
     lerp = num.cast("double") / (F.col("__ns") - F.col("__ps"))
-    return staged.select(
+    return gen.select(
         *groups,
         "slot_s",
-        "n_obs",
-        "v_obs",
-        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
-        .when(F.col("__ps").isNotNull() & F.col("__ns").isNotNull(), lerp)
+        F.when(observed, F.col("n_obs")).otherwise(F.lit(0)).alias("n_obs"),
+        v_obs.alias("v_obs"),
+        F.when(observed, F.col("__pv").cast("double"))
+        .when(F.col("__ns").isNotNull(), lerp)
         .alias("v_lerp"),
-        F.coalesce("v_obs", F.col("__pv").cast("double")).alias("v_locf"),
+        F.coalesce(v_obs, F.col("__pv").cast("double")).alias("v_locf"),
     )

@@ -8990,13 +8990,15 @@ def _profile(spark, sf_dir):
         "between the nearest observed slots (no extrapolation past the "
         "edges) and by carry-forward — the resampling primitive feature "
         "windows / forecasting / charting need over irregular events.  "
-        "Plan: ONE corpus shuffle (the (user, slot) bucket aggregate); "
-        "the dense grid is sequence()-GENERATED per user (bounded by "
-        "span/step, never shuffled raw), joined grid-sized, and both "
-        "directional carries run as two frames over one user-keyed sort "
-        "(Spark merges same-partitioning windows; partition count scales "
-        "with users).  Slots are integer epoch seconds end to end — no "
-        "timezone, no interval arithmetic.  Operator: "
+        "Plan (segment form, round-5 optimization — identical hash, ~10× "
+        "wall at sf0.1): ONE corpus shuffle (the (user, slot) bucket "
+        "aggregate), one lead() window over the OBSERVED-slot table, "
+        "then each [p, n) segment sequence()-GENERATES its own grid "
+        "slots with both interpolation endpoints already on the row — "
+        "the dense grid is never joined and never windowed; the "
+        "grid-sized frame passes only through map-only expressions.  "
+        "Slots are integer epoch seconds end to end — no timezone, no "
+        "interval arithmetic.  Operator: "
         "operators/timeseries.py gap_fill_interpolate",
 )
 def _gapfill(spark, sf_dir):
@@ -10032,6 +10034,103 @@ def _hll_overlap(spark, sf_dir):
     )
 
 
+@_q(
+    "session_path_trigrams",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    m AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m),
+    paths AS (
+      SELECT user_id, sess,
+        string_split(string_agg(event_type, '>' ORDER BY ts, event_id), '>')
+          AS path
+      FROM sid GROUP BY user_id, sess),
+    tri AS (
+      SELECT path[i] || '>' || path[i+1] || '>' || path[i+2] AS trigram
+      FROM paths, unnest(generate_series(1, len(path) - 2)) AS t(i)
+      WHERE len(path) >= 3)
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 25
+    """,
+    doc="session path analysis: the 25 most common 3-step event "
+        "sequences WITHIN a session (30-min gap sessionization, same "
+        "rule as streaming_sessionize) — the product-analytics staple "
+        "behind 'what do users do right before purchasing'.  Ordering "
+        "inside a session is pinned by (ts, event_id) so concurrent "
+        "events can't reorder across engines.  Plan: ONE user-keyed "
+        "shuffle drives both sessionization windows and the per-session "
+        "path assembly (array_sort over collect_list — session-bounded, "
+        "never a corpus sort), trigrams explode map-side bounded by "
+        "events-per-session, the count shuffle carries the tiny trigram "
+        "vocabulary, top-k is TakeOrdered.",
+)
+def _session_paths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type")
+    e = e.withColumn("__us", U.epoch_micros(e, "ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.when(
+            F.lag("__us").over(w).isNull()
+            | (F.col("__us") - F.lag("__us").over(w) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+    )
+    sid = e.withColumn("new_s", new_s).withColumn(
+        "sess",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = sid.groupBy("user_id", "sess").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("path")
+    )
+    tri = (
+        paths.filter(F.size("path") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("path") - 3),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.col("path")[i],
+                        F.col("path")[i + 1],
+                        F.col("path")[i + 2],
+                    ),
+                )
+            ).alias("trigram")
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -10169,6 +10268,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "impute_group_mean",
     "join_size_estimate_cm",
     "hierarchy_share_rollup",
+    "session_path_trigrams",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -602,20 +602,21 @@ def test_dsir_broadcasts_logratio_table(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_gapfill_single_corpus_pass_merged_windows(spark):
-    """Gap-fill must bucket the corpus ONCE (the (key, slot) aggregate is
-    checkpoint-staged for its two consumers), and both directional
-    carries must run as frames of a single merged Window node over one
-    user-keyed sort."""
+def test_gapfill_single_corpus_pass_no_grid_join(spark):
+    """Gap-fill (segment form): ONE corpus bucket aggregate, ONE lead()
+    window over the observed-slot table, and the dense grid GENERATED
+    per segment with its lerp endpoints already attached — no join of
+    any kind, and the grid-sized frame passes only through map-only
+    expressions."""
     import re
 
     df = QUERIES["gapfill_user_hourly"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\n[^\n]*\bWindow \[", plan)) == 1
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # the corpus subtree is behind the checkpoint barrier: at most the
-    # barrier's own scan may appear, never a duplicated bucket aggregate
-    assert plan.count("FileScan parquet") == 0
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2  # bucket agg + window key
 
 
 def test_corr_matrix_one_scan_no_per_pair_branches(spark):
@@ -708,3 +709,16 @@ def test_hierarchy_share_single_fact_pass(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert plan.count("FileScan parquet") == 4  # orders + customer/nation/region once each
+
+
+def test_session_paths_one_corpus_shuffle_takeordered(spark):
+    """Sessionization windows and per-session path assembly must share
+    the single user-keyed exchange (the groupBy's (user, sess) keys are
+    co-located by the window's user partitioning); the only other
+    shuffle carries the tiny trigram vocabulary, and top-k must be
+    TakeOrdered, never a global sort."""
+    plan = _plan(spark, "session_path_trigrams")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
