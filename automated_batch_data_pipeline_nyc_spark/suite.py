@@ -10131,6 +10131,403 @@ def _session_paths(spark, sf_dir):
     )
 
 
+@_q(
+    "rfm_segments",
+    """
+    WITH c AS (
+      SELECT o_custkey, MAX(o_orderdate) AS last_d,
+        CAST(COUNT(*) AS BIGINT) AS freq,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    a AS (SELECT MAX(last_d) AS anchor FROM c),
+    b AS (
+      SELECT CAST(date_diff('day', c.last_d, a.anchor) AS BIGINT)
+               AS recency_d,
+             c.freq, c.monetary
+      FROM c, a),
+    s AS (
+      SELECT recency_d, freq, monetary,
+        CASE WHEN recency_d <= 120 THEN 'active'
+             WHEN recency_d <= 365 THEN 'warm'
+             ELSE 'cold' END AS r_band,
+        CASE WHEN freq >= 13 THEN 'frequent'
+             WHEN freq >= 9 THEN 'regular'
+             ELSE 'occasional' END AS f_band,
+        CASE WHEN monetary >= 3000000 THEN 'high'
+             WHEN monetary >= 2000000 THEN 'mid'
+             ELSE 'low' END AS m_band
+      FROM b)
+    SELECT r_band, f_band, m_band,
+      CASE WHEN r_band = 'active' AND f_band = 'frequent'
+                AND m_band = 'high' THEN 'champion'
+           WHEN r_band = 'active' AND f_band <> 'occasional' THEN 'loyal'
+           WHEN r_band = 'cold' AND (f_band = 'frequent'
+                OR m_band = 'high') THEN 'at_risk'
+           WHEN r_band = 'cold' THEN 'hibernating'
+           ELSE 'developing' END AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(monetary) AS DOUBLE) AS total_monetary,
+      CAST(SUM(recency_d) AS DOUBLE) / COUNT(*) AS avg_recency_days
+    FROM s GROUP BY 1, 2, 3, 4
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary — the "
+        "CRM workhorse report): per-customer last-order age vs the corpus "
+        "anchor date, order count, and exact-DECIMAL lifetime spend, banded "
+        "on fixed business thresholds and rolled into named segments "
+        "(champion / loyal / at_risk / hibernating / developing).  "
+        "Threshold bands — not quantiles — keep the whole pipeline "
+        "map-only after ONE customer-keyed corpus shuffle: the anchor is "
+        "the 1-row max over the checkpoint-staged customer aggregate "
+        "(no second corpus scan, no scalar-reuse re-execution) broadcast "
+        "back via a 1-row cross join, and the segment rollup shuffles "
+        "only the ≤27-band table.  The quantile-scored variant at scale "
+        "is the window_percentile_ranks_dist histogram pattern.  All "
+        "band edges compare integers / exact decimals, so membership is "
+        "bit-deterministic cross-engine.",
+)
+def _rfm(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast(D2)).alias("monetary"),
+        )
+        # two consumers (anchor max + the banding scan): stage so the
+        # corpus aggregate is computed once (SCALING.md scalar-reuse trap)
+        .localCheckpoint(eager=False)
+    )
+    anchor = c.agg(F.max("last_d").alias("anchor"))
+    b = c.crossJoin(F.broadcast(anchor)).select(
+        F.datediff(F.col("anchor"), F.col("last_d"))
+        .cast("long")
+        .alias("recency_d"),
+        "freq",
+        "monetary",
+    )
+    r_band = (
+        F.when(F.col("recency_d") <= 120, "active")
+        .when(F.col("recency_d") <= 365, "warm")
+        .otherwise("cold")
+    )
+    f_band = (
+        F.when(F.col("freq") >= 13, "frequent")
+        .when(F.col("freq") >= 9, "regular")
+        .otherwise("occasional")
+    )
+    m_band = (
+        F.when(F.col("monetary") >= 3_000_000, "high")
+        .when(F.col("monetary") >= 2_000_000, "mid")
+        .otherwise("low")
+    )
+    s = b.select(
+        "recency_d",
+        "monetary",
+        r_band.alias("r_band"),
+        f_band.alias("f_band"),
+        m_band.alias("m_band"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_band") == "active")
+            & (F.col("f_band") == "frequent")
+            & (F.col("m_band") == "high"),
+            "champion",
+        )
+        .when(
+            (F.col("r_band") == "active") & (F.col("f_band") != "occasional"),
+            "loyal",
+        )
+        .when(
+            (F.col("r_band") == "cold")
+            & ((F.col("f_band") == "frequent") | (F.col("m_band") == "high")),
+            "at_risk",
+        )
+        .when(F.col("r_band") == "cold", "hibernating")
+        .otherwise("developing")
+    )
+    return (
+        s.withColumn("segment", segment)
+        .groupBy("r_band", "f_band", "m_band", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+            (F.sum("recency_d").cast("double") / F.count(F.lit(1))).alias(
+                "avg_recency_days"
+            ),
+        )
+    )
+
+
+@_q(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+        CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day, x,
+        SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS pre,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        SUM(x) OVER (PARTITION BY event_type) AS total,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    t AS (
+      SELECT event_type, day, n, total,
+        n * pre - i * total AS s_raw,
+        ABS(n * pre - i * total) AS s_abs
+      FROM s),
+    r AS (
+      SELECT event_type, day, n, total, s_raw, s_abs,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY s_abs DESC, day) AS rk
+      FROM t)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+      CAST(n AS BIGINT) AS n_days,
+      CAST(total AS BIGINT) AS total_events,
+      CAST(s_raw AS BIGINT) AS s_scaled,
+      CAST(s_abs AS BIGINT) AS s_abs
+    FROM r WHERE rk = 1
+    """,
+    doc="change-point detection per event type: the day maximizing the "
+        "classic cumulative-sum deviation statistic (Page 1954 / Pettitt "
+        "shape) over the daily count series — 'when did this metric's "
+        "level shift'.  The statistic is kept INTEGER by scaling: "
+        "S_i = n·prefix_i − i·total (n× the mean-subtracted CUSUM), so "
+        "the whole detector is exact bigint arithmetic with no float "
+        "mean anywhere and the argmax (ties broken by earliest day) is "
+        "bit-deterministic cross-engine.  Plan: ONE map-side-combined "
+        "(type, day) count shuffle reduces the corpus to day-frame rows; "
+        "all four window passes (prefix, index, per-type totals, the "
+        "argmax rank) share the single event_type-keyed exchange over "
+        "that tiny frame.  Days bucket via date_trunc on NTZ wall-clock "
+        "time — timezone-proof like every event-time expression here.",
+)
+def _cusum(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    d = (
+        events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wo = Wn.partitionBy("event_type").orderBy("day")
+    wa = Wn.partitionBy("event_type")
+    s = d.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wo.rowsBetween(Wn.unboundedPreceding, 0)).alias("pre"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("x").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    s_raw = F.col("n") * F.col("pre") - F.col("i") * F.col("total")
+    t = s.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        s_raw.alias("s_raw"),
+        F.abs(s_raw).alias("s_abs"),
+    )
+    rk = F.row_number().over(
+        Wn.partitionBy("event_type").orderBy(F.desc("s_abs"), "day")
+    )
+    return (
+        t.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.col("n").alias("n_days"),
+            F.col("total").alias("total_events"),
+            F.col("s_raw").alias("s_scaled"),
+            F.col("s_abs").alias("s_abs"),
+        )
+    )
+
+
+@_q(
+    "rolling_corr_daily",
+    """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS di,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    sp AS (
+      SELECT UNNEST(generate_series(MIN(di), MAX(di))) AS di FROM d),
+    g AS (
+      SELECT sp.di, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+      FROM sp LEFT JOIN d USING (di)),
+    w AS (
+      SELECT di, x, y,
+        SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+        SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy,
+        SUM(x * y) OVER win AS sxy,
+        ROW_NUMBER() OVER (ORDER BY di) AS rn
+      FROM g
+      WINDOW win AS (ORDER BY di ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT
+      strftime(CAST(DATE '1970-01-01' + CAST(di AS INTEGER) AS DATE),
+               '%Y-%m-%d') AS day,
+      x AS n_click, y AS n_purchase,
+      CAST(round(
+        CAST(7 * sxy - sx * sy AS DOUBLE) /
+        NULLIF(sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)) *
+               sqrt(CAST(7 * syy - sy * sy AS DOUBLE)), 0),
+        6) AS DOUBLE) AS corr7
+    FROM w WHERE rn >= 7
+    """,
+    doc="7-day rolling Pearson correlation between the click and purchase "
+        "daily count series — the lead-indicator co-movement monitor "
+        "('are conversions still tracking traffic this week?').  Exactness: "
+        "day indices are integer epoch-day division of epoch micros (no "
+        "timezone, no double rounding past 2^53), all five rolling "
+        "sufficient statistics (Σx Σy Σx² Σy² Σxy) are windowed BIGINT "
+        "sums, and the correlation is the closed form over those integers "
+        "with exactly three IEEE double ops (two sqrts, one division; "
+        "round 6dp; zero-variance windows NULL out via the guard).  "
+        "Plan: ONE map-side-combined day-bucket shuffle reduces the "
+        "corpus to the day table (checkpoint-staged for its two "
+        "consumers), the min..max day spine is sequence()-GENERATED and "
+        "broadcast-joined so silent zero-count days stay in the frame, "
+        "and every window runs over the span-bounded spine (the PSI "
+        "bounded-frame pattern — safe single partition by construction).",
+)
+def _rolling_corr(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(F.col("ts").isNotNull())
+    e = e.withColumn("__us", U.epoch_micros(e, "ts"))
+    d = (
+        e.select(F.expr("__us DIV 86400000000").alias("di"), "event_type")
+        .groupBy("di")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
+        # two consumers (spine extent + the join): stage so the corpus
+        # bucket aggregate runs once (SCALING.md scalar-reuse trap)
+        .localCheckpoint(eager=False)
+    )
+    sp = d.agg(F.min("di").alias("__lo"), F.max("di").alias("__hi")).select(
+        F.explode(F.sequence("__lo", "__hi")).alias("di")
+    )
+    g = sp.join(F.broadcast(d), "di", "left").select(
+        "di",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    win = Wn.orderBy("di").rowsBetween(-6, 0)
+    w = g.select(
+        "di",
+        "x",
+        "y",
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.row_number().over(Wn.orderBy("di")).alias("rn"),
+    )
+    num = (F.lit(7) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    va = (F.lit(7) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vb = (F.lit(7) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    denom = F.sqrt(va) * F.sqrt(vb)
+    return w.filter(F.col("rn") >= 7).select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("di").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("x").alias("n_click"),
+        F.col("y").alias("n_purchase"),
+        F.round(num / F.when(denom != 0, denom), 6).alias("corr7"),
+    )
+
+
+@_q(
+    "market_concentration_hhi",
+    """
+    WITH sr AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(10,2))))
+             AS DECIMAL(19,4)) AS rev
+      FROM lineitem GROUP BY l_suppkey),
+    j AS (
+      SELECT n.n_name, sr.rev
+      FROM sr
+      JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey)
+    SELECT n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      CAST(SUM(rev) AS DOUBLE) AS revenue,
+      CAST(round(
+        CAST(SUM(rev * rev) AS DOUBLE) /
+        CAST(CAST(SUM(rev) AS DECIMAL(19,4)) *
+             CAST(SUM(rev) AS DECIMAL(19,4)) AS DOUBLE),
+        6) AS DOUBLE) AS hhi,
+      CAST(round(CAST(MAX(rev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6)
+        AS DOUBLE) AS top_share
+    FROM j GROUP BY n_name
+    """,
+    doc="market-concentration report per nation: the Herfindahl–Hirschman "
+        "index of supplier revenue shares plus the top-supplier share — "
+        "the antitrust / vendor-risk screen ('is this market one outage "
+        "away from a supply shock?').  The float trap here is summing "
+        "share² as doubles (summation order would drift bits across "
+        "partitionings); instead HHI = Σrev² / (Σrev)² with BOTH sums in "
+        "exact DECIMAL and ONE rounded double division at the end.  The "
+        "declared widths differ per engine on purpose — Spark DECIMAL(18,4) "
+        "so the square's p1+p2+1 stays ≤ 38 (no scale truncation), DuckDB "
+        "DECIMAL(19,4) so its physical multiply runs in int128 instead of "
+        "overflowing int64 — but both hold the same exact 4dp values; "
+        "widen both before rev exceeds 10^14 on larger corpora.  "
+        "Plan: ONE supplier-keyed corpus shuffle reduces lineitem to the "
+        "supplier revenue table, both dims broadcast, and the nation "
+        "rollup (count / Σ / Σ² / max in one aggregate — no windows) "
+        "shuffles only supplier-table-sized rows.",
+)
+def _hhi(spark, sf_dir):
+    li, supp, nat = _load(spark, sf_dir, "lineitem", "supplier", "nation")
+    disc_price = F.col("l_extendedprice").cast(D2) * (
+        F.lit(1) - F.col("l_discount").cast("decimal(10,2)")
+    )
+    sr = li.groupBy("l_suppkey").agg(
+        F.sum(disc_price).cast("decimal(18,4)").alias("rev")
+    )
+    j = (
+        sr.join(F.broadcast(supp), sr["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "rev")
+    )
+    g = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("__sr"),
+        F.sum(F.col("rev") * F.col("rev")).alias("__sq"),
+        F.max("rev").alias("__mx"),
+    )
+    sr18 = F.col("__sr").cast("decimal(18,4)")
+    return g.select(
+        "n_name",
+        "n_suppliers",
+        F.col("__sr").cast("double").alias("revenue"),
+        F.round(
+            F.col("__sq").cast("double") / (sr18 * sr18).cast("double"), 6
+        ).alias("hhi"),
+        F.round(
+            F.col("__mx").cast("double") / F.col("__sr").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -10269,6 +10666,10 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "join_size_estimate_cm",
     "hierarchy_share_rollup",
     "session_path_trigrams",
+    "rfm_segments",
+    "cusum_changepoint_daily",
+    "rolling_corr_daily",
+    "market_concentration_hhi",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -722,3 +722,56 @@ def test_session_paths_one_corpus_shuffle_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_rfm_one_corpus_shuffle_bands_maponly(spark):
+    """RFM: the customer aggregate is checkpoint-staged (one corpus
+    pass feeding both the anchor max and the banding scan), the anchor
+    comes back as a 1-row broadcast cross join, and the only visible
+    hash exchange carries the <=27-band rollup — banding itself must be
+    pure map-side CASE logic, never a sort or quantile window."""
+    plan = _plan(spark, "rfm_segments")
+    assert plan.count("Exchange hashpartitioning") == 1  # band rollup only
+    assert plan.count("BroadcastNestedLoopJoin") == 1    # 1-row anchor
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # corpus subtree is behind the checkpoint barrier
+    assert plan.count("FileScan parquet") == 0
+
+
+def test_cusum_day_frame_windows_share_exchange(spark):
+    """CUSUM change-point: ONE map-side-combined (type, day) count
+    shuffle reduces the corpus; every window pass (prefix, index,
+    per-type totals, argmax rank) must run over that day-sized frame on
+    the single event_type-keyed exchange — no join, no extra shuffle."""
+    plan = _plan(spark, "cusum_changepoint_daily")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2  # day agg + type key
+    assert "Join" not in plan
+    assert "hashAggregate" in plan.lower() or "HashAggregate" in plan
+
+
+def test_rolling_corr_spine_broadcast_bounded_window(spark):
+    """Rolling correlation: the day-bucket aggregate is checkpoint-staged
+    (spine extent + join consumers), the generated day spine joins the
+    counts via broadcast hash join, and the rolling windows run over the
+    span-bounded spine — a SortMergeJoin or a visible corpus exchange
+    means the staging or the broadcast regressed."""
+    plan = _plan(spark, "rolling_corr_daily")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0  # corpus agg is staged
+    assert "Generate explode" in plan
+
+
+def test_hhi_single_fact_pass_broadcast_dims(spark):
+    """HHI concentration: lineitem reduces on the supplier key in ONE
+    corpus shuffle, both dims broadcast, and the nation rollup is a
+    plain supplier-table-sized aggregate — no windows, no shuffled dim
+    join, no second fact scan."""
+    plan = _plan(spark, "market_concentration_hhi")
+    assert plan.count("FileScan parquet") == 3  # lineitem + supplier + nation
+    assert plan.count("Exchange hashpartitioning") == 2  # supp agg + nation agg
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
