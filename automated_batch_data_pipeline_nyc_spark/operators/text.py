@@ -1181,3 +1181,67 @@ def bpe_encode(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def log_odds_keyness(
+    df: DataFrame,
+    text_col: str,
+    slice_col: str,
+    a0: int = 1000,
+    min_count: int = 5,
+) -> DataFrame:
+    """Weighted log-odds keyness between two corpus slices (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words"): for each word, the
+    log-odds-ratio of its rate in slice 1 vs slice 0 under an
+    informative Dirichlet prior drawn from the COMBINED corpus, with
+    the per-word z-score ``delta / sqrt(1/(y1+a) + 1/(y0+a))``.  The
+    topic-drift screen a training pipeline runs between crawls ("which
+    words exploded since the last snapshot?") — raw frequency ratios
+    over-rank rare words; the prior shrinks exactly those.
+
+    ``slice_col`` must be 0/1.  Exactness: per-word counts and totals
+    are exact longs from ONE vocabulary-keyed count shuffle
+    (map-side combined; the word table is checkpoint-staged for its
+    two consumers — totals and the per-word scan); the prior
+    ``a_w = a0·y_all / n_all`` is one integer product and one double
+    division, and every later step is the same fixed IEEE sequence in
+    any engine.  ln() is the one libm call — consumers comparing
+    cross-engine should round (the suite rounds to 6dp, the Benford
+    log10 precedent).
+    """
+    toks = df.select(
+        F.col(slice_col).cast("long").alias("__s"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    words = (
+        toks.groupBy("word")
+        .agg(
+            F.count(F.when(F.col("__s") == 1, 1)).alias("y1"),
+            F.count(F.when(F.col("__s") == 0, 1)).alias("y0"),
+        )
+        # two consumers (corpus totals + the per-word scan): stage so
+        # the count aggregate runs once (SCALING.md scalar-reuse trap)
+        .localCheckpoint(eager=False)
+    )
+    totals = words.agg(
+        F.sum("y1").alias("n1"), F.sum("y0").alias("n0")
+    )
+    w = words.filter((F.col("y1") + F.col("y0")) >= min_count).crossJoin(
+        F.broadcast(totals)
+    )
+    a_w = (F.lit(a0) * (F.col("y1") + F.col("y0"))).cast("double") / (
+        F.col("n1") + F.col("n0")
+    ).cast("double")
+    num1 = F.col("y1").cast("double") + a_w
+    den1 = (F.col("n1") + F.lit(a0) - F.col("y1")).cast("double") - a_w
+    num0 = F.col("y0").cast("double") + a_w
+    den0 = (F.col("n0") + F.lit(a0) - F.col("y0")).cast("double") - a_w
+    delta = F.log(num1 / den1) - F.log(num0 / den0)
+    var = F.lit(1.0) / num1 + F.lit(1.0) / num0
+    return w.select(
+        "word",
+        "y1",
+        "y0",
+        delta.alias("delta"),
+        (delta / F.sqrt(var)).alias("z"),
+    )

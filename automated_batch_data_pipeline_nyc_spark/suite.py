@@ -10528,6 +10528,299 @@ def _hhi(spark, sf_dir):
     )
 
 
+@_q(
+    "keyness_log_odds",
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 AS s,
+        unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    w AS (
+      SELECT word,
+        CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS y1,
+        CAST(COUNT(*) FILTER (WHERE s = 0) AS BIGINT) AS y0
+      FROM toks WHERE word <> '' GROUP BY word),
+    t AS (
+      SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y0) AS BIGINT) AS n0
+      FROM w),
+    m AS (
+      SELECT word, y1, y0, n1, n0,
+        CAST(1000 * (y1 + y0) AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS a_w
+      FROM w, t WHERE y1 + y0 >= 5),
+    e AS (
+      SELECT word, y1, y0,
+        ln((CAST(y1 AS DOUBLE) + a_w) /
+           (CAST(n1 + 1000 - y1 AS DOUBLE) - a_w))
+        - ln((CAST(y0 AS DOUBLE) + a_w) /
+             (CAST(n0 + 1000 - y0 AS DOUBLE) - a_w)) AS delta,
+        CAST(y1 AS DOUBLE) + a_w AS num1,
+        CAST(y0 AS DOUBLE) + a_w AS num0
+      FROM m),
+    z AS (
+      SELECT word, y1, y0,
+        CAST(round(delta, 6) AS DOUBLE) AS delta6,
+        CAST(round(delta / sqrt(1.0 / num1 + 1.0 / num0), 6) AS DOUBLE)
+          AS z6
+      FROM e)
+    SELECT word, y1, y0, delta6, z6
+    FROM z ORDER BY abs(z6) DESC, word LIMIT 30
+    """,
+    doc="weighted log-odds keyness between two corpus slices (Monroe, "
+        "Colaresi & Quinn 2008 'Fightin' Words'): the top-30 words whose "
+        "usage rate most diverges between the even- and odd-doc_id halves "
+        "of the documents corpus, scored by the log-odds-ratio under an "
+        "informative Dirichlet prior drawn from the combined corpus and "
+        "ranked by |z|.  The topic-drift screen between crawl snapshots — "
+        "raw frequency ratios over-rank rare words; the prior shrinks "
+        "exactly those.  Exactness: ONE vocabulary-keyed count shuffle "
+        "(map-side combined, checkpoint-staged for its totals + per-word "
+        "consumers), totals broadcast back as a 1-row cross join, then a "
+        "fixed IEEE sequence per word — the two ln() calls are the only "
+        "libm steps and 6dp rounding absorbs their ULP (the Benford "
+        "log10 precedent); ranking reads the ROUNDED z so top-k is "
+        "bit-deterministic.  Operator: operators/text.py log_odds_keyness",
+)
+def _keyness(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    d = docs.withColumn("__slice", (F.col("doc_id") % 2).cast("long"))
+    out = tx.log_odds_keyness(d, "text", "__slice", a0=1000, min_count=5)
+    out = out.select(
+        "word",
+        "y1",
+        "y0",
+        F.round("delta", 6).alias("delta6"),
+        F.round("z", 6).alias("z6"),
+    )
+    return out.orderBy(F.abs(F.col("z6")).desc(), "word").limit(30)
+
+
+@_q(
+    "ab_test_conversion",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    u AS (
+      SELECT user_id % 2 AS variant,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM r WHERE rn = 1),
+    c AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n0,
+        CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+          AS c0,
+        CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+          AS c1
+      FROM u),
+    s AS (
+      SELECT n0, n1, c0, c1,
+        CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+      FROM c),
+    z AS (
+      SELECT n0, n1, c0, c1, p0, p1,
+        CAST(round((p1 - p0) /
+          NULLIF(sqrt(pp * (1.0 - pp) *
+               (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0),
+          6) AS DOUBLE) AS z6
+      FROM s)
+    SELECT n0 AS n_control, n1 AS n_treatment,
+      c0 AS conv_control, c1 AS conv_treatment,
+      CAST(round(p0, 6) AS DOUBLE) AS p_control,
+      CAST(round(p1, 6) AS DOUBLE) AS p_treatment,
+      CAST(round(p1 - p0, 6) AS DOUBLE) AS lift,
+      z6 AS z_score,
+      CAST(CASE WHEN abs(z6) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+        AS significant
+    FROM z
+    """,
+    doc="A/B experiment readout: two-proportion z-test of FIRST-TOUCH "
+        "conversion (is the user's first tracked event a purchase?) "
+        "between the deterministic user_id-parity buckets — the "
+        "hash-bucket assignment a real platform uses, same family as "
+        "mixture_sample's md5 buckets.  First-touch keeps the metric "
+        "volume-independent (any 'ever purchased' outcome saturates to "
+        "100% as events-per-user grow — it did on this very corpus) and "
+        "the unit of analysis is the USER, so heavy users can't inflate "
+        "their arm (the classic unit-mismatch bug).  First events are "
+        "pinned by (ts, event_id) so ties can't reorder across engines; "
+        "counts are exact longs; the pooled-variance z statistic is one "
+        "fixed IEEE sequence rounded 6dp (zero-variance guard NULLs it), "
+        "and significance thresholds on the ROUNDED z so the verdict is "
+        "bit-deterministic.  Plan: ONE user-keyed corpus shuffle drives "
+        "the first-event window, then a 1-row total aggregate — nothing "
+        "else moves.",
+)
+def _ab_test(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = Wn.partitionBy("user_id").orderBy("ts", "event_id")
+    u = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    c = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    s = c.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        pp.alias("pp"),
+    )
+    se = F.sqrt(
+        F.col("pp")
+        * (F.lit(1.0) - F.col("pp"))
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    z = s.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        "p0",
+        "p1",
+        F.round(
+            (F.col("p1") - F.col("p0")) / F.when(se != 0, se), 6
+        ).alias("z6"),
+    )
+    return z.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("c0").alias("conv_control"),
+        F.col("c1").alias("conv_treatment"),
+        F.round("p0", 6).alias("p_control"),
+        F.round("p1", 6).alias("p_treatment"),
+        F.round(F.col("p1") - F.col("p0"), 6).alias("lift"),
+        F.col("z6").alias("z_score"),
+        F.when(F.abs(F.col("z6")) > 1.96, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("significant"),
+    )
+
+
+@_q(
+    "cohort_ltv_curve",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk, value FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    f AS (
+      SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+    sz AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM f GROUP BY cohort),
+    r AS (
+      SELECT f.cohort,
+        CAST(date_diff('day', f.cohort, e.wk) / 7 AS BIGINT) AS week_offset,
+        SUM(CAST(e.value AS DECIMAL(12,2))) AS rev
+      FROM e JOIN f USING (user_id)
+      WHERE e.value IS NOT NULL
+      GROUP BY 1, 2),
+    c AS (
+      SELECT cohort, week_offset, rev,
+        SUM(rev) OVER (PARTITION BY cohort ORDER BY week_offset
+                       ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM r)
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week, c.week_offset,
+      sz.cohort_users,
+      CAST(c.rev AS DOUBLE) AS revenue,
+      CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+      CAST(round(CAST(c.cum_rev AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE),
+                 6) AS DOUBLE) AS ltv_per_user
+    FROM c JOIN sz USING (cohort)
+    """,
+    doc="cohort lifetime-value curve: cumulative revenue per user by "
+        "signup-week cohort and week offset — the LTV companion to "
+        "retention_cohorts (same Monday-aligned week math, so offsets "
+        "divide exactly by 7).  Revenue accumulates in exact DECIMAL "
+        "(the cumulative window runs over the cohort×offset frame — "
+        "dashboard-sized, never the corpus) and the per-user division "
+        "is one rounded double op.  Plan: the filtered corpus is "
+        "checkpoint-staged (first-week + revenue consumers), the "
+        "first-week table staged again for its size + join consumers, "
+        "the revenue join is user-keyed equi (co-partitioned with the "
+        "first-week aggregate), and cohort sizes broadcast onto the "
+        "tiny curve table.",
+)
+def _cohort_ltv(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    e = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("week", "ts").alias("wk"), "value")
+        # two consumers (first-week aggregate + the revenue join):
+        # stage so the corpus scan runs once (scalar-reuse trap)
+        .localCheckpoint(eager=False)
+    )
+    f = (
+        e.groupBy("user_id")
+        .agg(F.min("wk").alias("cohort"))
+        # two consumers (cohort sizes + the revenue join)
+        .localCheckpoint(eager=False)
+    )
+    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    r = (
+        e.filter(F.col("value").isNotNull())
+        .join(f, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(F.col("value").cast(D2)).alias("rev"))
+    )
+    cum = F.sum("rev").over(
+        Wn.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Wn.unboundedPreceding, 0)
+    )
+    c = r.withColumn("cum_rev", cum)
+    return c.join(F.broadcast(sz), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "cohort_users",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double")
+            / F.col("cohort_users").cast("double"),
+            6,
+        ).alias("ltv_per_user"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -10670,6 +10963,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "cusum_changepoint_daily",
     "rolling_corr_daily",
     "market_concentration_hhi",
+    "keyness_log_odds",
+    "ab_test_conversion",
+    "cohort_ltv_curve",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -775,3 +775,37 @@ def test_hhi_single_fact_pass_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_keyness_staged_counts_broadcast_totals_takeordered(spark):
+    """Keyness: the vocabulary count aggregate is checkpoint-staged for
+    its two consumers (totals + per-word scan), totals come back as a
+    1-row broadcast cross join, and top-30 must be TakeOrdered over the
+    rounded z — no second corpus pass, no global sort."""
+    plan = _plan(spark, "keyness_log_odds")
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row totals
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 0  # corpus behind the stage
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_ab_test_one_user_shuffle_then_scalar(spark):
+    """A/B readout: the first-event window is the ONLY corpus shuffle
+    (user-keyed); everything after is a 1-row aggregate — no join, no
+    second exchange."""
+    plan = _plan(spark, "ab_test_conversion")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_cohort_ltv_copartitioned_join_broadcast_sizes(spark):
+    """Cohort LTV: the corpus and the first-week table are each staged
+    once for their two consumers, the revenue join must be a
+    (co-partitioned) equi join — never SortMergeJoin on an unstaged
+    rescan — and cohort sizes broadcast onto the curve table."""
+    plan = _plan(spark, "cohort_ltv_curve")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 0  # both inputs staged
