@@ -1,0 +1,181 @@
+"""Reference-implementation pins for the round-5 analytics battery.
+
+The DuckDB oracle already hash-verifies these queries end to end at two
+scale factors; these tests pin the MATH itself against independent
+pure-Python / numpy reimplementations on the smoke fixture, so an
+oracle-SQL transcription error can't silently encode the same bug on
+both sides (the double-entry-bookkeeping failure mode).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _rows(spark, name):
+    return [r.asDict() for r in QUERIES[name].spark(spark, SF_SMOKE).collect()]
+
+
+def test_cusum_matches_numpy_reference(spark):
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+          COUNT(*) AS x
+        FROM '{SF_SMOKE}/events.parquet'
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    by_type: dict[str, list[tuple]] = {}
+    for et, day, x in daily:
+        by_type.setdefault(et, []).append((day, x))
+    expected = {}
+    for et, series in by_type.items():
+        xs = np.array([x for _, x in series], dtype=np.int64)
+        n, total = len(xs), int(xs.sum())
+        s = n * np.cumsum(xs) - (np.arange(1, n + 1)) * total
+        k = int(np.argmax(np.abs(s)))  # first max = earliest-day tie-break
+        expected[et] = (
+            series[k][0].strftime("%Y-%m-%d"),
+            int(s[k]),
+            int(abs(s[k])),
+            n,
+            total,
+        )
+    got = {r["event_type"]: r for r in _rows(spark, "cusum_changepoint_daily")}
+    assert set(got) == set(expected)
+    for et, (day, s_raw, s_abs, n, total) in expected.items():
+        r = got[et]
+        assert (r["cp_day"], r["s_scaled"], r["s_abs"], r["n_days"],
+                r["total_events"]) == (day, s_raw, s_abs, n, total)
+
+
+def test_cusum_detects_known_level_shift(spark):
+    """On a synthetic series with a hard level shift, the scaled-CUSUM
+    argmax must land exactly on the last pre-shift index."""
+    xs = [10] * 8 + [50] * 6
+    n, total = len(xs), sum(xs)
+    pre = np.cumsum(xs)
+    s = n * pre - np.arange(1, n + 1) * total
+    assert int(np.argmax(np.abs(s))) == 7
+
+
+def test_keyness_matches_pure_python_reference(spark):
+    import duckdb
+
+    toks = duckdb.sql(
+        f"""
+        SELECT doc_id % 2 AS s,
+          unnest(string_split(lower(text), ' ')) AS w
+        FROM '{SF_SMOKE}/documents.parquet'
+        """
+    ).fetchall()
+    y1: dict[str, int] = {}
+    y0: dict[str, int] = {}
+    for s, w in toks:
+        if w == "":
+            continue
+        (y1 if s == 1 else y0)[w] = (y1 if s == 1 else y0).get(w, 0) + 1
+    n1, n0 = sum(y1.values()), sum(y0.values())
+    vocab = {w for w in set(y1) | set(y0) if y1.get(w, 0) + y0.get(w, 0) >= 5}
+    ref = {}
+    for w in vocab:
+        a = 1000 * (y1.get(w, 0) + y0.get(w, 0)) / (n1 + n0)
+        d = math.log((y1.get(w, 0) + a) / (n1 + 1000 - y1.get(w, 0) - a)) - \
+            math.log((y0.get(w, 0) + a) / (n0 + 1000 - y0.get(w, 0) - a))
+        z = d / math.sqrt(1.0 / (y1.get(w, 0) + a) + 1.0 / (y0.get(w, 0) + a))
+        ref[w] = (round(d, 6), round(z, 6))
+    got = _rows(spark, "keyness_log_odds")
+    assert len(got) == min(30, len(ref))
+    # the returned rows must carry exactly the reference scores...
+    for r in got:
+        d6, z6 = ref[r["word"]]
+        assert r["delta6"] == pytest.approx(d6, abs=2e-6)
+        assert r["z6"] == pytest.approx(z6, abs=2e-6)
+    # ...and be the true top-|z| set under the (|z| desc, word) order
+    top = sorted(ref.items(), key=lambda kv: (-abs(kv[1][1]), kv[0]))[: len(got)]
+    assert [w for w, _ in top] == [r["word"] for r in got]
+
+
+def test_rolling_corr_matches_numpy_reference(spark):
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""
+        SELECT epoch_us(ts) // 86400000000 AS di,
+          COUNT(*) FILTER (WHERE event_type = 'click') AS x,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+        FROM '{SF_SMOKE}/events.parquet'
+        WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    lo, hi = daily[0][0], daily[-1][0]
+    counts = {di: (x, y) for di, x, y in daily}
+    xs = np.array([counts.get(d, (0, 0))[0] for d in range(lo, hi + 1)])
+    ys = np.array([counts.get(d, (0, 0))[1] for d in range(lo, hi + 1)])
+    got = _rows(spark, "rolling_corr_daily")
+    assert len(got) == max(0, len(xs) - 6)
+    for i, r in enumerate(got):
+        wx, wy = xs[i : i + 7], ys[i : i + 7]
+        if wx.std() == 0 or wy.std() == 0:
+            assert r["corr7"] is None
+        else:
+            ref = float(np.corrcoef(wx, wy)[0, 1])
+            assert r["corr7"] == pytest.approx(ref, abs=2e-6)
+        assert (r["n_click"], r["n_purchase"]) == (int(xs[i + 6]), int(ys[i + 6]))
+
+
+def test_hhi_matches_numpy_reference(spark):
+    import duckdb
+
+    per_supp = duckdb.sql(
+        f"""
+        SELECT n.n_name, CAST(SUM(
+            CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS rev
+        FROM '{SF_SMOKE}/lineitem.parquet' l
+        JOIN '{SF_SMOKE}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        JOIN '{SF_SMOKE}/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, l_suppkey
+        """
+    ).fetchall()
+    by_nation: dict[str, list[float]] = {}
+    for name, rev in per_supp:
+        by_nation.setdefault(name, []).append(rev)
+    got = {r["n_name"]: r for r in _rows(spark, "market_concentration_hhi")}
+    assert set(got) == set(by_nation)
+    for name, revs in by_nation.items():
+        shares = np.array(revs) / sum(revs)
+        r = got[name]
+        assert r["n_suppliers"] == len(revs)
+        assert r["hhi"] == pytest.approx(float((shares**2).sum()), abs=2e-6)
+        assert r["top_share"] == pytest.approx(float(shares.max()), abs=2e-6)
+        # HHI lower bound 1/n (perfect competition), upper bound 1 (monopoly)
+        assert 1.0 / len(revs) - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+
+
+def test_rfm_segment_partition_is_total_and_disjoint(spark):
+    """Every customer lands in exactly one (band, segment) cell and the
+    cell counts sum to the distinct-customer total; champion cells must
+    be (active, frequent, high) exactly."""
+    import duckdb
+
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()[0]
+    rows = _rows(spark, "rfm_segments")
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        if r["segment"] == "champion":
+            assert (r["r_band"], r["f_band"], r["m_band"]) == (
+                "active", "frequent", "high")
+        if r["segment"] in ("at_risk", "hibernating"):
+            assert r["r_band"] == "cold"
