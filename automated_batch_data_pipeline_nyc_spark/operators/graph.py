@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "assign_components", "pagerank", "k_core"]
+__all__ = [
+    "connected_components",
+    "assign_components",
+    "pagerank",
+    "k_core",
+    "bfs_hops",
+]
 
 
 def connected_components(
@@ -244,3 +250,68 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not converge in {max_iterations} iterations")
+
+
+def bfs_hops(
+    seeds: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Breadth-first min-hop distance from a seed set over an
+    undirected edge list — returns ``(node, hops)`` for every node
+    within ``max_hops`` of any seed (seeds themselves at ``hops=0``).
+
+    The neighborhood-expansion primitive behind "find everything ≤ k
+    links from these known-bad documents" (contamination blast-radius),
+    "friends-of-friends" audience expansion, and bounded-radius
+    cluster probes — the shortest-path complement to
+    :func:`connected_components` (which answers *whether* nodes
+    connect, not *how close* they are).
+
+    Classic DataFrame-native frontier BFS: per level ONE shuffle joins
+    the frontier to the static symmetrized edge list, an anti-join
+    drops already-visited nodes (so each node is labeled exactly once,
+    at its true minimum distance — BFS levels are monotone), and
+    ``localCheckpoint`` truncates lineage per level.  The same
+    Pregel-style ``limit(1).count()`` probe stops early when the
+    frontier empties (diameter < ``max_hops``).  The frontier is a
+    narrow (node) frame; the visited set grows to at most the
+    reachable node set — both bounded by the graph's node count, never
+    the corpus.  ``max_hops`` caps the level count so the job is
+    O(max_hops) shuffles worst-case (cross-engine reproducible: a
+    bounded-depth recursive SQL walk computes the identical labeling).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0; got {max_hops}")
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        seeds.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for level in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(level).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        # Pregel-style stop probe (see connected_components): one tiny
+        # job over the just-checkpointed frontier.
+        if nxt.limit(1).count() == 0:
+            return visited
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -10821,6 +10821,454 @@ def _cohort_ltv(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE
+    {_SQL_PREFIX_PAIRS},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, dist) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+      UNION
+      SELECT u.b, w.dist + 1 FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.dist < 4
+    )
+    SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+    doc="bounded-radius BFS: min-hop distance (≤4) from a seed set "
+        "(every 97th doc) over the SAME oracle-verified jaccard-prefix "
+        "near-dup pair graph as dedup_components — the blast-radius "
+        "primitive ('everything within k links of these known-bad "
+        "docs') and the shortest-path complement to connected "
+        "components (whether vs HOW CLOSE nodes connect).  Frontier "
+        "BFS: per level ONE shuffle joins the narrow frontier to the "
+        "static symmetrized edge list, an anti-join drops visited "
+        "nodes (each node labeled once, at its true min distance — "
+        "BFS levels are monotone), lineage checkpoint-truncated, "
+        "Pregel-style limit(1) stop probe; ≤max_hops shuffles total.  "
+        "The oracle is a depth-bounded recursive SQL walk taking "
+        "MIN(dist) per node — hop counts are exact integers, so the "
+        "labeling matches exactly.  Operator: operators/graph.py "
+        "bfs_hops",
+)
+def _bfs_hops(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_prefix_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = gr.bfs_hops(seeds, pairs.select("id_a", "id_b"), max_hops=4)
+    return out.select(F.col("node").alias("doc_id"), "hops")
+
+
+@_q(
+    "survival_kaplan_meier",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS t0,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    mx AS (SELECT MAX(ts) AS tmax FROM events WHERE ts IS NOT NULL),
+    d AS (
+      SELECT
+        CAST(date_diff('day', u.t0, COALESCE(u.tp, mx.tmax)) AS BIGINT)
+          AS dur,
+        CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS died
+      FROM u, mx),
+    tbl AS (
+      SELECT dur, CAST(SUM(died) AS BIGINT) AS deaths,
+        CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM d GROUP BY dur),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    r AS (
+      SELECT dur, deaths, leaving,
+        CAST(tot.n - COALESCE(SUM(leaving) OVER (ORDER BY dur
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS at_risk
+      FROM tbl, tot),
+    k AS (
+      SELECT dur, deaths, at_risk,
+        SUM(CASE WHEN deaths < at_risk THEN
+              ln(1.0 - CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE))
+            END)
+          OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lsum
+      FROM r)
+    SELECT dur AS dur_days, at_risk, deaths,
+      CASE WHEN deaths = at_risk THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(round(exp(lsum), 6) AS DOUBLE) END AS surv6
+    FROM k WHERE deaths > 0
+    """,
+    doc="Kaplan-Meier survival curve: time from each user's first "
+        "tracked event to first PURCHASE (users who never purchase are "
+        "right-censored at the corpus horizon) — the time-to-convert "
+        "estimator that, unlike a naive conversion-rate-by-day, is "
+        "unbiased under censoring because censored users leave the "
+        "risk set without counting as failures.  S(t) = Π over death "
+        "times ≤ t of (1 - d_i/n_i).  Exactness: durations/deaths/"
+        "risk-set counts are exact integers (date_diff day boundaries "
+        "== Spark datediff calendar days); the product runs as "
+        "exp(Σ ln(1-d/n)) with the running sum over the DISTINCT-"
+        "DURATION table (horizon-bounded, never the corpus) in "
+        "deterministic dur order — identical IEEE sequence both "
+        "engines, 6dp round absorbs libm ULP; a full-wipe tail row "
+        "(d=n, ln 0) is necessarily last and pinned to 0.0 by CASE.  "
+        "Plan: ONE user-keyed corpus shuffle, a broadcast 1-row "
+        "horizon, then window+agg over the tiny duration table.",
+)
+def _survival_km(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    mx = events.filter(F.col("ts").isNotNull()).agg(
+        F.max("ts").alias("tmax")
+    )
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.coalesce("tp", "tmax"), F.col("t0"))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("died"),
+    )
+    # two consumers (duration table + the 1-row total): stage once
+    d = d.localCheckpoint(eager=False)
+    tbl = d.groupBy("dur").agg(
+        F.sum("died").cast("bigint").alias("deaths"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    # windows over the distinct-duration table: horizon-bounded (a few
+    # hundred rows at any sf), safe single-partition frame
+    w_prev = Wn.orderBy("dur").rowsBetween(Wn.unboundedPreceding, -1)
+    w_run = Wn.orderBy("dur").rowsBetween(Wn.unboundedPreceding, 0)
+    r = tbl.crossJoin(F.broadcast(tot)).withColumn(
+        "at_risk",
+        F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    k = r.withColumn(
+        "lsum",
+        F.sum(
+            F.when(
+                F.col("deaths") < F.col("at_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("deaths").cast("double")
+                    / F.col("at_risk").cast("double")
+                ),
+            )
+        ).over(w_run),
+    )
+    return k.filter(F.col("deaths") > 0).select(
+        F.col("dur").alias("dur_days"),
+        "at_risk",
+        "deaths",
+        F.when(F.col("deaths") == F.col("at_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp("lsum"), 6))
+        .alias("surv6"),
+    )
+
+
+@_q(
+    "gini_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    rk AS (
+      SELECT o_custkey, rev,
+        ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+        NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM rev),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS total,
+        SUM(CAST(i AS DECIMAL(18,0)) * rev) AS iw
+      FROM rk),
+    gini AS (
+      SELECT n, total,
+        CAST(round(
+          2.0 * CAST(iw AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+          AS gini6
+      FROM g),
+    dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS customers,
+        SUM(rev) AS drev
+      FROM rk GROUP BY decile)
+    SELECT CAST(d.decile AS BIGINT) AS decile, d.customers,
+      CAST(d.drev AS DOUBLE) AS revenue,
+      CAST(round(CAST(d.drev AS DOUBLE) / CAST(g2.total AS DOUBLE), 6)
+        AS DOUBLE) AS rev_share6,
+      CAST(round(
+        CAST(SUM(d.drev) OVER (ORDER BY d.decile ROWS UNBOUNDED PRECEDING)
+          AS DOUBLE) / CAST(g2.total AS DOUBLE), 6) AS DOUBLE)
+        AS cum_share6,
+      g2.gini6, g2.n AS n_customers
+    FROM dec d, gini g2
+    """,
+    doc="Gini coefficient + decile Lorenz curve of customer revenue "
+        "concentration — the inequality summary behind 'whale' "
+        "analysis, one level deeper than market_concentration_hhi "
+        "(HHI measures firm shares; Gini measures the whole "
+        "distribution's skew).  G = 2·Σi·x(i)/(n·Σx) − (n+1)/n over "
+        "revenue-ascending ranks.  Exactness: revenue and the "
+        "rank-weighted sum stay in exact DECIMAL end-to-end (i ≤ "
+        "customer count, so i·rev sums are overflow-safe in "
+        "DECIMAL(38,2) far past 100 TB), cast to double once for the "
+        "two-term Gini formula rounded 6dp; (rev, custkey) makes the "
+        "rank order total, and NTILE(10) over a total order is "
+        "engine-identical by the SQL-standard bucket rule.  Plan: one "
+        "fact shuffle into the customer aggregate; ranks/deciles are "
+        "an unpartitioned window over the CUSTOMER DIM ONLY (the "
+        "supplier_pareto_share precedent), then a 10-row Lorenz "
+        "aggregate with the 1-row Gini broadcast back.",
+)
+def _gini_conc(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Wn.orderBy("rev", "o_custkey")
+    rk = rev.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+    # two consumers (totals + decile aggregate): stage the ranked dim
+    ).localCheckpoint(eager=False)
+    g = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("rev")).alias("iw"),
+    )
+    gini = g.select(
+        "n",
+        "total",
+        F.round(
+            F.lit(2.0)
+            * F.col("iw").cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("gini6"),
+    )
+    dec = rk.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum("rev").alias("drev"),
+    )
+    w_cum = Wn.orderBy("decile").rowsBetween(Wn.unboundedPreceding, 0)
+    return dec.crossJoin(F.broadcast(gini)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "customers",
+        F.col("drev").cast("double").alias("revenue"),
+        F.round(
+            F.col("drev").cast("double") / F.col("total").cast("double"), 6
+        ).alias("rev_share6"),
+        F.round(
+            F.sum("drev").over(w_cum).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_share6"),
+        "gini6",
+        F.col("n").alias("n_customers"),
+    )
+
+
+@_q(
+    "seasonal_dow_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT isodow(d) AS dow, CAST(COUNT(*) AS BIGINT) AS days,
+        SUM(rev) AS dow_rev
+      FROM daily GROUP BY 1),
+    t AS (SELECT SUM(rev) AS tot_rev, CAST(COUNT(*) AS BIGINT) AS tot_days
+          FROM daily),
+    j AS (
+      SELECT daily.d, daily.rev, s.dow,
+        CAST(s.dow_rev AS DOUBLE) / CAST(s.days AS DOUBLE) AS dow_avg,
+        (CAST(s.dow_rev AS DOUBLE) / CAST(s.days AS DOUBLE))
+          / (CAST(t.tot_rev AS DOUBLE) / CAST(t.tot_days AS DOUBLE))
+          AS idx
+      FROM daily JOIN s ON isodow(daily.d) = s.dow, t),
+    z AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day, CAST(dow AS BIGINT) AS dow,
+        CAST(rev AS DOUBLE) AS revenue,
+        CAST(round(dow_avg, 6) AS DOUBLE) AS dow_avg6,
+        CAST(round(idx, 6) AS DOUBLE) AS index6,
+        CAST(round(CAST(rev AS DOUBLE) / dow_avg, 6) AS DOUBLE) AS ratio6
+      FROM j)
+    SELECT day, dow, revenue, dow_avg6, index6, ratio6
+    FROM z ORDER BY abs(ratio6 - 1.0) DESC, day LIMIT 15
+    """,
+    doc="seasonal decomposition + anomaly ranking: daily revenue vs "
+        "its ISO-weekday seasonal average — each day's deseasonalized "
+        "ratio (revenue / weekday mean) beside the weekday's seasonal "
+        "index (weekday mean / overall daily mean), top-15 days by "
+        "deviation.  The ratio-to-seasonal-average screen that "
+        "separates 'it's just Saturday' from a genuine demand spike — "
+        "the calendar-aware complement to rolling_zscore_anomalies "
+        "and cusum_changepoint_daily.  Exactness: daily/weekday "
+        "revenue in exact DECIMAL; the index/ratio are fixed double "
+        "op sequences rounded 6dp; ranking reads the ROUNDED ratio "
+        "with a day tiebreak so top-k is bit-deterministic; ISO "
+        "weekday derived arithmetically from Spark's Sunday-based "
+        "dayofweek (the events_dow_hour_matrix recipe).  Plan: one "
+        "fact shuffle into the date-bounded daily table (staged for "
+        "its three consumers), 7-row seasonal + 1-row total aggregates "
+        "broadcast back, TakeOrdered top-k — the corpus is scanned "
+        "once.",
+)
+def _seasonal_dow(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .withColumn(
+            "dow", ((F.dayofweek("d") + 5) % 7 + 1).cast("bigint")
+        )
+        # three consumers (seasonal agg, total agg, the day join)
+        .localCheckpoint(eager=False)
+    )
+    s = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("days"), F.sum("rev").alias("dow_rev")
+    )
+    t = daily.agg(
+        F.sum("rev").alias("tot_rev"), F.count(F.lit(1)).alias("tot_days")
+    )
+    dow_avg = F.col("dow_rev").cast("double") / F.col("days").cast("double")
+    overall = F.col("tot_rev").cast("double") / F.col("tot_days").cast(
+        "double"
+    )
+    j = (
+        daily.join(F.broadcast(s), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dow"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(dow_avg, 6).alias("dow_avg6"),
+            F.round(dow_avg / overall, 6).alias("index6"),
+            F.round(F.col("rev").cast("double") / dow_avg, 6).alias(
+                "ratio6"
+            ),
+        )
+    )
+    return j.orderBy(
+        F.abs(F.col("ratio6") - F.lit(1.0)).desc(), "day"
+    ).limit(15)
+
+
+@_q(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+          AS c_click,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+          AS c_view,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+          AS c_purchase,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+          AS c_signup,
+        CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+          AS c_error,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n,
+      CAST((CASE WHEN c_click > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN c_view > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN c_purchase > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN c_signup > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN c_error > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_types,
+      CAST(round(
+        ln(CAST(n AS DOUBLE))
+        - ((CASE WHEN c_click > 0
+              THEN CAST(c_click AS DOUBLE) * ln(CAST(c_click AS DOUBLE))
+              ELSE 0.0 END)
+         + (CASE WHEN c_view > 0
+              THEN CAST(c_view AS DOUBLE) * ln(CAST(c_view AS DOUBLE))
+              ELSE 0.0 END)
+         + (CASE WHEN c_purchase > 0
+              THEN CAST(c_purchase AS DOUBLE)
+                   * ln(CAST(c_purchase AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN c_signup > 0
+              THEN CAST(c_signup AS DOUBLE) * ln(CAST(c_signup AS DOUBLE))
+              ELSE 0.0 END)
+         + (CASE WHEN c_error > 0
+              THEN CAST(c_error AS DOUBLE) * ln(CAST(c_error AS DOUBLE))
+              ELSE 0.0 END)) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+        AS entropy6
+    FROM c
+    """,
+    doc="per-user Shannon entropy of the event-type mix — the "
+        "behavioral-diversity feature behind bot screening (a scraper "
+        "is near-0 entropy, a human browses a mix) and audience "
+        "segmentation, computed as H = ln n − (Σ cᵢ ln cᵢ)/n so every "
+        "term is a function of exact integer counts.  Determinism: "
+        "the five event types pivot to FIXED columns, so the Σ is a "
+        "fixed-order scalar expression tree (never a float SUM whose "
+        "partial-aggregate order could differ across engines) — "
+        "identical IEEE sequence both sides, 6dp round absorbs ln "
+        "ULP.  Plan: ONE user-keyed count shuffle (map-side "
+        "combinable conditional counts), then map-only math; output "
+        "is the user dim.",
+)
+def _user_entropy(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    c = e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"c_{t}")
+            for t in types
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    plogp = None
+    for t in types:
+        ct = F.col(f"c_{t}")
+        term = F.when(
+            ct > 0, ct.cast("double") * F.log(ct.cast("double"))
+        ).otherwise(F.lit(0.0))
+        plogp = term if plogp is None else plogp + term
+    n_types = None
+    for t in types:
+        ind = F.when(F.col(f"c_{t}") > 0, 1).otherwise(0)
+        n_types = ind if n_types is None else n_types + ind
+    return c.select(
+        "user_id",
+        "n",
+        n_types.cast("bigint").alias("n_types"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - plogp / F.col("n").cast("double"),
+            6,
+        ).alias("entropy6"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -10966,6 +11414,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "keyness_log_odds",
     "ab_test_conversion",
     "cohort_ltv_curve",
+    "graph_bfs_hops",
+    "survival_kaplan_meier",
+    "gini_revenue_concentration",
+    "seasonal_dow_anomalies",
+    "user_event_entropy",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -554,3 +554,59 @@ def test_hll_overlap_accuracy_and_identity(spark):
     assert abs(r.est_overlap - (r.est_a + r.est_b - r.est_union)) < 1e-6
     assert abs(r.est_overlap - 1000) / 1000 < 0.05
     assert abs(r.est_union - 4000) / 4000 < 0.05
+
+
+def test_bfs_hops_vs_python_reference(spark):
+    """bfs_hops vs a pure-Python BFS on a graph with every interesting
+    shape: two components (only one seeded), a cycle (each node labeled
+    at its min distance, not its revisit distance), a node reachable by
+    two paths of different length (min wins), an isolated seed (hops 0,
+    no neighbors), and a chain long enough to be cut off by max_hops."""
+    from collections import deque
+
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import bfs_hops
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain from seed 1
+        (1, 10), (10, 11), (11, 3),               # alt path to 3 (longer)
+        (20, 21), (21, 22), (22, 20),             # cycle, seeded at 20
+        (40, 41),                                 # unseeded component
+    ]
+    seeds = [1, 20, 30]                           # 30 is isolated
+
+    def ref_bfs(es, ss, max_hops):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in ss}
+        q = deque(ss)
+        while q:
+            v = q.popleft()
+            if dist[v] == max_hops:
+                continue
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        return dist
+
+    edf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    for max_hops in (0, 1, 3, 6):
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(sdf, edf, max_hops=max_hops).collect()
+        }
+        assert got == ref_bfs(edges, seeds, max_hops), f"max_hops={max_hops}"
+    # shape assertions pinned once by hand
+    full = ref_bfs(edges, seeds, 6)
+    assert full[3] == 2          # min of the 2-hop and 3-hop paths
+    assert full[30] == 0         # isolated seed present at distance 0
+    assert 40 not in full        # unseeded component never labeled
+    assert 6 not in ref_bfs(edges, seeds, 4) and full[6] == 5
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_hops must be"):
+        bfs_hops(sdf, edf, max_hops=-1)
