@@ -40,6 +40,8 @@ __all__ = [
     "downsample_to_token_budget",
     "dsir_log_weights",
     "temperature_resample_rates",
+    "neyman_allocation",
+    "stratified_sample_neyman",
 ]
 
 
@@ -498,4 +500,107 @@ def temperature_resample_rates(
             F.least(F.lit(1.0), F.col("q_src") / F.col("p_src") * F.col("__s")),
             6,
         ).alias("keep_rate"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Optimal stratified-sample allocation (Neyman 1934):
+    ``n_h ∝ N_h·S_h`` — strata that are bigger OR more variable get
+    proportionally more of the ``total_n`` sample budget, minimizing
+    the variance of the stratified mean estimator at fixed cost.  The
+    survey-sampling upgrade to proportional allocation for audit /
+    eval-set draws over skewed corpora (a near-constant stratum needs
+    almost no samples, however large).
+
+    Returns the dim-sized allocation table ``(stratum, n_rows,
+    stddev6, share6, alloc_n)``; apply it with
+    :func:`stratified_sample_neyman`.
+
+    Determinism (the cross-engine contract): per-stratum second
+    moments are EXACT decimal sums (order-independent), S_h is one
+    fixed IEEE expression over them; the weight ``N_h·S_h`` is rounded
+    to 4dp and CAST BACK TO DECIMAL so the across-strata total is an
+    exact order-independent sum (a double total would depend on
+    stratum visit order); shares divide two identical decimals once.
+    ``alloc_n = floor(total_n·share + 0.5)`` — allocations can sum to
+    total_n ± (strata−1) from rounding; single-row / zero-spread
+    strata get weight 0 (add a floor downstream if every stratum must
+    be represented).  Plan: ONE map-side-combinable moment shuffle,
+    then window+math over the stratum dim only.
+    """
+    from pyspark.sql import Window as Wn
+
+    x = F.col(value_col).cast("decimal(18,2)")
+    m = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sd = F.when(
+        F.col("n_rows") > 1,
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))),
+    ).otherwise(F.lit(0.0))
+    w = m.select(
+        "stratum",
+        "n_rows",
+        sd.alias("__sd"),
+        F.round(n * sd, 4).cast("decimal(28,4)").alias("__wgt"),
+    )
+    # strata are dim-sized: safe unpartitioned window, exact DECIMAL sum
+    tot = F.sum("__wgt").over(Wn.partitionBy())
+    share = F.col("__wgt").cast("double") / tot.cast("double")
+    return w.select(
+        "stratum",
+        "n_rows",
+        F.round("__sd", 6).alias("stddev6"),
+        F.round(share, 6).alias("share6"),
+        F.floor(F.lit(float(total_n)) * share + F.lit(0.5))
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+
+
+def stratified_sample_neyman(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    value_col: str,
+    total_n: int,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Draw the Neyman-allocated stratified sample: per-stratum keep
+    rate ``alloc_n / N_h``, applied with the engine-portable md5
+    bucket (so membership is deterministic across reruns, engines and
+    cluster layouts, like every sampler here).  The tiny allocation
+    table broadcasts onto the scan; the filter stays a map-only
+    predicate.  Hash granularity makes per-stratum counts approximate
+    (~alloc_n, exact only in expectation) — the standard trade for a
+    keyed, rerunnable sample.
+    """
+    alloc = neyman_allocation(df, stratum_col, value_col, total_n)
+    thresh = alloc.select(
+        "stratum",
+        F.floor(
+            F.lit(float(buckets))
+            * F.col("alloc_n").cast("double")
+            / F.col("n_rows").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint").alias("__thresh"),
+    )
+    b = hash_bucket(key_col, buckets)
+    return (
+        df.join(
+            F.broadcast(thresh),
+            df[stratum_col] == thresh.stratum,
+        )
+        .filter(b < F.col("__thresh"))
+        .drop("stratum", "__thresh")
     )

@@ -32,6 +32,7 @@ __all__ = [
     "dedup_stream",
     "foreach_batch_upsert",
     "write_stream_to_parquet",
+    "stream_txlog_sink",
 ]
 
 #: Schema must be explicit for streaming file sources (no inference).
@@ -455,6 +456,44 @@ def write_stream_to_parquet(
         .format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_txlog_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into a versioned txlog table: each
+    micro-batch becomes one append COMMIT (``sources/txlog.py``), so
+    downstream readers always see whole batches (never a half-written
+    directory), every batch boundary is a time-travelable version, and
+    restart replays are deduplicated.
+
+    Exactly-once here is the real protocol, not just checkpoint luck:
+    Structured Streaming re-runs the last unacknowledged batch after a
+    crash (at-least-once), and the plain parquet file sink relies on
+    its own manifest to hide duplicates.  This sink instead records
+    ``(app_id, batch_id)`` in each commit (Delta's ``txn`` action); a
+    replayed batch is recognized in the log and skipped BEFORE any data
+    is written, so the table's contents — not merely one reader's view
+    — are exact.  Trade-off vs the raw parquet sink: one tiny JSON
+    put-if-absent per batch; the win: atomic multi-file publication,
+    concurrent batch writers (other apps appending the same table
+    can't corrupt each other), and vacuum/compaction under readers.
+    """
+    from ..sources import txlog
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        txlog.commit(batch, path, mode="append", txn=(app_id, int(batch_id)))
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -10822,6 +10822,122 @@ def _cohort_ltv(spark, sf_dir):
 
 
 @_q(
+    "neyman_allocation_orders",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))
+            * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT stratum, n_rows,
+        CASE WHEN n_rows > 1 THEN
+          sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)))
+        ELSE 0.0 END AS sd
+      FROM m),
+    w AS (
+      SELECT stratum, n_rows, sd,
+        CAST(round(CAST(n_rows AS DOUBLE) * sd, 4) AS DECIMAL(28,4)) AS wgt
+      FROM s),
+    t AS (SELECT SUM(wgt) AS tot FROM w)
+    SELECT stratum, n_rows,
+      CAST(round(sd, 6) AS DOUBLE) AS stddev6,
+      CAST(round(CAST(wgt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS DOUBLE)
+        AS share6,
+      CAST(floor(10000 * (CAST(wgt AS DOUBLE) / CAST(t.tot AS DOUBLE)) + 0.5)
+        AS BIGINT) AS alloc_n
+    FROM w, t
+    """,
+    doc="Neyman-optimal stratified-sample allocation (n_h ∝ N_h·S_h, "
+        "Neyman 1934): how a 10k-row audit budget should split across "
+        "order-priority strata so the stratified mean estimator has "
+        "minimum variance — big or volatile strata get more budget, "
+        "near-constant strata almost none.  The survey-sampling upgrade "
+        "to proportional allocation for eval-set draws over skewed "
+        "corpora.  Exactness: per-stratum S_h from EXACT decimal "
+        "moments (order-independent sums, one fixed IEEE expression); "
+        "the weight N_h·S_h is rounded 4dp and cast BACK to DECIMAL so "
+        "the across-strata total is an exact order-independent sum — a "
+        "double total would depend on stratum visit order.  Plan: ONE "
+        "map-side-combinable moment shuffle, then window+math over the "
+        "5-row stratum dim.  Operator: operators/sampling.py "
+        "neyman_allocation (+ stratified_sample_neyman applies the "
+        "rates via the portable md5 bucket).",
+)
+def _neyman(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return sa.neyman_allocation(
+        orders, "o_orderpriority", "o_totalprice", total_n=10_000
+    )
+
+
+@_q(
+    "txlog_time_travel",
+    f"""
+    WITH v1 AS (
+      SELECT 'v1-open' AS snapshot, o_orderpriority,
+        COUNT(*) AS n_orders,
+        {SQL_SUM.format(col="o_totalprice")} AS total_price
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 2),
+    v2 AS (
+      SELECT 'v2-open+fulfilled' AS snapshot, o_orderpriority,
+        COUNT(*) AS n_orders,
+        {SQL_SUM.format(col="o_totalprice")} AS total_price
+      FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 2)
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    doc="ACID transaction log with time travel (sources/txlog.py — the "
+        "lakehouse Delta/Iceberg primitive from first principles): open "
+        "orders are committed as version 0, fulfilled orders appended "
+        "as version 1, then BOTH snapshots are read back — v0 via time "
+        "travel, v1 as the head — and aggregated.  The oracle "
+        "aggregates the original table filtered to each version's "
+        "status set, so a reader that lists the data directory instead "
+        "of replaying the log (leaking the append into v0), a lost "
+        "append, or a half-visible commit breaks the hash.  Readers "
+        "get the explicit live-file list from the log — a crashed "
+        "writer's staging dir is invisible by construction; the commit "
+        "point is a put-if-absent on the version file (optimistic "
+        "concurrency).  Log replay is O(commits) driver-side metadata; "
+        "data moves only through normal parquet jobs.",
+)
+def _txlog_tt(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources import txlog
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_txlog_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # append semantics are stateful: start from a clean table each run
+    shutil.rmtree(t, ignore_errors=True)
+    v0 = txlog.commit(
+        orders.filter(F.col("o_orderstatus") == "O"), t, mode="overwrite"
+    )
+    v1 = txlog.commit(
+        orders.filter(F.col("o_orderstatus") == "F"), t, mode="append"
+    )
+
+    def _agg(df, label):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_money(F.col("o_totalprice"), "total_price"),
+        ).select(F.lit(label).alias("snapshot"), "*")
+
+    past = txlog.read_table(spark, t, version=v0)
+    head = txlog.read_table(spark, t, version=v1)
+    return _agg(past, "v1-open").unionByName(
+        _agg(head, "v2-open+fulfilled")
+    )
+
+
+@_q(
     "graph_bfs_hops",
     f"""
     WITH RECURSIVE
@@ -11414,6 +11530,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "keyness_log_odds",
     "ab_test_conversion",
     "cohort_ltv_curve",
+    "neyman_allocation_orders",
+    "txlog_time_travel",
     "graph_bfs_hops",
     "survival_kaplan_meier",
     "gini_revenue_concentration",

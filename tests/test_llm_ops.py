@@ -1809,3 +1809,38 @@ def test_temperature_resample_rates_properties(spark):
 
     with _p.raises(ValueError, match="alpha"):
         temperature_resample_rates(df, "src", alpha=1.5)
+
+
+def test_stratified_sample_neyman_tracks_allocation(spark):
+    """The applied Neyman sample's per-stratum counts track alloc_n
+    (hash granularity makes them approximate), membership is
+    deterministic across calls, and the volatile stratum out-draws the
+    near-constant one of equal size."""
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        neyman_allocation,
+        stratified_sample_neyman,
+    )
+
+    # stratum A: 500 rows, value constant (S=0-ish -> tiny allocation)
+    # stratum B: 500 rows, value spread 0..4990 (large S -> big allocation)
+    rows = [(f"a{i}", "A", 100.0 + (i % 2)) for i in range(500)]
+    rows += [(f"b{i}", "B", 10.0 * i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "stratum", "v"])
+
+    alloc = {r.stratum: r for r in
+             neyman_allocation(df, "stratum", "v", total_n=200).collect()}
+    assert alloc["B"].alloc_n > 150          # volatile stratum dominates
+    assert alloc["A"].alloc_n < 50
+    assert alloc["A"].n_rows == alloc["B"].n_rows == 500
+    total = alloc["A"].alloc_n + alloc["B"].alloc_n
+    assert abs(total - 200) <= 1             # floor(+0.5) rounding slack
+
+    got = stratified_sample_neyman(df, "stratum", "k", "v", total_n=200)
+    # stratum col is dropped by the join cleanup; recount via key prefix
+    per = {r.s: r.n for r in
+           got.select(F.substring("k", 1, 1).alias("s"))
+              .groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert per.get("b", 0) > per.get("a", 0)
+    # deterministic: identical membership on a second draw
+    again = stratified_sample_neyman(df, "stratum", "k", "v", total_n=200)
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in again.collect())

@@ -277,3 +277,84 @@ def test_manifest_for_dir_decodes_uri_escaped_paths(spark, tmp_path):
         f"paths must be relative even under an escaping base: "
         f"{[r.file for r in man]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned transaction log (sources/txlog.py)
+# ---------------------------------------------------------------------------
+
+def test_txlog_append_overwrite_time_travel(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources import txlog
+
+    t = str(tmp_path / "tbl")
+    df = lambda lo, hi: spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+    assert txlog.commit(df(0, 10), t, mode="overwrite") == 0
+    assert txlog.commit(df(10, 15), t, mode="append") == 1
+    assert txlog.commit(df(100, 103), t, mode="overwrite") == 2
+    assert txlog.commit(df(103, 104), t, mode="append") == 3
+    assert txlog.current_version(t) == 3
+    # snapshots: v0=10 rows, v1=15, v2=3 (overwrite reset), v3=4
+    for v, n in [(0, 10), (1, 15), (2, 3), (3, 4)]:
+        assert txlog.read_table(spark, t, version=v).count() == n
+    assert txlog.read_table(spark, t).count() == 4  # latest
+    got = sorted(r.id for r in txlog.read_table(spark, t).collect())
+    assert got == [100, 101, 102, 103]
+    hist = {r.version: r.op for r in txlog.table_history(spark, t).collect()}
+    assert hist == {0: "overwrite", 1: "append", 2: "overwrite", 3: "append"}
+    with pytest.raises(ValueError, match="version 9 does not exist"):
+        txlog.read_table(spark, t, version=9)
+
+
+def test_txlog_commit_conflict_and_retry(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources import txlog
+
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark.range(5), t, mode="overwrite")
+    # simulate a concurrent writer that already took version 1
+    stolen = os.path.join(t, "_txlog", f"{1:010d}.json")
+    with open(stolen, "w") as fh:
+        fh.write('{"version": 1, "op": "append", "add": [], "n_add": 0}')
+    # the loser must re-read the log and land on version 2
+    assert txlog.commit(spark.range(5, 8), t, mode="append") == 2
+    assert txlog.read_table(spark, t).count() == 8
+    # with retries exhausted (every slot pre-stolen) it fails loudly
+    for v in (3, 4, 5):
+        with open(os.path.join(t, "_txlog", f"{v:010d}.json"), "w") as fh:
+            fh.write(f'{{"version": {v}, "op": "append", "add": [], "n_add": 0}}')
+
+    with pytest.raises(txlog.ConcurrentCommitError):
+        # every retry recomputes the same next version list and loses
+        txlog.commit(spark.range(1), t, mode="append", max_retries=0)
+
+
+def test_txlog_staging_garbage_invisible_and_vacuum(spark, tmp_path):
+    from automated_batch_data_pipeline_nyc_spark.sources import txlog
+
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark.range(10), t, mode="overwrite")          # v0
+    txlog.commit(spark.range(10, 12), t, mode="append")         # v1
+    txlog.commit(spark.range(50, 53), t, mode="overwrite")      # v2
+    # a crashed writer's data dir (no log entry) must be invisible
+    spark.range(999, 1009).write.parquet(
+        os.path.join(t, "data", "vdeadbeefdead")
+    )
+    assert txlog.read_table(spark, t).count() == 3
+    assert sorted(r.id for r in txlog.read_table(spark, t).collect()) == [50, 51, 52]
+
+    # vacuum(keep_versions=1): v0/v1 files AND the orphan dir are dead
+    removed = txlog.vacuum(t, keep_versions=1)
+    assert removed > 0
+    assert txlog.read_table(spark, t).count() == 3          # head intact
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.read_table(spark, t, version=1)               # history gone
+
+    # keep_versions=2 retains both snapshots' files
+    txlog.commit(spark.range(60, 64), t, mode="append")     # v3
+    assert txlog.vacuum(t, keep_versions=2) == 0            # v2 live in both
+    assert txlog.read_table(spark, t, version=2).count() == 3
+    assert txlog.read_table(spark, t, version=3).count() == 7
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        txlog.vacuum(t, keep_versions=0)
+    with pytest.raises(ValueError, match="mode must be"):
+        txlog.commit(spark.range(1), t, mode="merge")

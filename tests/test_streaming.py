@@ -578,3 +578,60 @@ def test_streaming_countmin_equals_batch_sketch(spark, staged_events):
         for r in countmin_sketch(batch, "user_id", depth=4, width=64).collect()
     }
     assert got == want
+
+
+def test_stream_txlog_sink_exactly_once(spark, staged_events, tmp_path):
+    """Streaming sink into the versioned transaction log: each
+    micro-batch is one atomic append commit; restarting the finished
+    stream commits nothing new, and a simulated foreachBatch replay
+    (same app_id + batch_id) is recognized in the log and skipped, so
+    the table contents stay exact — not merely deduplicated at read
+    time."""
+    from automated_batch_data_pipeline_nyc_spark.sources import txlog
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        read_event_stream,
+        stream_txlog_sink,
+    )
+
+    src, batch = staged_events
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    q = stream_txlog_sink(stream, table, ckpt, app_id="events-loader")
+    q.awaitTermination(180)
+
+    want = batch.count()
+    assert txlog.read_table(spark, table).count() == want
+    hist = txlog.table_history(spark, table).collect()
+    assert len(hist) >= 2  # maxFilesPerTrigger=2 over >2 files
+    assert all(r.op == "append" for r in hist)
+
+    # restart over the same checkpoint: backlog already processed,
+    # no new versions
+    v_before = txlog.current_version(table)
+    q2 = stream_txlog_sink(stream, table, ckpt, app_id="events-loader")
+    q2.awaitTermination(180)
+    assert txlog.current_version(table) == v_before
+    assert txlog.read_table(spark, table).count() == want
+
+    # simulated crash-replay of the last batch: same txn → skipped
+    last_batch = max(
+        e["txn_batch"]
+        for e in txlog._read_log(table)
+        if "txn_batch" in e
+    )
+    assert (
+        txlog.commit(
+            batch.limit(5), table, mode="append",
+            txn=("events-loader", last_batch),
+        )
+        is None
+    )
+    assert txlog.read_table(spark, table).count() == want
+    # a NEW batch id from the same app does commit
+    v = txlog.commit(
+        batch.limit(5), table, mode="append",
+        txn=("events-loader", last_batch + 1),
+    )
+    assert v == v_before + 1
+    assert txlog.read_table(spark, table).count() == want + 5
