@@ -29,6 +29,8 @@ __all__ = [
     "null_matrix",
     "k_anonymity_audit",
     "k_anonymity_summary",
+    "l_diversity_audit",
+    "l_diversity_summary",
     "profile_table",
     "benford_audit",
     "population_stability_index",
@@ -184,6 +186,66 @@ def k_anonymity_summary(
             "n_rows_at_risk"
         ),
         F.min("n").alias("effective_k"),
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity risk surface (Machanavajjhala et al. 2007) — the
+    audit k-anonymity misses: a quasi-identifier group can have >= k
+    members yet leak the SENSITIVE attribute outright when every member
+    shares one value (the homogeneity attack).  Flags the groups whose
+    sensitive column takes FEWER than ``l`` distinct non-null values.
+
+    Returns ``(*quasi_cols, n, n_sensitive)`` with ``n_sensitive < l``.
+    One shuffle keyed on the quasi columns; the exact per-group
+    COUNT(DISTINCT sensitive) plans a single Expand (2 rows per input),
+    still map-side-combinable — no second job, no join.  Output is
+    bounded by the risky-group count, not the corpus.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2 (l=1 is vacuous); got {l}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
+def l_diversity_summary(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """One-row l-diversity census over a quasi-identifier set against a
+    sensitive column: group count, homogeneity-risk group count
+    (< ``l`` distinct sensitive values), rows sitting in them, and the
+    minimum per-group diversity (the dataset's effective l).  Same
+    single grouped distinct-count pass as the audit, then a group-
+    table-sized fold — the privacy-review companion to
+    :func:`k_anonymity_summary`."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2 (l=1 is vacuous); got {l}")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+    )
+    risky = F.col("n_sensitive") < l
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky.cast("long")).alias("n_homogeneous_groups"),
+        F.sum(F.when(risky, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n_sensitive").alias("effective_l"),
     )
 
 

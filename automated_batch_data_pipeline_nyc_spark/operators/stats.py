@@ -26,6 +26,7 @@ __all__ = [
     "exact_second_moments",
     "group_linear_fit",
     "corr_matrix",
+    "ks_two_sample",
     "pair_lift",
     "mahalanobis_scores",
     "categorical_mutual_information",
@@ -216,6 +217,112 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return agg.select(
         F.col("n"), F.explode(F.array(*pairs)).alias("p")
     ).select("p.col_x", "p.col_y", F.col("n"), "p.corr")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_a: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic — the exact
+    distribution-drift test that complements the binned PSI
+    (:func:`population_stability_index`): ``D = sup_x |F_A(x) − F_B(x)|``
+    over the two empirical CDFs, evaluated at every distinct value
+    (ties handled by stepping both CDFs at the atom, the textbook
+    convention).  Returns ONE row ``(n_a, n_b, ks_stat, ks_scaled)``
+    where ``ks_scaled = sqrt(n_a·n_b/(n_a+n_b))·D`` is the statistic
+    compared against the Kolmogorov critical values (1.358 at α=0.05).
+
+    Fully distributed — no global-order window over the data:
+
+    1. ONE corpus-sized shuffle builds the per-distinct-value histogram
+       ``(value, count_A, count_B)``.
+    2. Values are range-bucketed into ``n_buckets`` splits of
+       ``[min, max]`` (the 1-row min/max aggregate broadcasts; no
+       driver collect).
+    3. Per-bucket totals (``n_buckets`` rows) get exclusive running
+       offsets via a window over the TINY bucket table; within-bucket
+       running counts use a window PARTITIONED by bucket — the classic
+       two-level prefix scan, every stage parallel.
+    4. The CDF gap maximum folds to one row.
+
+    ``ks_stat`` is a ratio of exact integer counts evaluated in a fixed
+    IEEE-double sequence — bit-reproducible on any engine or
+    partitioning, no rounding needed.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        v.alias("__v"), is_a.cast("boolean").alias("__a")
+    )
+    hist = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
+    )
+    rng = base.agg(
+        F.min("__v").cast("double").alias("__lo"),
+        F.max("__v").cast("double").alias("__hi"),
+    )
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("__v").cast("double") - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
+            ),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    h = hist.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    btot = h.groupBy("__b").agg(
+        F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
+    )
+    w_excl = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__ba").over(w_excl), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_excl), F.lit(0)).alias("__ob"),
+    )
+    tot = btot.agg(
+        F.sum("__ba").alias("n_a"), F.sum("__bb").alias("n_b")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        h.join(F.broadcast(boff), "__b")
+        .select(
+            "__b",
+            "__v",
+            (F.col("__oa") + F.sum("__ca").over(w_in)).alias("__cuma"),
+            (F.col("__ob") + F.sum("__cb").over(w_in)).alias("__cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    gap = F.abs(
+        F.col("__cuma").cast("double") / F.col("n_a").cast("double")
+        - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+    )
+    out = cum.groupBy("n_a", "n_b").agg(F.max(gap).alias("ks_stat"))
+    return out.select(
+        "n_a",
+        "n_b",
+        "ks_stat",
+        F.round(
+            F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double")
+            )
+            * F.col("ks_stat"),
+            6,
+        ).alias("ks_scaled"),
+    )
 
 
 def pair_lift(

@@ -36,6 +36,7 @@ __all__ = [
     "registered_domain",
     "domain_stats",
     "token_divergence_stats",
+    "zipf_fit",
     "normalize_text",
     "canonical_url",
     "hashed_linear_score",
@@ -495,6 +496,72 @@ def token_divergence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.first("n").cast("bigint").alias("n_tokens"),
         F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
         F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_vs_corpus"),
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the classic
+    corpus-health check (Zipf 1949): natural text has
+    ``freq ∝ rank^(-s)`` with s ≈ 1, so the OLS slope of
+    ``ln freq ~ ln rank`` sits near −1 and fits tightly.  Machine-
+    generated spam, templated boilerplate, or a corpus dominated by one
+    crawler artifact bend the curve — a cheap whole-corpus smoke alarm
+    run next to per-document quality scores.
+
+    Returns ONE row ``(n_types, n_tokens, zipf_slope, intercept, r2)``.
+
+    Plan shape: the only corpus-sized stage is the unigram count
+    (explode → map-side-combinable groupBy).  Ranking then runs over
+    the VOCABULARY (types, not tokens — tens of millions at 100 TB,
+    i.e. executor-trivial); the global row_number window over that
+    type table is the one ordered stage, and it is vocabulary-sized by
+    construction.  Slope/intercept/r2 round to 6dp: ``ln`` differs by
+    1 ULP across libm implementations and float-sum order is
+    partition-dependent.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("word")))
+            .cast("double")
+        ).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+        "freq",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum("lx").alias("__sx"),
+        F.sum(F.col("lx") * F.col("lx")).alias("__sxx"),
+        F.sum("ly").alias("__sy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("__syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("__sxy"),
+    )
+    n = F.col("n_types").cast("double")
+    sx, sxx = F.col("__sx"), F.col("__sxx")
+    sy, syy = F.col("__sy"), F.col("__syy")
+    sxy = F.col("__sxy")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    fit_ok = (F.col("n_types") > 1) & (denx != 0)
+    return agg.select(
+        F.col("n_types"),
+        F.col("n_tokens"),
+        F.round(F.when(fit_ok, slope), 6).alias("zipf_slope"),
+        F.round(F.when(fit_ok, sy / n - slope * (sx / n)), 6).alias("intercept"),
+        F.round(F.when(fit_ok & (deny != 0), (num * num) / (denx * deny)), 6).alias(
+            "r2"
+        ),
     )
 
 

@@ -11385,6 +11385,151 @@ def _user_entropy(spark, sf_dir):
     )
 
 
+@_q(
+    "l_diversity_events",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             hour(ts) AS h, minute(ts) AS m,
+             COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_sensitive
+      FROM events GROUP BY 1, 2, 3, 4)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_homogeneous_groups,
+      CAST(SUM(CASE WHEN n_sensitive < 3 THEN n ELSE 0 END) AS BIGINT)
+        AS n_rows_at_risk,
+      CAST(MIN(n_sensitive) AS BIGINT) AS effective_l
+    FROM g
+    """,
+    doc="l-diversity privacy census (Machanavajjhala et al. 2007) over "
+        "the events table at (event_type, date, hour, minute) "
+        "granularity with user_id as the sensitive attribute — the "
+        "audit k-anonymity misses: a group can clear k members yet "
+        "leak the sensitive value outright when all members share it "
+        "(homogeneity attack).  Counts the quasi-identifier groups "
+        "whose sensitive column has < 3 distinct values, the rows in "
+        "them, and the dataset's effective l.  Plan: one shuffle keyed "
+        "on the quasi columns (the per-group exact COUNT(DISTINCT) is "
+        "a single Expand, still map-side combinable), then a group-"
+        "table fold.  Operator: operators/quality.py "
+        "l_diversity_summary / l_diversity_audit",
+)
+def _ldiv(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    quasi = events.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+        "user_id",
+    )
+    return Q.l_diversity_summary(
+        quasi, ["event_type", "d", "h", "m"], "user_id", l=3
+    )
+
+
+@_q(
+    "zipf_vocab_fit",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), f AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE word <> '' GROUP BY 1
+    ), r AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, word ASC)
+                     AS DOUBLE)) AS lx,
+             ln(CAST(freq AS DOUBLE)) AS ly, freq
+      FROM f
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(freq) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(lx) AS sx, SUM(lx * lx) AS sxx,
+             SUM(ly) AS sy, SUM(ly * ly) AS syy, SUM(lx * ly) AS sxy
+      FROM r)
+    SELECT n_types, n_tokens,
+      CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+        AS zipf_slope,
+      CAST(round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * (sx / n), 6) AS DOUBLE) AS intercept,
+      CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS DOUBLE) AS r2
+    FROM a
+    """,
+    doc="Zipf rank-frequency fit over the corpus vocabulary (Zipf "
+        "1949): OLS slope/r2 of ln freq ~ ln rank — natural text sits "
+        "near slope −1 with a tight fit, so a bent curve is the cheap "
+        "whole-corpus smoke alarm for templated spam or crawler "
+        "artifacts, run next to the per-document quality scores.  The "
+        "only corpus-sized stage is the unigram count; the rank window "
+        "runs over the VOCABULARY (types, not tokens — executor-"
+        "trivial even at 100 TB).  Slope/intercept/r2 round to 6dp "
+        "(ln ULP + float-sum order).  Operator: operators/text.py "
+        "zipf_fit",
+)
+def _zipf(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.zipf_fit(docs, "text")
+
+
+@_q(
+    "ks_drift_price",
+    """
+    WITH b AS (
+      SELECT o_totalprice AS v,
+             (o_orderdate < TIMESTAMP '1998-01-01') AS a
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), h AS (
+      SELECT v,
+        CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM b GROUP BY v
+    ), c AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb
+      FROM h
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM h
+    ), d AS (
+      SELECT n_a, n_b,
+        MAX(ABS(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_stat
+      FROM c, t GROUP BY n_a, n_b)
+    SELECT n_a, n_b, ks_stat,
+      CAST(round(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE)) * ks_stat, 6)
+           AS DOUBLE) AS ks_scaled
+    FROM d
+    """,
+    doc="two-sample Kolmogorov–Smirnov drift test on order totals, "
+        "pre-1998 vs 1998+ — the exact sup-gap ECDF companion to the "
+        "binned psi_drift_orders: D = sup |F_A − F_B| evaluated at "
+        "every distinct price (CDFs step together at tied atoms), plus "
+        "the sqrt(n_a·n_b/(n_a+n_b))·D form compared against the "
+        "Kolmogorov critical values.  NO global-order window over the "
+        "data: per-value histogram (one corpus shuffle), then a two-"
+        "level prefix scan — running offsets over the tiny range-"
+        "bucket table, within-bucket windows partitioned by bucket — "
+        "so every stage stays parallel at 100 TB (the SQL oracle's "
+        "single ORDER BY window is the semantic spec, not the plan).  "
+        "ks_stat is a fixed IEEE sequence over exact integer counts — "
+        "bit-reproducible unrounded; only the sqrt-scaled form rounds "
+        "(6dp).  Operator: operators/stats.py ks_two_sample",
+)
+def _ks(spark, sf_dir):
+    from .operators.stats import ks_two_sample
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    return ks_two_sample(
+        orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -11537,6 +11682,9 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "gini_revenue_concentration",
     "seasonal_dow_anomalies",
     "user_event_entropy",
+    "l_diversity_events",
+    "zipf_vocab_fit",
+    "ks_drift_price",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -179,3 +179,66 @@ def test_rfm_segment_partition_is_total_and_disjoint(spark):
                 "active", "frequent", "high")
         if r["segment"] in ("at_risk", "hibernating"):
             assert r["r_band"] == "cold"
+
+
+def test_ks_drift_matches_numpy_reference(spark):
+    """ks_drift_price vs a direct numpy ECDF sup-gap on the raw values —
+    and the operator's bucketed two-level prefix scan must agree with
+    the unbucketed definition exactly (counts are integers, so ks_stat
+    admits an exact-equality check modulo one float division each)."""
+    import duckdb
+
+    a, b = (
+        np.sort(
+            np.array(
+                duckdb.sql(
+                    f"""
+                    SELECT o_totalprice FROM '{SF_SMOKE}/orders.parquet'
+                    WHERE o_totalprice IS NOT NULL
+                      AND (o_orderdate < TIMESTAMP '1998-01-01') = {cond}
+                    """
+                ).fetchnumpy()["o_totalprice"]
+            )
+        )
+        for cond in ("TRUE", "FALSE")
+    )
+    atoms = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, atoms, side="right") / len(a)
+    fb = np.searchsorted(b, atoms, side="right") / len(b)
+    d_ref = float(np.abs(fa - fb).max())
+    r = _rows(spark, "ks_drift_price")[0]
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    assert r["ks_stat"] == pytest.approx(d_ref, abs=1e-12)
+    scale = math.sqrt(len(a) * len(b) / (len(a) + len(b)))
+    assert r["ks_scaled"] == pytest.approx(scale * d_ref, abs=2e-6)
+
+
+def test_zipf_fit_matches_numpy_reference(spark):
+    """zipf_vocab_fit vs numpy.polyfit on the same (ln rank, ln freq)
+    points, ranks tie-broken exactly like the query (freq desc, word)."""
+    import duckdb
+    from collections import Counter
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    counts = Counter()
+    n_tokens = 0
+    for (t,) in texts:
+        for w in t.split(" "):
+            if w != "":
+                counts[w] += 1
+                n_tokens += 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    lx = np.log(np.arange(1, len(ordered) + 1, dtype=float))
+    ly = np.log(np.array([f for _, f in ordered], dtype=float))
+    slope, intercept = np.polyfit(lx, ly, 1)
+    r2 = float(np.corrcoef(lx, ly)[0, 1] ** 2)
+    r = _rows(spark, "zipf_vocab_fit")[0]
+    assert (r["n_types"], r["n_tokens"]) == (len(ordered), n_tokens)
+    assert r["zipf_slope"] == pytest.approx(float(slope), abs=2e-6)
+    assert r["intercept"] == pytest.approx(float(intercept), abs=2e-6)
+    assert r["r2"] == pytest.approx(r2, abs=2e-6)
+    # corpus-health reading: a token mix drawn per-document is still
+    # frequency-skewed enough that the fit slope must be negative
+    assert r["zipf_slope"] < 0

@@ -211,6 +211,87 @@ def test_k_anonymity_audit_and_summary(spark):
         k_anonymity_audit(df, ["city"], k=1)
 
 
+def test_l_diversity_audit_and_summary(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        l_diversity_audit,
+        l_diversity_summary,
+    )
+
+    rows = (
+        # k-anonymous (n=4) yet HOMOGENEOUS: every member shares one
+        # sensitive value — the leak k-anonymity cannot see
+        [("a", 30, "flu")] * 4
+        # diverse group: 3 members, 3 distinct sensitive values
+        + [("b", 30, "flu"), ("b", 30, "cold"), ("b", 30, "ok")]
+        # 2 distinct sensitive values (< l=3), one NULL (ignored)
+        + [("c", 40, "flu"), ("c", 40, "cold"), ("c", 40, None)]
+    )
+    df = spark.createDataFrame(rows, ["city", "age", "diag"])
+    risky = {
+        (r.city, r.age): (r.n, r.n_sensitive)
+        for r in l_diversity_audit(df, ["city", "age"], "diag", l=3).collect()
+    }
+    assert risky == {("a", 30): (4, 1), ("c", 40): (3, 2)}
+    s = l_diversity_summary(df, ["city", "age"], "diag", l=3).collect()[0]
+    assert (
+        s.n_groups,
+        s.n_homogeneous_groups,
+        s.n_rows_at_risk,
+        s.effective_l,
+    ) == (3, 2, 7, 1)
+    with pytest.raises(ValueError):
+        l_diversity_audit(df, ["city"], "diag", l=1)
+
+
+def test_ks_two_sample_edges(spark):
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    # identical samples -> D = 0 (every distinct-value atom balances)
+    same = spark.createDataFrame(
+        [(float(v), lab) for v in (1, 2, 3, 4) for lab in (True, False)],
+        ["v", "a"],
+    )
+    r = ks_two_sample(same, "v", F.col("a")).collect()[0]
+    assert (r.n_a, r.n_b, r.ks_stat) == (4, 4, 0.0)
+
+    # disjoint supports -> D = 1 at the boundary atom
+    disj = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (10.0, False), (11.0, False)], ["v", "a"]
+    )
+    r = ks_two_sample(disj, "v", F.col("a")).collect()[0]
+    assert r.ks_stat == 1.0
+
+    # single distinct value: lo == hi exercises the degenerate-range
+    # bucket branch (everything lands in bucket 0), D = 0
+    one = spark.createDataFrame([(5.0, True), (5.0, False)], ["v", "a"])
+    r = ks_two_sample(one, "v", F.col("a")).collect()[0]
+    assert (r.n_a, r.n_b, r.ks_stat) == (1, 1, 0.0)
+
+    # nulls are dropped before either CDF
+    withnull = spark.createDataFrame(
+        [(None, True), (1.0, True), (1.0, False)], ["v", "a"]
+    )
+    r = ks_two_sample(withnull, "v", F.col("a")).collect()[0]
+    assert (r.n_a, r.n_b, r.ks_stat) == (1, 1, 0.0)
+
+    with pytest.raises(ValueError):
+        ks_two_sample(same, "v", F.col("a"), n_buckets=0)
+
+
+def test_zipf_fit_degenerate_single_type(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame([("hello hello hello",)], ["text"])
+    r = zipf_fit(df, "text").collect()[0]
+    assert (r.n_types, r.n_tokens) == (1, 3)
+    # one point can't be fit: slope/intercept/r2 are NULL, never fake
+    assert r.zipf_slope is None and r.intercept is None and r.r2 is None
+
+
 def test_profile_table_nulls_complex_and_approx(spark):
     from automated_batch_data_pipeline_nyc_spark.operators.quality import (
         profile_table,
