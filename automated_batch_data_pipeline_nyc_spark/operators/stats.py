@@ -263,7 +263,10 @@ def ks_two_sample(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
     )
-    rng = base.agg(
+    # min/max over the DISTINCT-value histogram (== over the data, and
+    # every downstream path now shares the one corpus-sized exchange —
+    # Spark's exchange reuse executes it once)
+    rng = hist.agg(
         F.min("__v").cast("double").alias("__lo"),
         F.max("__v").cast("double").alias("__hi"),
     )

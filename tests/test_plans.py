@@ -809,3 +809,21 @@ def test_cohort_ltv_copartitioned_join_broadcast_sizes(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") == 0  # both inputs staged
+
+
+def test_ks_two_sample_no_global_data_sort(spark):
+    """The KS sup-gap must come from the two-level prefix scan: the only
+    windows are (a) partitioned by range-bucket — parallel — and (b) a
+    single-partition pass over the ~1024-row bucket-totals table.  A
+    global-order window/sort over the corpus-sized histogram would be
+    the single-task scaler this operator exists to avoid."""
+    df = QUERIES["ks_drift_price"].spark(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan (exchange reuse resolves)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the within-bucket running sums keep the bucket key in the window spec
+    assert "windowspecdefinition(__b" in plan
+    # predicate + pruning reach the scan
+    assert "PushedFilters: [IsNotNull(o_totalprice)]" in plan
+    # the corpus-sized per-value histogram exchange executes once: every
+    # further consumer (bucket totals, offsets, grand totals) reuses it
+    assert "ReusedExchange" in plan
