@@ -42,6 +42,9 @@ __all__ = [
     "temperature_resample_rates",
     "neyman_allocation",
     "stratified_sample_neyman",
+    "POISSON1_CDF",
+    "poisson_bootstrap_means",
+    "poisson_bootstrap_ci",
 ]
 
 
@@ -253,6 +256,125 @@ def weighted_sample_per_group(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .select(*df.columns, F.col("__rn").alias("draw_rank"))
+    )
+
+
+#: Cumulative Poisson(λ=1) probabilities for k = 0..9 (weights cap at
+#: 10; P(K > 9) ≈ 1.1e-7).  FIXED literals shared by the Spark
+#: when-chain and the SQL oracle's CASE so the inverse-CDF draw is
+#: identical on every engine — regenerate only with
+#: sum(exp(-1)/k! for k <= K).
+POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+    0.9999998885745216,
+)
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from u ∈ (0,1): smallest k with
+    u < CDF(k), capped at len(CDF)."""
+    expr = None
+    for k, t in enumerate(POISSON1_CDF):
+        cond = u < F.lit(t)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(len(POISSON1_CDF))
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_replicas: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Poisson-bootstrap replica means — THE resampling trick that makes
+    the bootstrap work on data too large to index: instead of drawing n
+    rows with replacement (which needs a global index and n_replicas
+    full passes), give every row an independent Poisson(1) multiplicity
+    per replica.  Replica sizes then vary ~n ± √n, which converges to
+    the classic bootstrap as n grows — and the whole thing is ONE scan:
+    explode row × replica, partial-aggregate per replica.
+
+    Returns ``(replica, n_eff, mean6)`` — the Poisson-weighted mean of
+    ``value_col`` per replica, rounded to 6dp.
+
+    Determinism: the multiplicity is the inverse-CDF draw on
+    u = (md5(seed, key, replica)[0:8 hex] + 0.5)/2^32 with FIXED
+    threshold literals (:data:`POISSON1_CDF`), and the weighted sum
+    runs in exact DECIMAL — so every replica mean is bit-reproducible
+    on any engine, partitioning, or rerun.  Scale: the explode is
+    map-side only; the shuffle carries n_partitions × n_replicas
+    partial rows (never the corpus), landing on ``n_replicas`` groups.
+    """
+    if n_replicas < 1:
+        raise ValueError(f"n_replicas must be >= 1; got {n_replicas}")
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("replica")
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(value_col).cast("decimal(12,2)").alias("__x"),
+        b,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(str(seed)),
+                    F.col("__k"),
+                    F.col("replica").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    weighted = staged.withColumn("__w", _poisson1_weight(u))
+    return (
+        weighted.groupBy("replica")
+        .agg(
+            F.sum("__w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("__w") * F.col("__x")).cast("double")
+                / F.sum("__w").cast("double"),
+                6,
+            ).alias("mean6"),
+        )
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_replicas: int = 32,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col`` from :func:`poisson_bootstrap_means` replicas: ONE
+    row ``(n_replicas, boot_mean, ci_lo, ci_hi)`` where the bounds are
+    the α/2 and 1−α/2 exact percentiles of the replica means.  The
+    final fold runs over ``n_replicas`` rows — driver-trivial at any
+    corpus size."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1); got {alpha}")
+    reps = poisson_bootstrap_means(df, key_col, value_col, n_replicas, seed)
+    return reps.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(F.avg("mean6"), 6).alias("boot_mean"),
+        F.round(F.percentile("mean6", F.lit(alpha / 2.0)), 6).alias("ci_lo"),
+        F.round(F.percentile("mean6", F.lit(1.0 - alpha / 2.0)), 6).alias("ci_hi"),
     )
 
 

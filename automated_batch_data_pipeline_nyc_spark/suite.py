@@ -11474,6 +11474,65 @@ def _zipf(spark, sf_dir):
     return tx.zipf_fit(docs, "text")
 
 
+def _poisson_case_sql(u_expr: str) -> str:
+    """CASE translating u -> Poisson(1) multiplicity from the SAME fixed
+    threshold literals the Spark when-chain uses
+    (operators/sampling.py POISSON1_CDF) — repr() round-trips doubles
+    exactly, so both engines compare against bit-identical constants."""
+    whens = "\n        ".join(
+        f"WHEN {u_expr} < {t!r} THEN {k}"
+        for k, t in enumerate(sa.POISSON1_CDF)
+    )
+    return f"CASE {whens}\n        ELSE {len(sa.POISSON1_CDF)} END"
+
+
+@_q(
+    "bootstrap_revenue_ci",
+    f"""
+    WITH s AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS x, g.b AS b
+      FROM orders, generate_series(1, 32) AS g(b)
+      WHERE o_totalprice IS NOT NULL
+    ), u AS (
+      SELECT b, x,
+        (CAST(('0x' || substring(
+             md5('42' || chr(31) || k || chr(31) || CAST(b AS VARCHAR)),
+             1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM s
+    ), w AS (
+      SELECT b, x, {_poisson_case_sql("u")} AS w FROM u
+    ), m AS (
+      SELECT b, round(CAST(SUM(w * x) AS DOUBLE)
+                      / CAST(SUM(w) AS DOUBLE), 6) AS mean6
+      FROM w GROUP BY b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+      CAST(round(AVG(mean6), 6) AS DOUBLE) AS boot_mean,
+      CAST(round(quantile_cont(mean6, 0.025), 6) AS DOUBLE) AS ci_lo,
+      CAST(round(quantile_cont(mean6, 0.975), 6) AS DOUBLE) AS ci_hi
+    FROM m
+    """,
+    doc="Poisson-bootstrap 95% confidence interval for the mean order "
+        "total — the resampling trick that makes the bootstrap work at "
+        "corpus scale: instead of 32 indexed draws-with-replacement, "
+        "every row gets an independent Poisson(1) multiplicity per "
+        "replica (inverse-CDF on a portable md5 uniform with FIXED "
+        "threshold literals), so all 32 replicas compute in ONE scan — "
+        "the explode is map-side, partial aggregation ships "
+        "n_partitions x 32 rows, and the percentile fold runs over 32 "
+        "replica means.  Replica means are exact-DECIMAL weighted sums "
+        "(bit-reproducible on any engine/partitioning) rounded 6dp "
+        "before the interpolated percentile.  Operator: "
+        "operators/sampling.py poisson_bootstrap_ci / "
+        "poisson_bootstrap_means",
+)
+def _bootci(spark, sf_dir):
+    (orders,) = _load(spark, sf_dir, "orders")
+    return sa.poisson_bootstrap_ci(
+        orders, "o_orderkey", "o_totalprice", n_replicas=32, alpha=0.05
+    )
+
+
 @_q(
     "ks_drift_price",
     """
@@ -11685,6 +11744,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "l_diversity_events",
     "zipf_vocab_fit",
     "ks_drift_price",
+    "bootstrap_revenue_ci",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -242,3 +242,71 @@ def test_zipf_fit_matches_numpy_reference(spark):
     # corpus-health reading: a token mix drawn per-document is still
     # frequency-skewed enough that the fit slope must be negative
     assert r["zipf_slope"] < 0
+
+
+def test_poisson_bootstrap_matches_pure_python_reference(spark):
+    """bootstrap_revenue_ci vs an independent hashlib/numpy replay of
+    the whole draw: md5 uniform -> inverse-CDF Poisson(1) multiplicity
+    -> per-replica weighted means -> percentile interval.  Exact
+    equality on n_eff/means (integer counts, DECIMAL sums) modulo the
+    6dp round; the sanity band pins that the interval actually brackets
+    the true mean."""
+    import duckdb
+    import hashlib
+    from decimal import Decimal
+
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap_means,
+    )
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+
+    rows = duckdb.sql(
+        f"""
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM '{SF_SMOKE}/orders.parquet' WHERE o_totalprice IS NOT NULL
+        """
+    ).fetchall()
+    n_replicas = 32
+    means, sizes = [], []
+    for b in range(1, n_replicas + 1):
+        sw, swx = 0, Decimal(0)
+        for key, x in rows:
+            raw = f"42\x1f{key}\x1f{b}".encode()
+            h = int(hashlib.md5(raw).hexdigest()[:8], 16)
+            u = (h + 0.5) / 2**32
+            w = next(
+                (k for k, t in enumerate(POISSON1_CDF) if u < t),
+                len(POISSON1_CDF),
+            )
+            sw += w
+            swx += w * x
+        sizes.append(sw)
+        means.append(round(float(swx) / sw, 6))
+
+    reps = poisson_bootstrap_means(
+        read_parquet(spark, f"{SF_SMOKE}/orders.parquet"),
+        "o_orderkey",
+        "o_totalprice",
+    ).collect()
+    got = {r.replica: r.asDict() for r in reps}
+    assert len(got) == n_replicas
+    for b in range(1, n_replicas + 1):
+        assert got[b]["n_eff"] == sizes[b - 1], b
+        assert got[b]["mean6"] == pytest.approx(means[b - 1], abs=2e-6), b
+
+    r = _rows(spark, "bootstrap_revenue_ci")[0]
+    assert r["n_replicas"] == n_replicas
+    assert r["boot_mean"] == pytest.approx(float(np.mean(means)), abs=2e-6)
+    assert r["ci_lo"] == pytest.approx(
+        float(np.percentile(means, 2.5)), abs=2e-6
+    )
+    assert r["ci_hi"] == pytest.approx(
+        float(np.percentile(means, 97.5)), abs=2e-6
+    )
+    # the interval must bracket the full-sample mean on this fixture
+    true_mean = float(np.mean([float(x) for _, x in rows]))
+    assert r["ci_lo"] < true_mean < r["ci_hi"]
+    # Poisson(1) replica sizes concentrate at n +- ~4*sqrt(n)
+    n = len(rows)
+    assert all(abs(s - n) < 5 * n**0.5 for s in sizes)

@@ -691,3 +691,25 @@ def test_bfs_hops_vs_python_reference(spark):
 
     with _p.raises(ValueError, match="max_hops must be"):
         bfs_hops(sdf, edf, max_hops=-1)
+
+
+def test_poisson_bootstrap_validation(spark):
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+        poisson_bootstrap_means,
+    )
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    with pytest.raises(ValueError):
+        poisson_bootstrap_means(df, "k", "v", n_replicas=0)
+    for bad_alpha in (0.0, 1.0, -0.1):
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(df, "k", "v", alpha=bad_alpha)
+    # null values never reach a replica; n_eff is the Poisson mass only
+    withnull = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], ["k", "v"]
+    )
+    reps = poisson_bootstrap_means(withnull, "k", "v", n_replicas=4).collect()
+    assert len(reps) == 4
+    for r in reps:
+        assert r.n_eff >= 0 and (r.mean6 is None or 10.0 <= r.mean6 <= 30.0)

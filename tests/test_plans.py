@@ -827,3 +827,17 @@ def test_ks_two_sample_no_global_data_sort(spark):
     # the corpus-sized per-value histogram exchange executes once: every
     # further consumer (bucket totals, offsets, grand totals) reuses it
     assert "ReusedExchange" in plan
+
+
+def test_poisson_bootstrap_single_corpus_exchange(spark):
+    """All 32 replicas must compute in ONE corpus pass: the explode is
+    map-side (Generate before any exchange), the only corpus-sized
+    exchange is the partial-aggregated shuffle onto the replica key,
+    and everything stays JVM-side (no Python eval in the draw)."""
+    df = QUERIES["bootstrap_revenue_ci"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Sort " not in plan, "percentile fold must not plan a sort"
+    assert "PushedFilters: [IsNotNull(o_totalprice)]" in plan
