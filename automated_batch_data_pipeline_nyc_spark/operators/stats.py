@@ -27,6 +27,7 @@ __all__ = [
     "group_linear_fit",
     "corr_matrix",
     "ks_two_sample",
+    "rank_sum_auc",
     "pair_lift",
     "mahalanobis_scores",
     "categorical_mutual_information",
@@ -219,6 +220,130 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     ).select("p.col_x", "p.col_y", F.col("n"), "p.corr")
 
 
+def _two_sample_running_counts(
+    df: DataFrame,
+    value_col: str,
+    is_a: Column,
+    n_buckets: int,
+) -> DataFrame:
+    """Shared engine of :func:`ks_two_sample` / :func:`rank_sum_auc`:
+    per-distinct-value counts of two labeled samples with INCLUSIVE
+    running totals in value order, computed with NO global-order window
+    over the data.
+
+    1. ONE corpus-sized shuffle builds the per-distinct-value histogram
+       ``(__v, __ca, __cb)``.
+    2. Values are range-bucketed into ``n_buckets`` splits of
+       ``[min, max]`` (min/max taken over the histogram itself, so the
+       1-row aggregate reuses the same corpus exchange and broadcasts —
+       no driver collect).
+    3. Per-bucket totals (``n_buckets`` rows) get exclusive running
+       offsets via a window over the TINY bucket table; within-bucket
+       running counts use a window PARTITIONED by bucket — the classic
+       two-level prefix scan, every stage parallel.
+
+    Returns ``(__v, __ca, __cb, __cuma, __cumb, n_a, n_b)``.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        v.alias("__v"), is_a.cast("boolean").alias("__a")
+    )
+    hist = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
+    )
+    rng = hist.agg(
+        F.min("__v").cast("double").alias("__lo"),
+        F.max("__v").cast("double").alias("__hi"),
+    )
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("__v").cast("double") - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
+            ),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    h = hist.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    btot = h.groupBy("__b").agg(
+        F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
+    )
+    w_excl = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b",
+        F.coalesce(F.sum("__ba").over(w_excl), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_excl), F.lit(0)).alias("__ob"),
+    )
+    tot = btot.agg(F.sum("__ba").alias("n_a"), F.sum("__bb").alias("n_b"))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        h.join(F.broadcast(boff), "__b")
+        .select(
+            "__v",
+            "__ca",
+            "__cb",
+            (F.col("__oa") + F.sum("__ca").over(w_in)).alias("__cuma"),
+            (F.col("__ob") + F.sum("__cb").over(w_in)).alias("__cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def rank_sum_auc(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed ROC-AUC via the Mann–Whitney rank-sum identity —
+    the standard evaluation for any scoring model (quality classifier,
+    ranking feature, anomaly score) without materializing a single ROC
+    point: ``AUC = P(S⁺ > S⁻) + ½·P(S⁺ = S⁻)``, i.e. the U statistic
+    normalized by ``n⁺·n⁻``.  Per distinct score s, a positive there
+    beats every negative strictly below (``cum⁻(s) − c⁻(s)``) and
+    half-ties the negatives at s, so with inclusive running counts:
+
+      ``2·U = Σ_s c⁺(s) · (2·cum⁻(s) − c⁻(s))``,  ``AUC = 2U / (2·n⁺·n⁻)``
+
+    Everything is exact integer arithmetic (DECIMAL(38,0) sums — the
+    pair count overflows BIGINT long before 100 TB) until ONE final
+    double division — bit-reproducible on any engine or partitioning,
+    no rounding.  Plan shape is :func:`_two_sample_running_counts`:
+    one corpus shuffle + the two-level prefix scan, no global-order
+    window over the data.  Returns ``(n_pos, n_neg, auc)``; AUC is
+    NULL when either class is empty.
+    """
+    _d38 = "decimal(38,0)"
+    cum = _two_sample_running_counts(df, score_col, is_positive, n_buckets)
+    num2 = F.sum(
+        (2 * F.col("__cumb") - F.col("__cb")).cast(_d38)
+        * F.col("__ca").cast(_d38)
+    )
+    out = cum.groupBy("n_a", "n_b").agg(num2.alias("__num2"))
+    den = (
+        F.lit(2.0)
+        * F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+    )
+    return out.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("__num2").cast("double") / den,
+        ).alias("auc"),
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -251,62 +376,7 @@ def ks_two_sample(
     IEEE-double sequence — bit-reproducible on any engine or
     partitioning, no rounding needed.
     """
-    from pyspark.sql import Window
-
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
-    v = F.col(value_col)
-    base = df.filter(v.isNotNull()).select(
-        v.alias("__v"), is_a.cast("boolean").alias("__a")
-    )
-    hist = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
-        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
-    )
-    # min/max over the DISTINCT-value histogram (== over the data, and
-    # every downstream path now shares the one corpus-sized exchange —
-    # Spark's exchange reuse executes it once)
-    rng = hist.agg(
-        F.min("__v").cast("double").alias("__lo"),
-        F.max("__v").cast("double").alias("__hi"),
-    )
-    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("__v").cast("double") - F.col("__lo"))
-                / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
-            ),
-            F.lit(n_buckets - 1),
-        )
-    ).cast("int")
-    h = hist.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
-    btot = h.groupBy("__b").agg(
-        F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
-    )
-    w_excl = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    boff = btot.select(
-        "__b",
-        F.coalesce(F.sum("__ba").over(w_excl), F.lit(0)).alias("__oa"),
-        F.coalesce(F.sum("__bb").over(w_excl), F.lit(0)).alias("__ob"),
-    )
-    tot = btot.agg(
-        F.sum("__ba").alias("n_a"), F.sum("__bb").alias("n_b")
-    )
-    w_in = (
-        Window.partitionBy("__b")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        h.join(F.broadcast(boff), "__b")
-        .select(
-            "__b",
-            "__v",
-            (F.col("__oa") + F.sum("__ca").over(w_in)).alias("__cuma"),
-            (F.col("__ob") + F.sum("__cb").over(w_in)).alias("__cumb"),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
+    cum = _two_sample_running_counts(df, value_col, is_a, n_buckets)
     gap = F.abs(
         F.col("__cuma").cast("double") / F.col("n_a").cast("double")
         - F.col("__cumb").cast("double") / F.col("n_b").cast("double")

@@ -11474,6 +11474,66 @@ def _zipf(spark, sf_dir):
     return tx.zipf_fit(docs, "text")
 
 
+@_q(
+    "auc_price_basket_size",
+    """
+    WITH lc AS (
+      SELECT l_orderkey, COUNT(*) AS nl FROM lineitem GROUP BY 1
+    ), s AS (
+      SELECT o_totalprice AS score, (coalesce(nl, 0) >= 5) AS pos
+      FROM orders LEFT JOIN lc ON o_orderkey = l_orderkey
+      WHERE o_totalprice IS NOT NULL
+    ), h AS (
+      SELECT score,
+        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS cn
+      FROM s GROUP BY score
+    ), c AS (
+      SELECT cp, cn, SUM(cn) OVER (ORDER BY score) AS cumn FROM h
+    ), t AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+             CAST(SUM(cn) AS BIGINT) AS n_neg FROM h)
+    SELECT n_pos, n_neg,
+      CAST(SUM(cp * (2 * cumn - cn)) AS DOUBLE)
+        / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM c, t GROUP BY n_pos, n_neg
+    """,
+    doc="distributed ROC-AUC (Mann–Whitney rank-sum identity): how well "
+        "the order total ranks large baskets (>= 5 lineitems) — the "
+        "eval every scoring feature/quality classifier needs, computed "
+        "without materializing a single ROC point: per distinct score, "
+        "a positive beats the negatives strictly below and half-ties "
+        "the negatives at the same score, so 2U folds from the "
+        "inclusive running negative counts.  Exact integer arithmetic "
+        "(DECIMAL(38,0) pair sums — the pair count overflows BIGINT "
+        "long before 100 TB) until ONE final double division — bit-"
+        "reproducible unrounded.  Same two-level prefix-scan plan as "
+        "ks_drift_price: one corpus shuffle, no global-order window "
+        "over the data (the oracle's ORDER BY window is the semantic "
+        "spec, not the plan).  The label join aggregates lineitem "
+        "before joining, so the fact table never carries the label "
+        "probe.  The synthetic fixture draws totals independently of "
+        "basket size, so the verified value sits near the null 0.5; "
+        "discrimination itself is pinned by the perfect/reversed/tied "
+        "edge pytests.  Operator: operators/stats.py rank_sum_auc",
+)
+def _auc(spark, sf_dir):
+    from .operators.stats import rank_sum_auc
+
+    orders, lineitem = _load(spark, sf_dir, "orders", "lineitem")
+    lc = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    scored = (
+        orders.join(lc, "o_orderkey", "left")
+        .select(
+            F.col("o_totalprice").alias("score"),
+            (F.coalesce(F.col("nl"), F.lit(0)) >= 5).alias("pos"),
+        )
+    )
+    return rank_sum_auc(scored, "score", F.col("pos"))
+
+
 def _poisson_case_sql(u_expr: str) -> str:
     """CASE translating u -> Poisson(1) multiplicity from the SAME fixed
     threshold literals the Spark when-chain uses
@@ -11745,6 +11805,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "zipf_vocab_fit",
     "ks_drift_price",
     "bootstrap_revenue_ci",
+    "auc_price_basket_size",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

@@ -310,3 +310,58 @@ def test_poisson_bootstrap_matches_pure_python_reference(spark):
     # Poisson(1) replica sizes concentrate at n +- ~4*sqrt(n)
     n = len(rows)
     assert all(abs(s - n) < 5 * n**0.5 for s in sizes)
+
+
+def test_auc_matches_brute_force_pair_reference(spark):
+    """auc_price_basket_size vs the literal definition: the mean over
+    all (positive, negative) pairs of [s+ > s-] + 0.5*[s+ = s-],
+    computed O(n^2) on the smoke fixture.  Exact equality modulo one
+    float division each (the operator's arithmetic is all-integer)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        WITH lc AS (
+          SELECT l_orderkey, COUNT(*) AS nl
+          FROM '{SF_SMOKE}/lineitem.parquet' GROUP BY 1)
+        SELECT o_totalprice, coalesce(nl, 0) >= 5
+        FROM '{SF_SMOKE}/orders.parquet' LEFT JOIN lc
+          ON o_orderkey = l_orderkey
+        WHERE o_totalprice IS NOT NULL
+        """
+    ).fetchall()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum((p > q) + 0.5 * (p == q) for p in pos for q in neg)
+    ref = wins / (len(pos) * len(neg))
+    r = _rows(spark, "auc_price_basket_size")[0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["auc"] == pytest.approx(ref, abs=1e-12)
+    # the synthetic fixture draws o_totalprice independently of the
+    # lineitem count (unlike real TPC-H), so a CORRECT AUC sits near
+    # the null 0.5 — discrimination behavior is pinned separately by
+    # the perfect/reversed/tied edges in test_rank_sum_auc_edges
+    assert 0.4 < r["auc"] < 0.6
+
+
+def test_rank_sum_auc_edges(spark):
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        rank_sum_auc,
+    )
+
+    # perfect separation -> 1.0; reversed -> 0.0; all-tied -> 0.5
+    perfect = spark.createDataFrame(
+        [(2.0, True), (3.0, True), (0.0, False), (1.0, False)], ["s", "y"]
+    )
+    assert rank_sum_auc(perfect, "s", F.col("y")).collect()[0].auc == 1.0
+    assert (
+        rank_sum_auc(perfect, "s", ~F.col("y")).collect()[0].auc == 0.0
+    )
+    tied = spark.createDataFrame([(5.0, True), (5.0, False)], ["s", "y"])
+    assert rank_sum_auc(tied, "s", F.col("y")).collect()[0].auc == 0.5
+    # one empty class -> NULL, never a fake number
+    onesided = spark.createDataFrame([(1.0, True), (2.0, True)], ["s", "y"])
+    r = rank_sum_auc(onesided, "s", F.col("y")).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 0, None)
