@@ -259,6 +259,7 @@ def bfs_hops(
     src: str = "id_a",
     dst: str = "id_b",
     max_hops: int = 6,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Breadth-first min-hop distance from a seed set over an
     undirected edge list — returns ``(node, hops)`` for every node
@@ -283,15 +284,38 @@ def bfs_hops(
     the corpus.  ``max_hops`` caps the level count so the job is
     O(max_hops) shuffles worst-case (cross-engine reproducible: a
     bounded-depth recursive SQL walk computes the identical labeling).
+
+    ``max_degree`` (opt-in) drops the out-edges of nodes whose degree
+    exceeds the cap BEFORE the walk — the same high-degree-vertex
+    control :func:`count_triangles` gets from its Schank/Wagner
+    degree orientation.  On web-scale graphs a single hub node fans the
+    frontier join out to its whole (possibly 10^8-row) adjacency list;
+    capping turns that skewed join key into bounded work.  The result
+    is the exact BFS of the TRUNCATED graph: distances through an
+    excised hub can only grow or disappear, so use it where hop counts
+    are a blast-radius heuristic (contamination spread, audience
+    expansion), not an exact metric.  Hub nodes stay *reachable*
+    (their in-edges from low-degree nodes survive); only paths
+    *through* them are cut.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0; got {max_hops}")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1; got {max_degree}")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if max_degree is not None:
+        # degree = out-degree in the symmetrized list; one extra
+        # edge-list shuffle, amortized over every BFS level
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+        edges = (
+            edges.join(deg.filter(F.col("__deg") <= max_degree), "a")
+            .select("a", "b")
+        )
+    edges = edges.localCheckpoint(eager=True)
     frontier = (
         seeds.select(F.col(id_col).alias("node"))
         .distinct()

@@ -34,6 +34,8 @@ __all__ = [
     "profile_table",
     "benford_audit",
     "population_stability_index",
+    "dp_noisy_counts",
+    "diff_in_diff",
 ]
 
 
@@ -473,4 +475,125 @@ def population_stability_index(
         F.round(pe, 6).alias("p_expected"),
         F.round(pa, 6).alias("p_actual"),
         F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_term"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    — ``(group, true_count, noise6, noisy_count6)``.
+
+    A COUNT has L1 sensitivity 1 (one individual changes it by at most
+    1), so adding Laplace(1/ε) noise satisfies ε-DP — the standard
+    private-release primitive for sharing aggregate statistics over
+    user data (completes the privacy battery beside
+    :func:`k_anonymity_audit` / :func:`l_diversity_audit`).
+
+    The draw is DETERMINISTIC-per-(seed, group): inverse-CDF Laplace
+    on the engine-portable md5 uniform,
+    ``noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)``, so releases are
+    reproducible, auditable in ANSI SQL, and identical across reruns
+    and engines — the same replayability contract as every sampler
+    here.  NOTE: a reproducible draw means re-releasing with the same
+    seed spends no extra privacy budget, but *changing* the seed does;
+    and a real release must DROP ``true_count`` (kept here so pipelines
+    can audit the mechanism, e.g. calibrate expected |noise|).
+
+    Plan: one map-side-combinable count shuffle; the noise expression
+    is per-GROUP (group-cardinality rows), pure JVM math.
+    """
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0; got {epsilon}")
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(str(seed)), F.col(group_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        group_col,
+        "true_count",
+        F.round(noise, 6).alias("noise6"),
+        F.round(F.col("true_count").cast("double") + noise, 6).alias(
+            "noisy_count6"
+        ),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated: Column,
+    post: Column,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences point estimate — ONE row with the four
+    cell means and ``did6 = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)``.
+
+    The workhorse quasi-experimental estimator when treatment wasn't
+    randomized (a feature shipped to one region, a policy applied to
+    one cohort): the control group's pre→post drift nets out shared
+    time trends, leaving the treatment effect under the
+    parallel-trends assumption.
+
+    Plan: ONE map-side-combinable aggregate — each row contributes to
+    exactly one of four (treated, post) cells via conditional sums;
+    no join, no window, nothing grows with the corpus.  Cell sums are
+    exact DECIMAL; each mean and the DiD combination is one fixed IEEE
+    expression rounded 6dp (cross-engine bit-stable).
+    """
+    x = F.col(value_col).cast("decimal(18,2)")
+    t = treated.cast("boolean")
+    p = post.cast("boolean")
+
+    def cell(tt: bool, pp: bool, tag: str) -> list[Column]:
+        cond = (t == F.lit(tt)) & (p == F.lit(pp))
+        return [
+            F.sum(F.when(cond, x)).alias(f"__s_{tag}"),
+            F.count(F.when(cond, F.lit(1))).alias(f"__n_{tag}"),
+        ]
+
+    agg = df.filter(x.isNotNull() & t.isNotNull() & p.isNotNull()).agg(
+        *cell(True, False, "t_pre"),
+        *cell(True, True, "t_post"),
+        *cell(False, False, "c_pre"),
+        *cell(False, True, "c_post"),
+    )
+
+    def mean(tag: str) -> Column:
+        return F.col(f"__s_{tag}").cast("double") / F.col(
+            f"__n_{tag}"
+        ).cast("double")
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    return agg.select(
+        *[F.col(f"__n_{g}").alias(f"n_{g}") for g in
+          ("t_pre", "t_post", "c_pre", "c_post")],
+        *[F.round(mean(g), 6).alias(f"mean_{g}6") for g in
+          ("t_pre", "t_post", "c_pre", "c_post")],
+        F.round(did, 6).alias("did6"),
     )

@@ -43,6 +43,7 @@ __all__ = [
     "neyman_allocation",
     "stratified_sample_neyman",
     "POISSON1_CDF",
+    "poisson_cdf",
     "poisson_bootstrap_means",
     "poisson_bootstrap_ci",
 ]
@@ -278,14 +279,41 @@ POISSON1_CDF: tuple[float, ...] = (
 )
 
 
-def _poisson1_weight(u: Column) -> Column:
-    """Inverse-CDF Poisson(1) draw from u ∈ (0,1): smallest k with
+def poisson_cdf(lam: float, tail_eps: float = 1e-7) -> tuple[float, ...]:
+    """Cumulative Poisson(λ) probabilities for k = 0.. until the tail
+    mass drops below ``tail_eps`` (draws cap at the table length).
+
+    Plain-float recurrence p₀ = e^{−λ}, p_k = p_{k−1}·λ/k, accumulated —
+    repr() of these doubles round-trips, so a SQL oracle mirroring the
+    generated literals reproduces the draw bit-for-bit on any engine.
+    For λ=1 this regenerates :data:`POISSON1_CDF` exactly (pinned by
+    pytest); λ=1 callers use the frozen constant so committed oracle
+    SQL can never drift.
+    """
+    import math
+
+    if not lam > 0:
+        raise ValueError(f"lam must be > 0; got {lam}")
+    if not 0 < tail_eps < 1:
+        raise ValueError(f"tail_eps must be in (0, 1); got {tail_eps}")
+    p = math.exp(-lam)
+    cdf = [p]
+    k = 0
+    while 1.0 - cdf[-1] > tail_eps:
+        k += 1
+        p = p * lam / k
+        cdf.append(cdf[-1] + p)
+    return tuple(cdf)
+
+
+def _poisson_weight(u: Column, cdf: tuple[float, ...]) -> Column:
+    """Inverse-CDF Poisson draw from u ∈ (0,1): smallest k with
     u < CDF(k), capped at len(CDF)."""
     expr = None
-    for k, t in enumerate(POISSON1_CDF):
+    for k, t in enumerate(cdf):
         cond = u < F.lit(t)
         expr = F.when(cond, k) if expr is None else expr.when(cond, k)
-    return expr.otherwise(len(POISSON1_CDF))
+    return expr.otherwise(len(cdf))
 
 
 def poisson_bootstrap_means(
@@ -294,6 +322,7 @@ def poisson_bootstrap_means(
     value_col: str,
     n_replicas: int = 32,
     seed: int = 42,
+    lam: float = 1.0,
 ) -> DataFrame:
     """Poisson-bootstrap replica means — THE resampling trick that makes
     the bootstrap work on data too large to index: instead of drawing n
@@ -308,19 +337,34 @@ def poisson_bootstrap_means(
 
     Determinism: the multiplicity is the inverse-CDF draw on
     u = (md5(seed, key, replica)[0:8 hex] + 0.5)/2^32 with FIXED
-    threshold literals (:data:`POISSON1_CDF`), and the weighted sum
-    runs in exact DECIMAL — so every replica mean is bit-reproducible
-    on any engine, partitioning, or rerun.  Scale: the explode is
-    map-side only; the shuffle carries n_partitions × n_replicas
-    partial rows (never the corpus), landing on ``n_replicas`` groups.
+    threshold literals (:data:`POISSON1_CDF` for the default λ=1;
+    :func:`poisson_cdf`-generated otherwise — mirror those literals
+    into any cross-engine oracle), and the weighted sum runs in exact
+    DECIMAL — so every replica mean is bit-reproducible on any engine,
+    partitioning, or rerun.  ``lam`` scales the expected replica size
+    to λ·n (classic bootstrap is λ=1).  Scale: the explode is map-side
+    only; the shuffle carries n_partitions × n_replicas partial rows
+    (never the corpus), landing on ``n_replicas`` groups.
+
+    Values outside DECIMAL(12,2) (|x| ≥ 10^10) are EXCLUDED, exactly
+    like NULLs: the filter runs on the *cast* value, so an overflow can
+    never count in ``n_eff`` while contributing nothing to the sum
+    (which would silently bias means low — ADVICE r5).
     """
     if n_replicas < 1:
         raise ValueError(f"n_replicas must be >= 1; got {n_replicas}")
+    cdf = POISSON1_CDF if lam == 1.0 else poisson_cdf(lam)
     b = F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("replica")
-    staged = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(key_col).cast("string").alias("__k"),
-        F.col(value_col).cast("decimal(12,2)").alias("__x"),
-        b,
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("__k"),
+            # try_cast: overflow → NULL under ANSI too (plain cast would
+            # throw with ansi on / silently NULL with it off)
+            F.col(value_col).try_cast("decimal(12,2)").alias("__x"),
+        )
+        .filter(F.col("__x").isNotNull())  # DECIMAL overflow → excluded
+        .select("__k", "__x", b)
     )
     h = F.conv(
         F.substring(
@@ -339,7 +383,7 @@ def poisson_bootstrap_means(
         10,
     ).cast("bigint")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
-    weighted = staged.withColumn("__w", _poisson1_weight(u))
+    weighted = staged.withColumn("__w", _poisson_weight(u, cdf))
     return (
         weighted.groupBy("replica")
         .agg(
@@ -360,6 +404,7 @@ def poisson_bootstrap_ci(
     n_replicas: int = 32,
     alpha: float = 0.05,
     seed: int = 42,
+    lam: float = 1.0,
 ) -> DataFrame:
     """Percentile-bootstrap confidence interval for the mean of
     ``value_col`` from :func:`poisson_bootstrap_means` replicas: ONE
@@ -369,7 +414,9 @@ def poisson_bootstrap_ci(
     corpus size."""
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1); got {alpha}")
-    reps = poisson_bootstrap_means(df, key_col, value_col, n_replicas, seed)
+    reps = poisson_bootstrap_means(
+        df, key_col, value_col, n_replicas, seed, lam
+    )
     return reps.agg(
         F.count(F.lit(1)).alias("n_replicas"),
         F.round(F.avg("mean6"), 6).alias("boot_mean"),
@@ -708,8 +755,11 @@ def stratified_sample_neyman(
     keyed, rerunnable sample.
     """
     alloc = neyman_allocation(df, stratum_col, value_col, total_n)
+    # __-prefixed internal name: .drop("stratum") would also drop the
+    # CALLER'S column whenever stratum_col is literally named "stratum"
+    # (drop-by-name takes every match — ADVICE r5)
     thresh = alloc.select(
-        "stratum",
+        F.col("stratum").alias("__stratum"),
         F.floor(
             F.lit(float(buckets))
             * F.col("alloc_n").cast("double")
@@ -721,8 +771,8 @@ def stratified_sample_neyman(
     return (
         df.join(
             F.broadcast(thresh),
-            df[stratum_col] == thresh.stratum,
+            df[stratum_col] == thresh["__stratum"],
         )
         .filter(b < F.col("__thresh"))
-        .drop("stratum", "__thresh")
+        .drop("__stratum", "__thresh")
     )

@@ -42,6 +42,12 @@ __all__ = [
     "bloom_build",
     "bloom_bitmap",
     "bloom_might_contain",
+    "chi2_independence",
+    "autocorrelation",
+    "trimmed_mean",
+    "kmv_distinct",
+    "normal_cdf",
+    "benjamini_hochberg",
 ]
 
 #: integer-valued measures fit comfortably: |x| < 10^12 keeps x*x
@@ -936,3 +942,376 @@ def bloom_might_contain(
         hit = word.bitwiseAND(mask) != 0
         cond = hit if cond is None else (cond & hit)
     return cond
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — ONE row ``(n, n_a, n_b, dof, chi2_6, cramers_v6)``.
+
+    The hypothesis-testing complement to
+    :func:`categorical_mutual_information` (MI measures *how much*
+    dependence; chi² asks whether the observed contingency could be
+    chance).  Cramér's V normalizes chi² to [0, 1] so effect size is
+    comparable across table shapes.
+
+    Scale shape: ONE map-side-combinable count shuffle builds the
+    contingency table; margins and expectations are windows over that
+    CELL frame (≤ |A|·|B| rows — category cardinality, never the
+    corpus).  Cross-engine exactness: cell counts and margins are exact
+    longs; each cell's (o−e)²/e term is one fixed IEEE expression
+    rounded to 6dp, and the total sums the ROUNDED terms in
+    DECIMAL(28,6) — partial order can't change it (the Benford-audit
+    determinism pattern).
+    """
+    from pyspark.sql import Window as Wn
+
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    w_a = Wn.partitionBy("__a")
+    w_b = Wn.partitionBy("__b")
+    w_all = Wn.partitionBy()
+    m = cells.select(
+        "__o",
+        F.sum("__o").over(w_a).alias("__ra"),
+        F.sum("__o").over(w_b).alias("__cb"),
+        F.sum("__o").over(w_all).alias("__n"),
+        F.size(F.collect_set("__a").over(w_all)).alias("__ka"),
+        F.size(F.collect_set("__b").over(w_all)).alias("__kb"),
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    o = F.col("__o").cast("double")
+    term = F.round((o - e) * (o - e) / e, 6)
+    agg = m.agg(
+        F.max("__n").alias("n"),
+        F.max("__ka").cast("long").alias("n_a"),
+        F.max("__kb").cast("long").alias("n_b"),
+        F.sum(term.cast("decimal(28,6)")).alias("__chi2"),
+    )
+    chi2 = F.col("__chi2").cast("double")
+    kmin = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return agg.select(
+        "n",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2_6"),
+        F.when(
+            (F.col("n") > 0) & (kmin > 0),
+            F.round(
+                F.sqrt(chi2 / (F.col("n").cast("double") * kmin.cast("double"))),
+                6,
+            ),
+        ).alias("cramers_v6"),
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function r₁..r_max_lag of an
+    integer-indexed series — ``(lag, n_pairs, acf6)`` per lag.
+
+    r_k = Σₜ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σₜ(xₜ−x̄)² with the FULL-series mean and
+    variance (the standard ACF normalization, so r_k is comparable
+    across lags and |r_k| ≤ 1).  ``idx_col`` must be an integer time
+    index (e.g. epoch day); a lag is an index difference, so gaps in
+    the series simply contribute no pair.
+
+    Designed for an ALREADY-AGGREGATED series (daily revenue, hourly
+    counts): the frame is dim-bounded — days, not the corpus — so the
+    lag self-join (series × max_lag rows against itself) is tiny;
+    there is deliberately no corpus-sized path here.  Cross-engine
+    exactness: values go through DECIMAL(18,2); all pair/global sums
+    (Σxₜxₜ₊ₖ, head/tail sums, Σx, Σx²) are exact decimals; the mean
+    only enters one fixed IEEE expression per lag via the expansion
+    Σ(xₜ−m)(xₜ₊ₖ−m) = Σxₜxₜ₊ₖ − m·(Σhead+Σtail) + cnt·m², rounded 6dp
+    once.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1; got {max_lag}")
+    base = series.select(
+        F.col(idx_col).cast("long").alias("__i"),
+        F.col(value_col).cast("decimal(18,2)").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    glob = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    )
+    lagged = base.select(
+        "__i",
+        "__x",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    )
+    tail = base.select(F.col("__i").alias("__j"), F.col("__x").alias("__y"))
+    pairs = lagged.join(tail, lagged.__i + lagged.lag == tail.__j)
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum("__x").alias("__sh"),
+        F.sum("__y").alias("__st"),
+    )
+    j = per_lag.crossJoin(F.broadcast(glob))
+    m = F.col("__s").cast("double") / F.col("__n").cast("double")
+    num = (
+        F.col("__sxy").cast("double")
+        - m * (F.col("__sh").cast("double") + F.col("__st").cast("double"))
+        + F.col("n_pairs").cast("double") * m * m
+    )
+    den = (
+        F.col("__ss").cast("double")
+        - F.col("__n").cast("double") * m * m
+    )
+    return j.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.when((F.col("n_pairs") > 0) & (den != 0), F.round(num / den, 6))
+        .alias("acf6"),
+    ).orderBy("lag")
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact per-group trimmed mean — drop the lowest and highest
+    ``floor(trim_frac·n)`` values, average the rest — WITHOUT any
+    per-group global sort.
+
+    The robust-location upgrade to plain AVG for heavy-tailed measures
+    (a clip-free complement to winsorized ``clip_outliers``).  Returns
+    ``(group, n, k_trim, trimmed_mean6)``.
+
+    The per-group order statistics come from count algebra over the
+    (group, value) histogram — the ``distributed_percent_rank``
+    insight, extended with the two-level range-bucket prefix scan so
+    even the within-group running counts never single-task (a
+    ``partitionBy(group)`` window is one task per group; with 3 return
+    flags that caps parallelism at 3 regardless of cluster size):
+    value weight = clamp(min(cum, n−k) − max(cum−cnt, k), ≥0), i.e.
+    how many of a value's occurrences fall inside the kept rank band
+    (k, n−k] — ties handled exactly, any tie order gives the same sum.
+    The weighted sum is exact DECIMAL; one division at the end.
+    """
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(f"trim_frac must be in [0, 0.5); got {trim_frac}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    from pyspark.sql import Window as Wn
+
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("decimal(18,2)").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    rng = hist.agg(
+        F.min("__v").cast("double").alias("__lo"),
+        F.max("__v").cast("double").alias("__hi"),
+    )
+    bucket = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v").cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    h = hist.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    btot = h.groupBy("__g", "__b").agg(F.sum("__cnt").alias("__bc"))
+    w_excl = (
+        Wn.partitionBy("__g").orderBy("__b").rowsBetween(Wn.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "__g",
+        "__b",
+        F.coalesce(F.sum("__bc").over(w_excl), F.lit(0)).alias("__off"),
+    )
+    gtot = btot.groupBy("__g").agg(F.sum("__bc").alias("__n"))
+    w_in = (
+        Wn.partitionBy("__g", "__b")
+        .orderBy("__v")
+        .rowsBetween(Wn.unboundedPreceding, 0)
+    )
+    cum = (
+        h.join(F.broadcast(boff), ["__g", "__b"])
+        .join(F.broadcast(gtot), "__g")
+        .select(
+            "__g",
+            "__v",
+            "__cnt",
+            "__n",
+            (F.col("__off") + F.sum("__cnt").over(w_in)).alias("__cum"),
+        )
+    )
+    k = F.floor(F.lit(float(trim_frac)) * F.col("__n")).cast("long")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - k)
+        - F.greatest(F.col("__cum") - F.col("__cnt"), k),
+    )
+    out = cum.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("__n").alias("n"),
+        F.max(k).alias("k_trim"),
+        F.sum(kept.cast("decimal(18,0)") * F.col("__v")).alias("__sv"),
+        F.sum(kept).alias("__nk"),
+    )
+    return out.select(
+        group_col,
+        "n",
+        "k_trim",
+        F.when(
+            F.col("__nk") > 0,
+            F.round(
+                F.col("__sv").cast("double") / F.col("__nk").cast("double"), 6
+            ),
+        ).alias("trimmed_mean6"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group (Bar-Yossef et
+    al. 2002) — ``(group, n_kept, kmv_estimate6)``.
+
+    The order-statistics dual of HLL (:func:`hll_partial_sketches`):
+    hash every key to a uniform (0,1); if the k-th smallest hash is
+    h₍ₖ₎, then ~k/h₍ₖ₎ keys span (0,1), giving the unbiased estimator
+    D̂ = (k−1)/h₍ₖ₎.  Unlike HLL it supports set *intersection* via
+    sketch unions and is exact below k (n_kept < k ⇒ D̂ = n_kept).
+
+    Hash: the engine-portable md5-prefix uniform shared by every
+    sampler (auditable in ANSI SQL).  Plan: dedup shuffle on
+    (group, key), then ``row_number ≤ k`` — Spark rewrites it to
+    WindowGroupLimit, so each partition pre-prunes to its local k
+    before the per-group merge; the sketch rows that survive are
+    k·|groups|, never the corpus.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2; got {k}")
+    from pyspark.sql import Window as Wn
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    pts = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.col(key_col).alias("__k"))
+        .distinct()
+        .withColumn("__u", u)
+    )
+    w = Wn.partitionBy("__g").orderBy("__u", "__k")
+    kept = pts.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) == k,
+                F.lit(float(k - 1)) / F.max("__u"),
+            ).otherwise(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("kmv_estimate6"),
+    )
+
+
+#: Abramowitz & Stegun 7.1.26 erf coefficients — FIXED literals shared
+#: with SQL oracles so Φ(z) is bit-identical cross-engine (max abs
+#: error 1.5e-7, far inside the 6dp rounding of reported p-values).
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+
+
+def normal_cdf(z: Column) -> Column:
+    """Φ(z) via the A&S 7.1.26 erf polynomial — exp/abs/fma only, so
+    the same literal formula evaluates bit-identically in any SQL
+    engine (no erf built-in needed)."""
+    x = F.abs(z) / F.lit(2.0**0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        F.lit(_AS_ERF[0]) * t
+        + F.lit(_AS_ERF[1]) * t * t
+        + F.lit(_AS_ERF[2]) * t * t * t
+        + F.lit(_AS_ERF[3]) * t * t * t * t
+        + F.lit(_AS_ERF[4]) * t * t * t * t * t
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    phi = F.lit(0.5) * (F.lit(1.0) + erf)
+    return F.when(z >= 0, phi).otherwise(F.lit(1.0) - phi)
+
+
+def benjamini_hochberg(
+    tests: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a hypothesis table —
+    adds ``(rank, p_bh6, reject)`` to every test row.
+
+    THE multiple-testing control for metric batteries (testing 500
+    segments at α=0.05 "discovers" ~25 false positives; BH bounds the
+    expected false-discovery *rate* at α).  p_bh is the standard
+    step-up adjusted p-value: p₍ᵢ₎·m/i, then a running minimum from
+    the largest rank down (so adjusted values are monotone).
+
+    The frame is ONE ROW PER HYPOTHESIS — segments, not the corpus —
+    so the two unpartitioned windows (rank, reverse running min) are
+    dim-bounded by construction; compute the p-values themselves with
+    the distributed moment machinery first.  ``key_col`` breaks p
+    ties so ranks are total and cross-engine deterministic.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1); got {alpha}")
+    from pyspark.sql import Window as Wn
+
+    w_rank = Wn.orderBy(F.col(p_col), F.col(key_col))
+    w_rev = Wn.orderBy(F.desc(p_col), F.desc(key_col)).rowsBetween(
+        Wn.unboundedPreceding, 0
+    )
+    w_all = Wn.partitionBy()
+    ranked = tests.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+    )
+    adj = F.least(
+        F.lit(1.0),
+        F.min(
+            F.col(p_col) * F.col("__m").cast("double")
+            / F.col("rank").cast("double")
+        ).over(w_rev),
+    )
+    return ranked.select(
+        *tests.columns,
+        "rank",
+        F.round(adj, 6).alias("p_bh6"),
+    ).withColumn("reject", F.col("p_bh6") <= alpha)

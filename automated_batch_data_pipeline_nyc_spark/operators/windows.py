@@ -25,6 +25,7 @@ __all__ = [
     "running_sum",
     "rolling_time_window",
     "distributed_percent_rank",
+    "global_row_number",
     "sessionize",
     "merge_intervals",
 ]
@@ -163,6 +164,74 @@ def distributed_percent_rank(
         )
     )
     return df.join(ranked, on=[partition_by, value_col], how="inner")
+
+
+def global_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+    out_col: str = "i",
+) -> DataFrame:
+    """Distributed ``ROW_NUMBER() OVER (ORDER BY value, tiebreak)`` —
+    1-based, total order, NO single-task global sort.
+
+    The naive form puts the entire frame through one unpartitioned
+    Window task; fine for a 25-row dim, a scale-killer on anything that
+    grows with the fact table.  This is the two-level prefix scan of
+    ``operators/stats.py::_two_sample_running_counts`` applied to
+    ranking:
+
+    1. range-bucket rows on ``value_col`` into ``n_buckets`` splits of
+       ``[min, max]`` (the 1-row min/max aggregate broadcasts — no
+       driver collect).  The bucket index is monotone in the value, so
+       cross-bucket order is free and ties always share a bucket;
+    2. ``row_number`` within each bucket via a window PARTITIONED by
+       bucket, ordered by ``(value, tiebreak)``;
+    3. exclusive running bucket-count offsets via a window over the
+       TINY ``n_buckets``-row total table, broadcast back.
+
+    ``out_col = offset + local_rn`` equals the global row number
+    bit-for-bit.  ``value_col`` must be non-null (filter first) and
+    ``(value, tiebreak)`` must be a total order for the result to be
+    deterministic.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    rng = df.agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+    bucket = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    w_in = Window.partitionBy("__b").orderBy(value_col, tiebreak_col)
+    local = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn("__b", bucket)
+        .drop("__lo", "__hi")
+        .withColumn("__il", F.row_number().over(w_in))
+    )
+    btot = local.groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
+    w_excl = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__b", F.coalesce(F.sum("__bc").over(w_excl), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(boff), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__il")).cast("long"))
+        .drop("__b", "__il", "__off")
+    )
 
 
 def sessionize(

@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -165,7 +166,16 @@ def commit(
         for f in os.listdir(abs_dir)
         if f.endswith(".parquet")
     )
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
+        if attempt and txn is not None and _txn_seen(path, txn):
+            # Re-check idempotence after every lost race: a zombie
+            # writer and its restart share (app_id, batch_id), and the
+            # duplicate may have been the very commit that beat us.
+            # Without this re-check both replays would publish and the
+            # txn action's exactly-once guarantee would break.  Our
+            # staged files are unpublished garbage — reclaim them now.
+            shutil.rmtree(abs_dir, ignore_errors=True)
+            return None
         versions = _list_versions(path)
         version = (versions[-1] + 1) if versions else 0
         entry = {
@@ -230,7 +240,11 @@ def table_history(spark, path: str) -> DataFrame:
     return spark.createDataFrame(rows, ["version", "op", "n_add"])
 
 
-def vacuum(path: str, keep_versions: int = 1) -> int:
+def vacuum(
+    path: str,
+    keep_versions: int = 1,
+    retention_seconds: float = 24 * 3600,
+) -> int:
     """Delete data files referenced by NONE of the last
     ``keep_versions`` versions' snapshots; returns files removed.
 
@@ -240,9 +254,30 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
     earlier ``read_table(version=...)`` calls fail loudly (missing
     files), matching Delta's retention-window contract.  Driver-side
     metadata walk only; deletion cost is O(dead files).
+
+    Two classes of dead file are treated differently:
+
+    - **Published history** (appears in some log entry's ``add`` but in
+      no retained snapshot): deleted immediately.  A concurrent commit
+      can never reference these — every commit writes its own fresh
+      ``data/v<uuid>`` directory — so reclaiming them is always safe.
+    - **Unreferenced files** (in no log entry at all): these are either
+      crash garbage from a failed job OR the staged-but-unpublished
+      data of an *in-flight* concurrent commit (commit writes data
+      before publishing the log entry).  Deleting the latter would let
+      the commit publish a version pointing at missing files.  They are
+      therefore only deleted once older than ``retention_seconds``
+      (mtime-based, default 24 h) — the same modification-time
+      retention window Delta's VACUUM uses to stay safe under
+      concurrent writers.  Pass ``retention_seconds=0`` only when no
+      writer can be in flight.
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1; got {keep_versions}")
+    if retention_seconds < 0:
+        raise ValueError(
+            f"retention_seconds must be >= 0; got {retention_seconds}"
+        )
     entries = _read_log(path)
     if not entries:
         return 0
@@ -250,16 +285,36 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
     versions = [e["version"] for e in entries]
     for v in versions[-keep_versions:]:
         keep.update(_live_files([e for e in entries if e["version"] <= v]))
+    ever_published: set[str] = set()
+    for e in entries:
+        ever_published.update(e["add"])
+    horizon = time.time() - retention_seconds
     data_root = os.path.join(path, _DATA_DIR)
     removed = 0
     for root, _dirs, files in os.walk(data_root):
         for f in files:
-            rel = os.path.relpath(os.path.join(root, f), path)
-            if f.endswith(".parquet") and rel not in keep:
-                os.unlink(os.path.join(root, f))
-                removed += 1
-    # drop now-empty commit directories so the data dir doesn't accrete
-    for root, dirs, files in list(os.walk(data_root, topdown=False)):
-        if not dirs and not files and root != data_root:
-            shutil.rmtree(root)
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
+            if not f.endswith(".parquet") or rel in keep:
+                continue
+            if rel not in ever_published and os.path.getmtime(full) > horizon:
+                continue  # possibly an in-flight commit's staged data
+            os.unlink(full)
+            removed += 1
+    # Drop commit directories left holding no parquet (only _SUCCESS /
+    # .crc job markers, or nothing) so the data dir doesn't accrete.
+    # Safe: an in-flight commit's directory still contains its parquet
+    # files (protected above by the retention window), so a marker-only
+    # directory is necessarily dead.
+    for entry in os.listdir(data_root):
+        d = os.path.join(data_root, entry)
+        if not os.path.isdir(d):
+            continue
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _r, _dirs, fs in os.walk(d)
+            for f in fs
+        )
+        if not has_parquet:
+            shutil.rmtree(d)
     return removed

@@ -409,6 +409,21 @@ def foreach_batch_upsert(
     key (latest ``order_col`` wins) and merged.  Exactly-once comes
     from the checkpoint: a replayed batch re-merges the same rows,
     and MERGE is idempotent on the key.
+
+    **Cost model — read before using on a large target.**  The merge
+    materializes via a staging table (Spark cannot overwrite a table
+    from a plan that reads it), so every micro-batch REWRITES THE
+    ENTIRE TARGET — O(|table|) I/O per batch regardless of batch size.
+    Correct and idempotent, fine for dim-sized targets; a scale-killer
+    when the target grows with the fact stream.  The production paths
+    for that regime already exist in this engine:
+
+    - :func:`stream_txlog_sink` — appends ONE atomic commit per batch
+      to a versioned table (O(|batch|) per batch, exactly-once via the
+      txn action); compact/dedup on read or in a periodic job.
+    - :func:`..operators.incremental.cdc_apply` — applies a change
+      feed in a single full-outer shuffle, run at a chosen cadence
+      rather than per micro-batch.
     """
     from pyspark.sql import Window
 

@@ -54,6 +54,31 @@ __all__ = ["QUERIES", "Query", "spark_queries", "oracle_queries"]
 D2 = "decimal(12,2)"          # money / 2-dp values
 
 
+def _scratch(name: str) -> str:
+    """A scratch path under a PROCESS-UNIQUE root.
+
+    Queries that stage bytes (stream sources, sink roundtrips, the txlog
+    demo table) formerly keyed their temp dirs on the sf_dir basename
+    alone, so two concurrent runs — suite + bench, or two verify
+    processes — shared mutable staging and could race (one rmtree's /
+    overwrites the other's live table mid-read; ADVICE r5).  The root
+    embeds the PID plus a random token: concurrent processes are fully
+    isolated, while WITHIN a process paths stay stable so memoized
+    staging (``_STAGED_DIRS``) still reuses its dirs across queries.
+    """
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), _SCRATCH_TOKEN)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
+
+_SCRATCH_TOKEN: str = (
+    f"automated_batch_data_pipeline_nyc_scratch_{os.getpid()}_"
+    + __import__("uuid").uuid4().hex[:8]
+)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -900,10 +925,7 @@ def _stream_hourly(spark, sf_dir):
     from .streaming.jobs import read_event_stream
 
     (events,) = _load(spark, sf_dir, "events")
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_stream_src_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    src = _scratch(f"automated_batch_data_pipeline_nyc_stream_src_{os.path.basename(os.path.normpath(sf_dir))}")
     # window() needs concrete event time; the batch oracle filters the
     # same NULL rows so the group sets align.
     events.filter(F.col("ts").isNotNull()).repartition(4).write.mode(
@@ -1949,10 +1971,7 @@ def _sinkrt(spark, sf_dir):
     import tempfile
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_sink_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_sink_{os.path.basename(os.path.normpath(sf_dir))}")
     enriched = lineitem.withColumn("ship_month", F.month("l_shipdate"))
     # runtime-settable; makes mode='overwrite' rewrite only the
     # partitions present in the incoming DataFrame.
@@ -2220,10 +2239,7 @@ def _schemaevo(spark, sf_dir):
     import tempfile
 
     (orders,) = _load(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_evo_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_evo_{os.path.basename(os.path.normpath(sf_dir))}")
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -2698,10 +2714,7 @@ def _csvrt(spark, sf_dir):
     from .sources.writers import write_csv
 
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_csv_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_csv_{os.path.basename(os.path.normpath(sf_dir))}")
     write_csv(lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice"), out)
     schema = T.StructType(
         [
@@ -3243,10 +3256,7 @@ def _jsonrt(spark, sf_dir):
     from .sources.writers import write_json
 
     (orders,) = _load(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_json_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_json_{os.path.basename(os.path.normpath(sf_dir))}")
     write_json(orders.select("o_orderkey", "o_orderstatus", "o_totalprice"), out)
     schema = T.StructType(
         [
@@ -3280,10 +3290,7 @@ def _orcrt(spark, sf_dir):
     from .sources.writers import write_orc
 
     (orders,) = _load(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_orc_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_orc_{os.path.basename(os.path.normpath(sf_dir))}")
     write_orc(
         orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
         out,
@@ -5246,11 +5253,8 @@ def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
     # process must not silently reuse each other's staged bytes.
     norm = os.path.abspath(os.path.normpath(sf_dir))
     digest = hashlib.md5(norm.encode()).hexdigest()[:12]
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_stream_{tag}_"
-        f"{os.path.basename(norm)}_{digest}",
-    )
+    src = _scratch(f"automated_batch_data_pipeline_nyc_stream_{tag}_"
+        f"{os.path.basename(norm)}_{digest}")
     if src not in _STAGED_DIRS:
         df.repartition(4).write.mode("overwrite").parquet(src)
         _STAGED_DIRS.add(src)
@@ -6011,10 +6015,7 @@ def _quarantine(spark, sf_dir):
             F.col("value")
         ),
     ).withColumn("_valid", F.col("value").isNotNull())
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_quarantine_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_quarantine_{os.path.basename(os.path.normpath(sf_dir))}")
     quarantine_write(stamped, out)
     back = read_parquet(spark, out)
     return back.groupBy(F.col("_valid").cast("boolean").alias("_valid")).agg(
@@ -7367,10 +7368,7 @@ def _compactrt(spark, sf_dir):
     digest = hashlib.md5(
         os.path.abspath(os.path.normpath(sf_dir)).encode()
     ).hexdigest()[:10]
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_compact_{digest}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_compact_{digest}")
     base.repartition(48).write.mode("overwrite").parquet(out)
     compact_parquet(spark, out, target_file_mb=256)
     back = read_parquet(spark, out)
@@ -7407,10 +7405,7 @@ def _manifestpc(spark, sf_dir):
     digest = hashlib.md5(
         os.path.abspath(os.path.normpath(sf_dir)).encode()
     ).hexdigest()[:10]
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_manifest_{digest}",
-    )
+    out = _scratch(f"automated_batch_data_pipeline_nyc_manifest_{digest}")
     write_parquet(base, out, partition_by=["event_type"], mode="overwrite")
     man = manifest_for_dir(spark, out)
     return (
@@ -8399,8 +8394,8 @@ def _urlrt(spark, sf_dir):
 
     (orders,) = _load(spark, sf_dir, "orders")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    src = os.path.join(tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_urlsrc_{tag}")
-    dst = os.path.join(tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_urldst_{tag}")
+    src = _scratch(f"automated_batch_data_pipeline_nyc_urlsrc_{tag}")
+    dst = _scratch(f"automated_batch_data_pipeline_nyc_urldst_{tag}")
     # part-file basenames are unique per write (uuid suffix), so a
     # previous run's fetched copies would survive in dst and double the
     # glob read — clear the destination like a real ingest staging dir
@@ -9596,18 +9591,13 @@ def _stream_upsert(spark, sf_dir):
     target0.write.saveAsTable(table)
     # keyed staging (NOT _stage_stream_src's round-robin): both versions
     # of a key must share a file so batch splits can't reorder them
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_stream_upsertfeed_"
-        f"{os.path.basename(norm)}_{digest}",
-    )
+    src = _scratch(f"automated_batch_data_pipeline_nyc_stream_upsertfeed_"
+        f"{os.path.basename(norm)}_{digest}")
     if src not in _STAGED_DIRS:
         feed.repartition(4, "o_orderkey").write.mode("overwrite").parquet(src)
         _STAGED_DIRS.add(src)
     stream = spark.readStream.schema(feed.schema).parquet(src)
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"automated_batch_data_pipeline_nyc_ckpt_upsert_{uuid.uuid4().hex[:8]}"
-    )
+    ckpt = _scratch(f"automated_batch_data_pipeline_nyc_ckpt_upsert_{uuid.uuid4().hex[:8]}")
     q = foreach_batch_upsert(stream, table, ["o_orderkey"], ckpt, "seq")
     try:
         if not q.awaitTermination(600):
@@ -10911,10 +10901,7 @@ def _txlog_tt(spark, sf_dir):
     from .sources import txlog
 
     (orders,) = _load(spark, sf_dir, "orders")
-    t = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_txlog_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    t = _scratch(f"automated_batch_data_pipeline_nyc_txlog_{os.path.basename(os.path.normpath(sf_dir))}")
     # append semantics are stateful: start from a clean table each run
     shutil.rmtree(t, ignore_errors=True)
     v0 = txlog.commit(
@@ -11144,26 +11131,43 @@ def _survival_km(spark, sf_dir):
         "two-term Gini formula rounded 6dp; (rev, custkey) makes the "
         "rank order total, and NTILE(10) over a total order is "
         "engine-identical by the SQL-standard bucket rule.  Plan: one "
-        "fact shuffle into the customer aggregate; ranks/deciles are "
-        "an unpartitioned window over the CUSTOMER DIM ONLY (the "
-        "supplier_pareto_share precedent), then a 10-row Lorenz "
-        "aggregate with the 1-row Gini broadcast back.",
+        "fact shuffle into the customer aggregate; ranks come from "
+        "operators/windows.py::global_row_number — the two-level "
+        "bucketed prefix scan, NO unpartitioned window over the "
+        "customer frame (customers are the schema's largest 'dim'; at "
+        "100x a single-task sort here is the bottleneck — VERDICT r5 "
+        "item 3).  NTILE(10) is then the closed-form SQL-standard "
+        "bucket rule applied to (i, n): the first n%10 deciles hold "
+        "ceil(n/10) rows, the rest floor(n/10).  Ends in a 10-row "
+        "Lorenz aggregate with the 1-row Gini broadcast back.",
 )
 def _gini_conc(spark, sf_dir):
     from pyspark.sql import Window as Wn
+
+    from .operators.windows import global_row_number
 
     (orders,) = _load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = Wn.orderBy("rev", "o_custkey")
-    rk = rev.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.ntile(10).over(w).alias("decile"),
-    # two consumers (totals + decile aggregate): stage the ranked dim
-    ).localCheckpoint(eager=False)
+    ranked = global_row_number(rev, "rev", "o_custkey", out_col="i")
+    n_row = rev.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    i, nn = F.col("i"), F.col("__n")
+    q, r = (nn / 10).cast("long"), nn % 10
+    # SQL-standard NTILE(10): buckets 1..r get q+1 rows, r+1..10 get q;
+    # with n < 10 (q = 0) each row is its own bucket, i.e. decile = i.
+    decile = (
+        F.when(q == 0, i)
+        .when(i <= r * (q + 1), F.floor((i - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((i - r * (q + 1) - 1) / q) + 1)
+        .cast("int")
+    )
+    rk = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select("o_custkey", "rev", "i", decile.alias("decile"))
+        # two consumers (totals + decile aggregate): stage the ranked dim
+        .localCheckpoint(eager=False)
+    )
     g = rk.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("total"),
@@ -11670,101 +11674,30 @@ def _ks(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-5 window: the 50 queries the driver verifies this round.  All
-#: oracle-backed, none has ever had a driver correctness row (VERDICT.md
-#: round 4 priority order: the five REAL-codec multimodal queries first
-#: — round 4's flagship work — then the last §2 sink row
-#: (table_modes_roundtrip), the LSH/k-means/sketch/portable-dedup
-#: verification batch, the forward as-of join, the remaining TPC-H
-#: shapes (Q2/Q4/Q9/Q11/Q12/Q16 adapted), then the §2.4/§2.7 extended
-#: aggregate/window batteries and pipeline-maintenance queries).
+#: Round-6 window: the 50 queries the driver verifies this round.  All
+#: oracle-backed, none has ever had a driver hash-green row (VERDICT.md
+#: round 5 priority order: the 4 oracle-backed spill-overs from the r5
+#: rotation first, then `schema_contract_enforced` and the two ingest
+#: roundtrips that close the §2 table at 54/54, then the round-5
+#: additions in queue order — bloom/BPE/SemDeDup/txlog/privacy/drift —
+#: through `zipf_vocab_fit`).
 DRIVER_WINDOW: list[str] = [
-    # real stdlib multimodal codecs (VERDICT r4 priority #1)
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    "multimodal_format_sniff",
-    # last §2 sink row + algorithm-verification batch
-    "table_modes_roundtrip",
-    "similarity_lsh_topk",
-    "kmeans_step_verified",
-    "streaming_countmin",
-    "containment_pairs_prefix",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    # forward as-of join (VERDICT r4 item 3)
-    "asof_next_purchase",
-    # TPC-H analytic shapes (Q2/Q4/Q9/Q11/Q12/Q16 adapted)
-    "cheapest_part_supplier_region",
-    "late_ship_priority_counts",
-    "nation_year_profit",
-    "important_part_values",
-    "ship_delay_priority_mix",
-    "part_supplier_variety",
-    # §2.4 extended aggregate battery
-    "string_agg_per_group",
-    "grouping_sets_quantity",
-    "cube_order_counts",
-    "grouped_median",
-    "grouped_mode",
-    "having_filter",
-    "conditional_agg",
-    "robust_spread",
-    "value_histogram",
-    # §2.7 extended window battery
-    "window_first_last",
-    "window_rank_ntile",
-    "window_cume_nth",
-    # scalar / reshaping / hygiene
-    "date_arithmetic",
-    "exists_subquery",
-    "unpivot_part_metrics",
-    "fill_defaults",
-    "word_counts",
-    "regexp_extract_supplier",
-    "clip_outliers",
-    # pipeline-maintenance / eval / corpus queries
-    "zorder_bucket_stats",
-    "compact_roundtrip",
-    "manifest_partition_counts",
-    "kfold_assign_counts",
-    "embedding_norm_buckets",
-    "events_dow_hour_matrix",
-    "pmi_top_bigrams",
-    "dedup_family_size_hist",
-    "order_lead_time_monthly",
-    "supplier_pareto_share",
-    "countmin_heavy_hitters",
-    "skew_salted_join",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window,
-#: backlog first (VERDICT r4 item 2): after the 4 oracle-backed
-#: spill-overs and 9 rows-only entries get their r6 slots, every
-#: registered query has a driver row and the window becomes pure
-#: regression re-verification (top up from _PREVIOUSLY_VERIFIED,
-#: oldest green round first).
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # oracle-backed spill-over from the r5 window (54 never-verified
-    # oracle-backed queries, 50 slots): the exact/variant cross-check
-    # forms whose production defaults are already driver-green
-    "window_percentile_ranks",   # exact form: cross-check for the
-                                 # driver-green _dist production default
-    "clean_pipeline_dirty",      # dirty-fixture variant of the green
-                                 # clean_pipeline
+    # oracle-backed spill-overs from the r5 window (VERDICT r5 item 1)
+    "window_percentile_ranks",
+    "clean_pipeline_dirty",
     "scalar_function_battery",
-    "containment_pairs_blocked", # O(n^2) oracle cross-check form for
-                                 # the in-window containment_pairs_prefix
-    # round-5 additions, queued for the r6 window's full hash check
+    "containment_pairs_blocked",
+    # closes §2 at 54/54: S1/S15 + S5 roundtrips, schema contract
     "schema_contract_enforced",
     "url_ingest_roundtrip",
     "sql_extract_roundtrip",
+    # round-5 relational/join/window additions
     "window_range_frame_sum",
     "set_ops_multiset",
     "asof_nearest_event",
     "gopher_quality_rules",
     "user_activity_streaks",
+    # sketches / dedup / tokenizer / warehouse batch
     "bloom_prefilter_join",
     "bloom_fpp_audit",
     "bpe_pair_counts",
@@ -11803,6 +11736,20 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "user_event_entropy",
     "l_diversity_events",
     "zipf_vocab_fit",
+]
+
+#: Never-driver-verified queries queued for the NEXT round's window,
+#: backlog first (VERDICT r5 item 2): 3 oracle-backed spill-overs plus
+#: the 15 rows-only entries (no SQL-expressible oracle — the driver
+#: records a rows-only row for them).  Round-6 new registrations are
+#: CAPPED so this queue + additions fit one 50-slot window; after the
+#: r7 rotation every registered query has a driver row and the window
+#: becomes pure regression re-verification (top up from
+#: _PREVIOUSLY_VERIFIED, oldest green round first —
+#: tools/next_window.py implements the ordering).
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # oracle-backed spill-over from the r6 window (53 never-verified
+    # oracle-backed queries, 50 slots)
     "ks_drift_price",
     "bootstrap_revenue_ci",
     "auc_price_basket_size",
@@ -11821,9 +11768,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_graph_kcore",
     "mahalanobis_outliers",
     "hll_audience_overlap",
+    "approx_distinct",  # ran rows-only in r1/r2 (err=no_oracle row, no
+                        # rows_match flag) — give it a real driver slot
 ]
 
-#: Driver-green in r1-r4 (hash-stable; guarded by local oracle parity).
+#: Driver-green in r1-r5 (hash-stable; guarded by local oracle parity).
 #: EXPLICIT on purpose: a new registration that appears in none of the
 #: three lists fails the assert below at import time, so every new query
 #: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
@@ -11846,7 +11795,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "group_agg_stats",
     "time_bucket_rollup",
     "distinct_count",
-    "approx_distinct",
     "pricing_summary",
     "join_broadcast_dims",
     "join_left_enrich",
@@ -11985,6 +11933,57 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "similarity_topk",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    # driver-green in r5 (CORRECTNESS_r05.json, 50/50 hash-green)
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_format_sniff",
+    "table_modes_roundtrip",
+    "similarity_lsh_topk",
+    "kmeans_step_verified",
+    "streaming_countmin",
+    "containment_pairs_prefix",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "asof_next_purchase",
+    "cheapest_part_supplier_region",
+    "late_ship_priority_counts",
+    "nation_year_profit",
+    "important_part_values",
+    "ship_delay_priority_mix",
+    "part_supplier_variety",
+    "string_agg_per_group",
+    "grouping_sets_quantity",
+    "cube_order_counts",
+    "grouped_median",
+    "grouped_mode",
+    "having_filter",
+    "conditional_agg",
+    "robust_spread",
+    "value_histogram",
+    "window_first_last",
+    "window_rank_ntile",
+    "window_cume_nth",
+    "date_arithmetic",
+    "exists_subquery",
+    "unpivot_part_metrics",
+    "fill_defaults",
+    "word_counts",
+    "regexp_extract_supplier",
+    "clip_outliers",
+    "zorder_bucket_stats",
+    "compact_roundtrip",
+    "manifest_partition_counts",
+    "kfold_assign_counts",
+    "embedding_norm_buckets",
+    "events_dow_hour_matrix",
+    "pmi_top_bigrams",
+    "dedup_family_size_hist",
+    "order_lead_time_monthly",
+    "supplier_pareto_share",
+    "countmin_heavy_hitters",
+    "skew_salted_join",
 ]
 
 _rotated = (

@@ -121,6 +121,15 @@ def _run() -> dict:
         if calib_s > 0
         else None,
         "queries": timings,
+        # Per-query calibrated timings (VERDICT r5 item 8): cross-round
+        # per-query diffs read these directly instead of re-normalizing
+        # by hand.  Failures stay -1 (never scaled).
+        "queries_calibrated": {
+            n: (round(t * (CALIB_ANCHOR_S / calib_s), 4) if t > 0 else t)
+            for n, t in timings.items()
+        }
+        if calib_s > 0
+        else None,
         "excluded": excluded,
         "sf": sf,
         "calib_s": calib_s,

@@ -365,3 +365,66 @@ def test_rank_sum_auc_edges(spark):
     onesided = spark.createDataFrame([(1.0, True), (2.0, True)], ["s", "y"])
     r = rank_sum_auc(onesided, "s", F.col("y")).collect()[0]
     assert (r.n_pos, r.n_neg, r.auc) == (2, 0, None)
+
+
+def test_poisson_bootstrap_lam_and_overflow_guards(spark):
+    """Round-5 verdict item 6 + ADVICE: (a) the λ≠1 rate draws from a
+    generated threshold table whose λ=1 instance is bit-identical to
+    the frozen oracle constants; (b) a value overflowing DECIMAL(12,2)
+    is excluded entirely instead of counting in n_eff with a NULL
+    contribution (which silently biased means low)."""
+    import hashlib
+
+    from automated_batch_data_pipeline_nyc_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap_means,
+        poisson_cdf,
+    )
+
+    # (a) generator reproduces the frozen λ=1 literals bit-for-bit
+    assert poisson_cdf(1.0)[: len(POISSON1_CDF)] == POISSON1_CDF
+    with pytest.raises(ValueError, match="lam"):
+        poisson_cdf(0.0)
+    with pytest.raises(ValueError, match="tail_eps"):
+        poisson_cdf(1.0, tail_eps=0.0)
+
+    # λ=2: exact replay of the draw against the generated table
+    cdf2 = poisson_cdf(2.0)
+    data = [(f"k{i}", float(100 + i)) for i in range(60)]
+    df = spark.createDataFrame(data, "k string, x double")
+    got = {
+        r.replica: (r.n_eff, r.mean6)
+        for r in poisson_bootstrap_means(
+            df, "k", "x", n_replicas=4, lam=2.0
+        ).collect()
+    }
+    for b in range(1, 5):
+        sw, swx = 0, 0.0
+        for key, x in data:
+            h = int(
+                hashlib.md5(f"42\x1f{key}\x1f{b}".encode()).hexdigest()[:8],
+                16,
+            )
+            u = (h + 0.5) / 2**32
+            w = next((k for k, t in enumerate(cdf2) if u < t), len(cdf2))
+            sw += w
+            swx += w * x
+        assert got[b][0] == sw, b
+        assert got[b][1] == pytest.approx(round(swx / sw, 6), abs=2e-6), b
+
+    # (b) an out-of-DECIMAL(12,2)-range value vanishes from BOTH n_eff
+    # and the mean — identical output to the frame without the row
+    dirty = spark.createDataFrame(
+        data + [("whale", 1.0e14)], "k string, x double"
+    )
+    clean = {
+        r.replica: (r.n_eff, r.mean6)
+        for r in poisson_bootstrap_means(df, "k", "x", n_replicas=4).collect()
+    }
+    guarded = {
+        r.replica: (r.n_eff, r.mean6)
+        for r in poisson_bootstrap_means(
+            dirty, "k", "x", n_replicas=4
+        ).collect()
+    }
+    assert guarded == clean

@@ -713,3 +713,34 @@ def test_poisson_bootstrap_validation(spark):
     assert len(reps) == 4
     for r in reps:
         assert r.n_eff >= 0 and (r.mean6 is None or 10.0 <= r.mean6 <= 30.0)
+
+
+def test_bfs_hops_max_degree_cuts_hub_fanout(spark):
+    """Opt-in max_degree (VERDICT r5 item 7) excises the OUT-edges of
+    nodes above the degree cap before the walk: the hub stays reachable
+    from its low-degree neighbors, but no path routes THROUGH it — the
+    exact BFS of the truncated graph."""
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import bfs_hops
+
+    # hub 0 connects spokes 1..8; a separate low-degree chain 1-100-101
+    edges = [(0, i) for i in range(1, 9)] + [(1, 100), (100, 101)]
+    edf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    sdf = spark.createDataFrame([(1,)], ["node"])
+
+    # uncapped: every spoke is 2 hops away via the hub
+    full = {r.node: r.hops for r in bfs_hops(sdf, edf, max_hops=4).collect()}
+    assert full == {1: 0, 0: 1, 100: 1, 101: 2, **{i: 2 for i in range(2, 9)}}
+
+    # cap below the hub's degree (8): hub reachable at 1 hop (seed's own
+    # out-edge survives — seed degree is 2), spokes 2..8 unreachable,
+    # the low-degree chain untouched
+    capped = {
+        r.node: r.hops
+        for r in bfs_hops(sdf, edf, max_hops=4, max_degree=3).collect()
+    }
+    assert capped == {1: 0, 0: 1, 100: 1, 101: 2}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_degree must be"):
+        bfs_hops(sdf, edf, max_degree=0)

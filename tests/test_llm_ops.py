@@ -1836,11 +1836,12 @@ def test_stratified_sample_neyman_tracks_allocation(spark):
     assert abs(total - 200) <= 1             # floor(+0.5) rounding slack
 
     got = stratified_sample_neyman(df, "stratum", "k", "v", total_n=200)
-    # stratum col is dropped by the join cleanup; recount via key prefix
-    per = {r.s: r.n for r in
-           got.select(F.substring("k", 1, 1).alias("s"))
-              .groupBy("s").agg(F.count("*").alias("n")).collect()}
-    assert per.get("b", 0) > per.get("a", 0)
+    # the caller's own "stratum" column must survive the join cleanup
+    # (the cleanup drops only the __-prefixed broadcast side — ADVICE r5)
+    assert set(got.columns) == {"k", "stratum", "v"}
+    per = {r.stratum: r.n for r in
+           got.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert per.get("B", 0) > per.get("A", 0)
     # deterministic: identical membership on a second draw
     again = stratified_sample_neyman(df, "stratum", "k", "v", total_n=200)
     assert sorted(r.k for r in got.collect()) == sorted(r.k for r in again.collect())

