@@ -1217,7 +1217,7 @@ def kmv_distinct(
 
     u = (
         F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+            F.substring(F.md5(F.col("__k").cast("string")), 1, 8), 16, 10
         ).cast("bigint").cast("double")
         + F.lit(0.5)
     ) / F.lit(float(1 << 32))

@@ -11653,6 +11653,465 @@ def _ks(spark, sf_dir):
     )
 
 
+
+
+@_q(
+    "chi2_event_dow",
+    """
+    WITH cells AS (
+      SELECT event_type AS a, isodow(ts) AS b,
+        CAST(COUNT(*) AS BIGINT) AS o
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    m AS (
+      SELECT o,
+        CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+        CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+        CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells),
+    k AS (
+      SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+        CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+      FROM cells),
+    t AS (
+      SELECT MAX(n) AS n,
+        SUM(CAST(round(
+          (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+             / CAST(n AS DOUBLE))
+          / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)),
+          6) AS DECIMAL(28,6))) AS chi2
+      FROM m)
+    SELECT t.n, k.ka AS n_a, k.kb AS n_b,
+      CAST((k.ka - 1) * (k.kb - 1) AS BIGINT) AS dof,
+      CAST(round(CAST(t.chi2 AS DOUBLE), 6) AS DOUBLE) AS chi2_6,
+      CASE WHEN t.n > 0 AND least(k.ka - 1, k.kb - 1) > 0 THEN
+        CAST(round(sqrt(CAST(t.chi2 AS DOUBLE)
+          / (CAST(t.n AS DOUBLE)
+             * CAST(least(k.ka - 1, k.kb - 1) AS DOUBLE))), 6) AS DOUBLE)
+      END AS cramers_v6
+    FROM t, k
+    """,
+    doc="Pearson chi-square independence test of event_type x ISO "
+        "weekday + Cramer's V effect size -- the hypothesis-testing "
+        "complement to mutual_information (is the contingency "
+        "explainable by chance?).  ONE map-side-combined count shuffle "
+        "builds the contingency table; margins/expected counts are "
+        "windows over the CELL frame (category-cardinality, never the "
+        "corpus); per-cell chi terms are rounded 6dp and summed in "
+        "DECIMAL(28,6) so partial order can't change the total (the "
+        "Benford determinism pattern).  On the word-soup fixture the "
+        "test should NOT reject wildly -- the pytest pins the statistic "
+        "against scipy-free numpy replication on a hand-built "
+        "dependent fixture instead.  Operator: operators/stats.py "
+        "chi2_independence",
+)
+def _chi2_dow(spark, sf_dir):
+    from .operators.stats import chi2_independence
+
+    (events,) = _load(spark, sf_dir, "events")
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return chi2_independence(
+        events.filter(F.col("ts").isNotNull()).withColumn("dow", iso),
+        "event_type",
+        "dow",
+    )
+
+
+@_q(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    base AS (
+      SELECT CAST(date_diff('day', DATE '1990-01-01', d) AS BIGINT) AS i,
+        CAST(rev AS DECIMAL(18,2)) AS x
+      FROM daily WHERE rev IS NOT NULL),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x * x) AS ss
+      FROM base),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+    pairs AS (
+      SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        SUM(a.x * b.x) AS sxy, SUM(a.x) AS sh, SUM(b.x) AS st
+      FROM lags l
+      JOIN base a ON TRUE
+      JOIN base b ON b.i = a.i + l.lag
+      GROUP BY 1)
+    SELECT p.lag, p.n_pairs,
+      CASE WHEN p.n_pairs > 0 AND
+        (CAST(g.ss AS DOUBLE) - CAST(g.n AS DOUBLE)
+          * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+          * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))) <> 0
+      THEN CAST(round(
+        (CAST(p.sxy AS DOUBLE)
+          - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+            * (CAST(p.sh AS DOUBLE) + CAST(p.st AS DOUBLE))
+          + CAST(p.n_pairs AS DOUBLE)
+            * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+            * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))
+        / (CAST(g.ss AS DOUBLE) - CAST(g.n AS DOUBLE)
+            * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+            * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))),
+        6) AS DOUBLE)
+      END AS acf6
+    FROM pairs p, g
+    """,
+    doc="Autocorrelation function r1..r7 of daily order revenue -- the "
+        "time-series memory diagnostic (weekly seasonality shows as an "
+        "r7 spike) complementing cusum_changepoint_daily / "
+        "seasonal_dow_anomalies.  One fact shuffle builds the "
+        "DIM-BOUNDED daily series (days, never the corpus); the lag "
+        "self-join and moment algebra run on that tiny frame.  "
+        "Exactness: revenue in DECIMAL(18,2); all pair/global sums "
+        "exact decimals; the mean enters one fixed IEEE expression per "
+        "lag via SUM((x-m)(y-m)) = SUMxy - m(SUMh+SUMt) + n*m*m, "
+        "rounded 6dp once.  Operator: operators/stats.py "
+        "autocorrelation",
+)
+def _acf_daily(spark, sf_dir):
+    from .operators.stats import autocorrelation
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    series = daily.select(
+        F.datediff("d", F.lit("1990-01-01").cast("date")).alias("i"), "rev"
+    )
+    return autocorrelation(series, "i", "rev", max_lag=7)
+
+
+@_q(
+    "trimmed_mean_prices",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS g,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    SELECT g AS l_returnflag,
+      MAX(n) AS n,
+      CAST(MAX(floor(0.1 * CAST(n AS DOUBLE))) AS BIGINT) AS k_trim,
+      CASE WHEN SUM(CASE WHEN rn > floor(0.1 * CAST(n AS DOUBLE))
+                    AND rn <= n - floor(0.1 * CAST(n AS DOUBLE))
+                   THEN 1 ELSE 0 END) > 0 THEN
+        CAST(round(
+          CAST(SUM(CASE WHEN rn > floor(0.1 * CAST(n AS DOUBLE))
+                     AND rn <= n - floor(0.1 * CAST(n AS DOUBLE))
+                    THEN v END) AS DOUBLE)
+          / CAST(SUM(CASE WHEN rn > floor(0.1 * CAST(n AS DOUBLE))
+                      AND rn <= n - floor(0.1 * CAST(n AS DOUBLE))
+                     THEN 1 ELSE 0 END) AS DOUBLE), 6) AS DOUBLE)
+      END AS trimmed_mean6
+    FROM r GROUP BY 1
+    """,
+    doc="Exact 10 percent trimmed mean of l_extendedprice per return "
+        "flag -- the robust-location upgrade to AVG for heavy-tailed "
+        "measures (clip-free complement to clip_outliers' winsorize). "
+        "The engine computes per-group order statistics WITHOUT any "
+        "per-group global sort: count algebra over the (group, value) "
+        "histogram with the two-level range-bucket prefix scan, so "
+        "even within-group running counts parallelize past the 3-group "
+        "partition count; value weight = clamp(min(cum, n-k) - "
+        "max(cum-cnt, k)) handles ties exactly (any tie order gives "
+        "the same sum -- which is why the oracle's ROW_NUMBER form is "
+        "equivalent).  Weighted sum exact DECIMAL, one division, 6dp. "
+        "Operator: operators/stats.py trimmed_mean",
+)
+def _trimmed_prices(spark, sf_dir):
+    from .operators.stats import trimmed_mean
+
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return trimmed_mean(lineitem, "l_returnflag", "l_extendedprice", 0.1)
+
+
+@_q(
+    "kmv_distinct_users",
+    """
+    WITH pts AS (
+      SELECT DISTINCT event_type AS g, user_id AS k
+      FROM events WHERE user_id IS NOT NULL),
+    h AS (
+      SELECT g, k,
+        (CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0 AS u
+      FROM pts),
+    r AS (
+      SELECT g, u,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY u, k) AS rn
+      FROM h)
+    SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      CAST(round(CASE WHEN COUNT(*) = 64 THEN 63.0 / MAX(u)
+                 ELSE CAST(COUNT(*) AS DOUBLE) END, 6) AS DOUBLE)
+        AS kmv_estimate6
+    FROM r WHERE rn <= 64 GROUP BY 1
+    """,
+    doc="K-Minimum-Values distinct-user sketch per event type (k=64 so even the sf0.01 driver fixture exercises the ESTIMATOR path, "
+        "Bar-Yossef et al. 2002) -- the order-statistics dual of HLL: "
+        "if the k-th smallest of the uniformly-hashed keys is h(k), "
+        "~(k-1)/h(k) keys span (0,1).  Exact below k, mergeable, and "
+        "(unlike HLL) supports set intersection via sketch unions.  "
+        "Plan: dedup shuffle on (type, user), then row_number <= k -- "
+        "Spark rewrites to WindowGroupLimit so every partition "
+        "pre-prunes to its local k before the merge; surviving rows "
+        "are k x |types|, never the corpus.  The md5-prefix uniform is "
+        "the engine-portable hash every sampler shares, so DuckDB "
+        "rebuilds the identical sketch bit-for-bit.  Operator: "
+        "operators/stats.py kmv_distinct",
+)
+def _kmv_users(spark, sf_dir):
+    from .operators.stats import kmv_distinct
+
+    (events,) = _load(spark, sf_dir, "events")
+    return kmv_distinct(events, "event_type", "user_id", k=64)
+
+
+@_q(
+    "dp_event_counts",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+    u AS (
+      SELECT event_type, true_count,
+        (CAST(('0x' || substring(
+            md5('42' || chr(31) || event_type), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0 AS u
+      FROM c)
+    SELECT event_type, true_count,
+      CAST(round(-2.0 * sign(u - 0.5)
+        * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS DOUBLE) AS noise6,
+      CAST(round(CAST(true_count AS DOUBLE)
+        + (-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6)
+        AS DOUBLE) AS noisy_count6
+    FROM u
+    """,
+    doc="epsilon-differentially-private event-type counts via the "
+        "Laplace mechanism (eps=0.5, sensitivity 1) -- completes the "
+        "privacy battery beside k_anonymity_events / "
+        "l_diversity_events with the release-side primitive.  The "
+        "noise is the inverse-CDF Laplace draw on the engine-portable "
+        "md5 uniform: -(1/eps) sign(u-1/2) ln(1-2|u-1/2|) -- "
+        "deterministic per (seed, group), so releases are auditable "
+        "and replayable cross-engine (same-seed re-release spends no "
+        "extra budget; a REAL release drops true_count, kept here for "
+        "mechanism audit).  ONE map-side-combined count shuffle; noise "
+        "math runs on the group-cardinality frame.  Operator: "
+        "operators/quality.py dp_noisy_counts",
+)
+def _dp_counts(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return Q.dp_noisy_counts(events, "event_type", epsilon=0.5, seed=42)
+
+
+@_q(
+    "did_revenue_effect",
+    """
+    WITH j AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        (c_mktsegment = 'BUILDING') AS t,
+        (o_orderdate >= TIMESTAMP '1996-01-01') AS p
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice IS NOT NULL AND c_mktsegment IS NOT NULL
+        AND o_orderdate IS NOT NULL),
+    a AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE t AND NOT p) AS BIGINT) AS n_t_pre,
+        CAST(COUNT(*) FILTER (WHERE t AND p) AS BIGINT) AS n_t_post,
+        CAST(COUNT(*) FILTER (WHERE NOT t AND NOT p) AS BIGINT) AS n_c_pre,
+        CAST(COUNT(*) FILTER (WHERE NOT t AND p) AS BIGINT) AS n_c_post,
+        SUM(x) FILTER (WHERE t AND NOT p) AS s_t_pre,
+        SUM(x) FILTER (WHERE t AND p) AS s_t_post,
+        SUM(x) FILTER (WHERE NOT t AND NOT p) AS s_c_pre,
+        SUM(x) FILTER (WHERE NOT t AND p) AS s_c_post
+      FROM j)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      CAST(round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6)
+        AS DOUBLE) AS mean_t_pre6,
+      CAST(round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6)
+        AS DOUBLE) AS mean_t_post6,
+      CAST(round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6)
+        AS DOUBLE) AS mean_c_pre6,
+      CAST(round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6)
+        AS DOUBLE) AS mean_c_post6,
+      CAST(round(
+        (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+          - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+          - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 6)
+        AS DOUBLE) AS did6
+    FROM a
+    """,
+    doc="Difference-in-differences estimate of order value for the "
+        "BUILDING segment (treated) vs all other segments (control), "
+        "pre/post 1996-01-01 -- the quasi-experimental estimator when "
+        "treatment wasn't randomized: the control group's pre->post "
+        "drift nets out shared time trends under parallel trends.  On "
+        "the signal-free fixture did6 ~ 0 by construction; the pytest "
+        "pins recovery of a PLANTED effect on a hand-built panel.  "
+        "Plan: broadcast customer-dim join, then ONE map-side-combined "
+        "conditional aggregate (each row hits exactly one of 4 cells); "
+        "nothing grows with the corpus.  Cell sums exact DECIMAL; "
+        "means/DiD one fixed IEEE expression rounded 6dp.  Operator: "
+        "operators/quality.py diff_in_diff",
+)
+def _did_revenue(spark, sf_dir):
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).filter(
+        F.col("c_mktsegment").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    return Q.diff_in_diff(
+        j,
+        treated=F.col("c_mktsegment") == "BUILDING",
+        post=F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"),
+        value_col="o_totalprice",
+    )
+
+
+@_q(
+    "fdr_event_value_tests",
+    """
+    WITH m AS (
+      SELECT event_type,
+        (isodow(ts) >= 6) AS wend,
+        CAST(value AS DECIMAL(18,2)) AS x
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    s AS (
+      SELECT event_type,
+        CAST(COUNT(*) FILTER (WHERE wend) AS BIGINT) AS n1,
+        CAST(COUNT(*) FILTER (WHERE NOT wend) AS BIGINT) AS n2,
+        SUM(x) FILTER (WHERE wend) AS s1,
+        SUM(x) FILTER (WHERE NOT wend) AS s2,
+        SUM(x * x) FILTER (WHERE wend) AS ss1,
+        SUM(x * x) FILTER (WHERE NOT wend) AS ss2
+      FROM m GROUP BY 1),
+    z AS (
+      SELECT event_type, n1 AS n_wend, n2 AS n_wday,
+        (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        / sqrt(
+            ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+            / CAST(n1 AS DOUBLE)
+            + ((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+            / CAST(n2 AS DOUBLE)) AS zval
+      FROM s WHERE n1 > 1 AND n2 > 1),
+    z2 AS (
+      SELECT event_type, n_wend, n_wday, zval,
+        abs(zval) / sqrt(2.0) AS xx
+      FROM z),
+    z3 AS (
+      SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM z2),
+    p AS (
+      SELECT event_type, n_wend, n_wday,
+        CAST(round(zval, 6) AS DOUBLE) AS z6,
+        CAST(round(2.0 * (1.0 - (0.5 * (1.0 + (1.0
+          - (0.254829592 * t
+             + -0.284496736 * t * t
+             + 1.421413741 * t * t * t
+             + -1.453152027 * t * t * t * t
+             + 1.061405429 * t * t * t * t * t)
+            * exp(-xx * xx))))), 6) AS DOUBLE) AS p6
+      FROM z3),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p6, event_type) AS BIGINT)
+          AS rank,
+        CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p),
+    adj AS (
+      SELECT event_type, n_wend, n_wday, z6, p6, rank,
+        CAST(round(least(1.0, MIN(p6 * CAST(m AS DOUBLE)
+            / CAST(rank AS DOUBLE))
+          OVER (ORDER BY p6 DESC, event_type DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+          AS DOUBLE) AS p_bh6
+      FROM ranked)
+    SELECT event_type, n_wend, n_wday, z6, p6, rank, p_bh6,
+      (p_bh6 <= 0.05) AS reject
+    FROM adj
+    """,
+    doc="Per-event-type Welch z-test of weekend-vs-weekday mean value, "
+        "Benjamini-Hochberg corrected at FDR 0.05 -- the "
+        "multiple-testing control every metric battery needs (testing "
+        "k segments at alpha=.05 'discovers' ~k/20 false positives; "
+        "BH bounds the false-discovery RATE).  On the signal-free "
+        "fixture nothing should reject -- the pytest pins rejection "
+        "recovery on a planted-effect fixture and the BH math against "
+        "a pure-Python reference.  Exactness: per-cell moments exact "
+        "DECIMAL; z one fixed IEEE expression; Phi(z) via the A&S "
+        "7.1.26 erf polynomial (FIXED shared literals, max err 1.5e-7 "
+        "<< the 6dp round) because neither engine has a builtin erf; "
+        "BH runs on the ROUNDED p so both engines rank identical "
+        "values, ties broken by event_type.  Plan: one moment shuffle "
+        "over (type, weekend); everything after runs on the "
+        "hypothesis frame (one row per event type).  Operators: "
+        "operators/stats.py normal_cdf + benjamini_hochberg",
+)
+def _fdr_value_tests(spark, sf_dir):
+    from .operators.stats import benjamini_hochberg, normal_cdf
+
+    (events,) = _load(spark, sf_dir, "events")
+    iso = (F.dayofweek("ts") + 5) % 7 + 1
+    m = events.filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (iso >= 6).alias("wend"),
+        F.col("value").cast("decimal(18,2)").alias("x"),
+    )
+    s = m.groupBy("event_type").agg(
+        F.count(F.when(F.col("wend"), F.lit(1))).alias("n_wend"),
+        F.count(F.when(~F.col("wend"), F.lit(1))).alias("n_wday"),
+        F.sum(F.when(F.col("wend"), F.col("x"))).alias("__s1"),
+        F.sum(F.when(~F.col("wend"), F.col("x"))).alias("__s2"),
+        F.sum(F.when(F.col("wend"), F.col("x") * F.col("x"))).alias("__ss1"),
+        F.sum(F.when(~F.col("wend"), F.col("x") * F.col("x"))).alias("__ss2"),
+    )
+
+    def var_over_n(n: str, sx: str, ssx: str):
+        nd = F.col(n).cast("double")
+        sd = F.col(sx).cast("double")
+        ssd = F.col(ssx).cast("double")
+        return ((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0)))) / nd
+
+    zval = (
+        F.col("__s1").cast("double") / F.col("n_wend").cast("double")
+        - F.col("__s2").cast("double") / F.col("n_wday").cast("double")
+    ) / F.sqrt(
+        var_over_n("n_wend", "__s1", "__ss1")
+        + var_over_n("n_wday", "__s2", "__ss2")
+    )
+    tests = (
+        s.filter((F.col("n_wend") > 1) & (F.col("n_wday") > 1))
+        .withColumn("__z", zval)
+        .select(
+            "event_type",
+            "n_wend",
+            "n_wday",
+            F.round("__z", 6).alias("z6"),
+            F.round(
+                F.lit(2.0) * (F.lit(1.0) - normal_cdf(F.abs(F.col("__z")))), 6
+            ).alias("p6"),
+        )
+    )
+    return benjamini_hochberg(tests, "event_type", "p6", alpha=0.05)
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -11753,6 +12212,16 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "ks_drift_price",
     "bootstrap_revenue_ci",
     "auc_price_basket_size",
+    # round-6 additions (capped at 7 — VERDICT r5 item 2 — so the whole
+    # queue [3 + 7 oracle-backed + 16 rows-only = 26] fits one r7
+    # window and the never-verified debt drains to ZERO)
+    "chi2_event_dow",
+    "acf_daily_revenue",
+    "trimmed_mean_prices",
+    "kmv_distinct_users",
+    "dp_event_counts",
+    "did_revenue_effect",
+    "fdr_event_value_tests",
     # rows-only (no SQL-expressible oracle; driver does rows-only check)
     "embedding_pca_project",
     "dedup_minhash",

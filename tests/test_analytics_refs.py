@@ -12,6 +12,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
 
@@ -428,3 +429,238 @@ def test_poisson_bootstrap_lam_and_overflow_guards(spark):
         ).collect()
     }
     assert guarded == clean
+
+
+def test_chi2_independence_matches_reference(spark):
+    """chi2_independence vs a pure-Python chi-square on a hand-built
+    DEPENDENT table (the word-soup fixture carries no signal, so
+    discrimination is pinned here): exact equality through the same
+    6dp-term rounding, plus dof/Cramer's V closed forms."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 5 + [("b", "y")] * 25
+        + [("c", "x")] * 12 + [("c", "y")] * 12
+    )
+    df = spark.createDataFrame(rows, ["u", "v"])
+    got = chi2_independence(df, "u", "v").collect()[0]
+
+    from collections import Counter
+
+    obs = Counter(rows)
+    n = len(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    chi2 = round(
+        sum(
+            round((o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n), 6)
+            for (a, b), o in obs.items()
+        ),
+        6,
+    )
+    assert got["n"] == n
+    assert (got["n_a"], got["n_b"]) == (3, 2)
+    assert got["dof"] == 2
+    assert got["chi2_6"] == pytest.approx(chi2, abs=2e-6)
+    v = round((chi2 / (n * min(3 - 1, 2 - 1))) ** 0.5, 6)
+    assert got["cramers_v6"] == pytest.approx(v, abs=2e-6)
+    # independent margins => statistic near zero
+    indep = [("a", "x")] * 20 + [("a", "y")] * 20 + [("b", "x")] * 10 + [
+        ("b", "y")
+    ] * 10
+    z = chi2_independence(
+        spark.createDataFrame(indep, ["u", "v"]), "u", "v"
+    ).collect()[0]
+    assert z["chi2_6"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_autocorrelation_matches_numpy_reference(spark):
+    """autocorrelation vs the direct numpy ACF (full-series mean/var
+    normalization) on a seasonal-plus-trend series — and a white-noise
+    sanity: |r_k| small without structure."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        autocorrelation,
+    )
+
+    xs = [
+        round(100 + 10 * ((i % 7) - 3) + 0.25 * i + 5 * ((i * 37) % 11 - 5), 2)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "i long, x double"
+    )
+    got = {
+        r.lag: (r.n_pairs, r.acf6)
+        for r in autocorrelation(df, "i", "x", max_lag=10).collect()
+    }
+    arr = np.array(xs)
+    m = arr.mean()
+    den = ((arr - m) ** 2).sum()
+    for k in range(1, 11):
+        num = ((arr[:-k] - m) * (arr[k:] - m)).sum()
+        assert got[k][0] == len(xs) - k
+        assert got[k][1] == pytest.approx(round(num / den, 6), abs=2e-6), k
+    # weekly seasonality shows as a positive r7 spike above r1..r3
+    assert got[7][1] > max(got[1][1], got[2][1], got[3][1])
+    with pytest.raises(ValueError, match="max_lag"):
+        autocorrelation(df, "i", "x", max_lag=0)
+
+
+def test_trimmed_mean_matches_sorted_reference(spark):
+    """trimmed_mean (histogram count algebra, bucketed prefix scan) vs
+    the straightforward sort-and-slice on data with heavy ties,
+    negative values, a group smaller than 1/trim_frac, and an outlier
+    the trim must remove."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    data = {
+        "g1": [10.0] * 20 + [20.0] * 20 + [1e6],   # outlier trimmed away
+        "g2": [float(v) for v in range(-50, 50)],
+        "g3": [5.0, 7.0, 9.0],                      # k_trim = 0 -> plain mean
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r.asDict() for r in trimmed_mean(df, "g", "v", 0.1).collect()}
+    for g, vs in data.items():
+        n = len(vs)
+        k = int(0.1 * n)
+        kept = sorted(vs)[k : n - k]
+        assert got[g]["n"] == n
+        assert got[g]["k_trim"] == k
+        assert got[g]["trimmed_mean6"] == pytest.approx(
+            round(sum(kept) / len(kept), 6), abs=2e-6
+        ), g
+    assert got["g1"]["trimmed_mean6"] < 100  # outlier really gone
+    with pytest.raises(ValueError, match="trim_frac"):
+        trimmed_mean(df, "g", "v", 0.5)
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    """KMV: exact when the group has fewer than k keys; above k the
+    estimate replays bit-for-bit against a hashlib reference of the
+    same (k-1)/h_(k) draw and lands within the ~1/sqrt(k-2) relative
+    error band of the truth."""
+    import hashlib
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        kmv_distinct,
+    )
+
+    small = [("s", f"u{i}") for i in range(40)]
+    big = [("b", f"user{i}") for i in range(5000)] * 2  # dupes collapse
+    df = spark.createDataFrame(small + big, ["g", "k"])
+    got = {r.g: r.asDict() for r in kmv_distinct(df, "g", "k", k=64).collect()}
+    assert got["s"]["n_kept"] == 40
+    assert got["s"]["kmv_estimate6"] == 40.0     # exact below k
+
+    def u_of(key: str) -> float:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        return (h + 0.5) / 2**32
+
+    hs = sorted(u_of(f"user{i}") for i in range(5000))
+    expect = round(63.0 / hs[63], 6)
+    assert got["b"]["n_kept"] == 64
+    assert got["b"]["kmv_estimate6"] == pytest.approx(expect, abs=2e-6)
+    assert abs(got["b"]["kmv_estimate6"] - 5000) / 5000 < 0.5
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "g", "k", k=1)
+
+
+def test_dp_noisy_counts_mechanism_replay(spark):
+    """dp_noisy_counts: the Laplace draw replays exactly from hashlib;
+    the noise magnitude matches the 1/eps scale (mean |noise| = 1/eps
+    in expectation); same seed = same release, new seed = new draw."""
+    import hashlib
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        dp_noisy_counts,
+    )
+
+    rows = [(f"t{i % 17}",) for i in range(900)]
+    df = spark.createDataFrame(rows, ["g"])
+    got = {r.g: r.asDict() for r in dp_noisy_counts(df, "g", 0.5, 7).collect()}
+    from collections import Counter
+
+    truth = Counter(g for (g,) in rows)
+    for g, c in truth.items():
+        u = (
+            int(hashlib.md5(f"7\x1f{g}".encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2**32
+        noise = -2.0 * math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        assert got[g]["true_count"] == c
+        assert got[g]["noise6"] == pytest.approx(round(noise, 6), abs=2e-6)
+        assert got[g]["noisy_count6"] == pytest.approx(
+            round(c + noise, 6), abs=2e-6
+        )
+    again = {r.g: r.noisy_count6 for r in dp_noisy_counts(df, "g", 0.5, 7).collect()}
+    assert again == {g: d["noisy_count6"] for g, d in got.items()}
+    other = {r.g: r.noisy_count6 for r in dp_noisy_counts(df, "g", 0.5, 8).collect()}
+    assert other != again
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, "g", 0.0)
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    """diff_in_diff on a hand-built panel with a known +4.0 treatment
+    effect layered over a shared +1.0 time trend and a level gap —
+    the estimator must return exactly the planted effect (the TPC-H
+    fixture is signal-free, so recovery is pinned here)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.quality import (
+        diff_in_diff,
+    )
+
+    rows = (
+        [(True, False, 10.0)] * 50          # T pre: mean 10
+        + [(True, True, 15.0)] * 50         # T post: +1 trend +4 effect
+        + [(False, False, 20.0)] * 80       # C pre: mean 20
+        + [(False, True, 21.0)] * 80        # C post: +1 trend only
+    )
+    df = spark.createDataFrame(rows, "t boolean, p boolean, y double")
+    r = diff_in_diff(df, F.col("t"), F.col("p"), "y").collect()[0]
+    assert (r.n_t_pre, r.n_t_post, r.n_c_pre, r.n_c_post) == (50, 50, 80, 80)
+    assert r.mean_t_pre6 == 10.0 and r.mean_c_post6 == 21.0
+    assert r.did6 == pytest.approx(4.0, abs=1e-9)
+
+
+def test_normal_cdf_and_benjamini_hochberg_reference(spark):
+    """normal_cdf within the A&S 7.1.26 error bound of math.erf's exact
+    Phi; benjamini_hochberg equals the classic step-up procedure on a
+    fixed p-value table (including the monotone running-min clamp)."""
+    import math
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        benjamini_hochberg,
+        normal_cdf,
+    )
+
+    zs = [-3.5, -1.0, -0.1, 0.0, 0.5, 1.644854, 2.5, 4.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r.z: r.phi for r in df.select("z", normal_cdf(F.col("z")).alias("phi")).collect()}
+    for z in zs:
+        exact = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+        assert abs(got[z] - exact) < 1.6e-7, z
+
+    ps = [("a", 0.003), ("b", 0.04), ("c", 0.041), ("d", 0.2), ("e", 0.9)]
+    tests = spark.createDataFrame(ps, "k string, p double")
+    out = {r.k: r.asDict() for r in benjamini_hochberg(tests, "k", "p").collect()}
+    m = len(ps)
+    raw = sorted(ps, key=lambda kv: kv[1])
+    # classic step-up: adj(i) = min_{j>=i} p(j)*m/j, clamped at 1
+    adj = {}
+    run = 1.0
+    for i in range(m, 0, -1):
+        run = min(run, raw[i - 1][1] * m / i)
+        adj[raw[i - 1][0]] = round(min(1.0, run), 6)
+    for k, _ in ps:
+        assert out[k]["p_bh6"] == pytest.approx(adj[k], abs=2e-6), k
+        assert out[k]["reject"] == (adj[k] <= 0.05)
+    with pytest.raises(ValueError, match="alpha"):
+        benjamini_hochberg(tests, "k", "p", alpha=1.5)

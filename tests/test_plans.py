@@ -885,3 +885,88 @@ def test_gini_ranks_via_bucketed_prefix_scan(spark):
     gini = QUERIES["gini_revenue_concentration"].spark(spark, SF_SMOKE)
     gplan = gini._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in gplan
+
+
+def test_chi2_contingency_single_count_shuffle(spark):
+    """chi2_event_dow: the corpus is consumed by ONE map-side-combined
+    count shuffle; margins/expected/chi terms run on the cell frame.
+    Everything JVM-side, predicates at the scan."""
+    df = QUERIES["chi2_event_dow"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), IsNotNull(event_type)]" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dp_counts_one_shuffle_then_group_frame_math(spark):
+    """dp_event_counts: one count shuffle; the Laplace draw is pure JVM
+    expression math on the group-cardinality frame — no Python, no
+    joins, no windows."""
+    df = QUERIES["dp_event_counts"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(event_type)]" in plan
+
+
+def test_kmv_prunes_to_local_k_before_merge(spark):
+    """kmv_distinct_users: row_number <= k must compile to
+    WindowGroupLimit so each partition pre-prunes to its local k before
+    the per-group merge — the sketch shuffle carries k x |groups| rows,
+    never the corpus."""
+    df = QUERIES["kmv_distinct_users"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trimmed_mean_bucketed_no_per_group_global_sort(spark):
+    """trimmed_mean_prices: within-group running counts must be
+    partitioned by (group, range-bucket) — with 3 return flags a
+    partitionBy(group) window caps parallelism at 3; the bucket key
+    keeps every stage parallel.  No NTILE, no global sort."""
+    df = QUERIES["trimmed_mean_prices"].spark(spark, SF_SMOKE)
+    df.collect()  # finalize adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__g" in plan
+    assert "ntile" not in plan
+    assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
+
+
+def test_did_broadcast_dim_then_single_conditional_agg(spark):
+    """did_revenue_effect: the customer dim broadcasts (no corpus
+    shuffle for the join) and the 2x2 cells come from ONE conditional
+    aggregate — the only exchange is the SinglePartition merge of
+    map-side partials.  Nothing grows with the corpus."""
+    df = QUERIES["did_revenue_effect"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_runs_on_dim_bounded_daily_frame(spark):
+    """acf_daily_revenue: ONE corpus shuffle builds the daily series;
+    the lag explode and self-join run on the day-dim frame only.  The
+    lag generator must be a Generate (map-side explode), with no window
+    anywhere."""
+    df = QUERIES["acf_daily_revenue"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fdr_one_moment_shuffle_then_hypothesis_frame(spark):
+    """fdr_event_value_tests: the corpus is consumed by ONE moment
+    shuffle onto event_type; the z/p math and both BH windows run on
+    the hypothesis frame (one row per event type).  The A&S normal CDF
+    must stay JVM-side expression math."""
+    df = QUERIES["fdr_event_value_tests"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(event_type), IsNotNull(ts), IsNotNull(value)]" in plan
