@@ -12133,88 +12133,19 @@ def _fdr_value_tests(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-6 window: the 50 queries the driver verifies this round.  All
-#: oracle-backed, none has ever had a driver hash-green row (VERDICT.md
-#: round 5 priority order: the 4 oracle-backed spill-overs from the r5
-#: rotation first, then `schema_contract_enforced` and the two ingest
-#: roundtrips that close the §2 table at 54/54, then the round-5
-#: additions in queue order — bloom/BPE/SemDeDup/txlog/privacy/drift —
-#: through `zipf_vocab_fit`).
+#: Round-7 window: drains the never-driver-verified debt to ZERO
+#: (VERDICT r6 item 1).  Slots 1-25 = the full _NEXT_WINDOW_QUEUE as of
+#: round 6 (10 oracle-backed stats queries, then the 15 rows-only
+#: entries); slots 26-50 = stale-first re-verification, oldest
+#: driver-green round first (the r1 trio, then the r2-green tail in
+#: registration order) — exactly the tools/next_window.py proposal the
+#: round-6 judge pinned.  After this round every registered query has a
+#: driver row and the window becomes pure regression re-verification.
 DRIVER_WINDOW: list[str] = [
-    # oracle-backed spill-overs from the r5 window (VERDICT r5 item 1)
-    "window_percentile_ranks",
-    "clean_pipeline_dirty",
-    "scalar_function_battery",
-    "containment_pairs_blocked",
-    # closes §2 at 54/54: S1/S15 + S5 roundtrips, schema contract
-    "schema_contract_enforced",
-    "url_ingest_roundtrip",
-    "sql_extract_roundtrip",
-    # round-5 relational/join/window additions
-    "window_range_frame_sum",
-    "set_ops_multiset",
-    "asof_nearest_event",
-    "gopher_quality_rules",
-    "user_activity_streaks",
-    # sketches / dedup / tokenizer / warehouse batch
-    "bloom_prefilter_join",
-    "bloom_fpp_audit",
-    "bpe_pair_counts",
-    "semdedup_prune",
-    "k_anonymity_events",
-    "profile_orders_table",
-    "dsir_importance_weights",
-    "incremental_agg_merge",
-    "psi_drift_orders",
-    "temperature_lang_rates",
-    "gapfill_user_hourly",
-    "corr_matrix_lineitem",
-    "benford_price_audit",
-    "basket_brand_lift",
-    "bucketed_join_roundtrip",
-    "incremental_join_view",
-    "streaming_upsert_apply",
-    "c4_cleaning_rules",
-    "impute_group_mean",
-    "join_size_estimate_cm",
-    "hierarchy_share_rollup",
-    "session_path_trigrams",
-    "rfm_segments",
-    "cusum_changepoint_daily",
-    "rolling_corr_daily",
-    "market_concentration_hhi",
-    "keyness_log_odds",
-    "ab_test_conversion",
-    "cohort_ltv_curve",
-    "neyman_allocation_orders",
-    "txlog_time_travel",
-    "graph_bfs_hops",
-    "survival_kaplan_meier",
-    "gini_revenue_concentration",
-    "seasonal_dow_anomalies",
-    "user_event_entropy",
-    "l_diversity_events",
-    "zipf_vocab_fit",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window,
-#: backlog first (VERDICT r5 item 2): 3 oracle-backed spill-overs plus
-#: the 15 rows-only entries (no SQL-expressible oracle — the driver
-#: records a rows-only row for them).  Round-6 new registrations are
-#: CAPPED so this queue + additions fit one 50-slot window; after the
-#: r7 rotation every registered query has a driver row and the window
-#: becomes pure regression re-verification (top up from
-#: _PREVIOUSLY_VERIFIED, oldest green round first —
-#: tools/next_window.py implements the ordering).
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # oracle-backed spill-over from the r6 window (53 never-verified
-    # oracle-backed queries, 50 slots)
+    # never-driver-verified: oracle-backed r5/r6 stats batch first
     "ks_drift_price",
     "bootstrap_revenue_ci",
     "auc_price_basket_size",
-    # round-6 additions (capped at 7 — VERDICT r5 item 2 — so the whole
-    # queue [3 + 7 oracle-backed + 16 rows-only = 26] fits one r7
-    # window and the never-verified debt drains to ZERO)
     "chi2_event_dow",
     "acf_daily_revenue",
     "trimmed_mean_prices",
@@ -12222,7 +12153,8 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dp_event_counts",
     "did_revenue_effect",
     "fdr_event_value_tests",
-    # rows-only (no SQL-expressible oracle; driver does rows-only check)
+    # never-driver-verified: rows-only by design (driver records a
+    # rows-only row; docstrings state why no SQL oracle exists)
     "embedding_pca_project",
     "dedup_minhash",
     "dedup_minhash_transitive",
@@ -12237,15 +12169,11 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "dedup_graph_kcore",
     "mahalanobis_outliers",
     "hll_audience_overlap",
-    "approx_distinct",  # ran rows-only in r1/r2 (err=no_oracle row, no
-                        # rows_match flag) — give it a real driver slot
-]
-
-#: Driver-green in r1-r5 (hash-stable; guarded by local oracle parity).
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
+    "approx_distinct",
+    # stale-first re-verification: r1-green trio, then the r2 tail
+    "similarity_topk",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "clean_pipeline",
     "filter_equality",
     "filter_null_disjunction",
@@ -12268,6 +12196,22 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "join_broadcast_dims",
     "join_left_enrich",
     "join_semi",
+]
+
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: EMPTY as of round 7: the r7 rotation drained the debt to zero, so
+#: every new registration this round must be appended here (it gets a
+#: driver slot in the r8 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = [
+]
+
+
+#: Driver-green in r1-r5 (hash-stable; guarded by local oracle parity).
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
     "join_anti",
     "join_range_buckets",
     "sql_revenue_by_nation",
@@ -12397,11 +12341,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "event_transition_matrix",
     "revenue_share_of_total",
     "topk_with_ties_per_nation",
-    # driver-green in r1 (hash rows in CORRECTNESS_r01.json) but kept
-    # in the r2-r4 queues by mistake; filed here where they belong
-    "similarity_topk",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     # driver-green in r5 (CORRECTNESS_r05.json, 50/50 hash-green)
     "multimodal_image_decode",
     "multimodal_image_resize",
@@ -12453,6 +12392,57 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "supplier_pareto_share",
     "countmin_heavy_hitters",
     "skew_salted_join",
+    # driver-green in r6 (CORRECTNESS_r06.json, 50/50 green)
+    "window_percentile_ranks",
+    "clean_pipeline_dirty",
+    "scalar_function_battery",
+    "containment_pairs_blocked",
+    "schema_contract_enforced",
+    "url_ingest_roundtrip",
+    "sql_extract_roundtrip",
+    "window_range_frame_sum",
+    "set_ops_multiset",
+    "asof_nearest_event",
+    "gopher_quality_rules",
+    "user_activity_streaks",
+    "bloom_prefilter_join",
+    "bloom_fpp_audit",
+    "bpe_pair_counts",
+    "semdedup_prune",
+    "k_anonymity_events",
+    "profile_orders_table",
+    "dsir_importance_weights",
+    "incremental_agg_merge",
+    "psi_drift_orders",
+    "temperature_lang_rates",
+    "gapfill_user_hourly",
+    "corr_matrix_lineitem",
+    "benford_price_audit",
+    "basket_brand_lift",
+    "bucketed_join_roundtrip",
+    "incremental_join_view",
+    "streaming_upsert_apply",
+    "c4_cleaning_rules",
+    "impute_group_mean",
+    "join_size_estimate_cm",
+    "hierarchy_share_rollup",
+    "session_path_trigrams",
+    "rfm_segments",
+    "cusum_changepoint_daily",
+    "rolling_corr_daily",
+    "market_concentration_hhi",
+    "keyness_log_odds",
+    "ab_test_conversion",
+    "cohort_ltv_curve",
+    "neyman_allocation_orders",
+    "txlog_time_travel",
+    "graph_bfs_hops",
+    "survival_kaplan_meier",
+    "gini_revenue_concentration",
+    "seasonal_dow_anomalies",
+    "user_event_entropy",
+    "l_diversity_events",
+    "zipf_vocab_fit",
 ]
 
 _rotated = (

@@ -16,61 +16,62 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-6 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-7 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
-    "window_percentile_ranks",
-    "clean_pipeline_dirty",
-    "scalar_function_battery",
-    "containment_pairs_blocked",
-    "schema_contract_enforced",
-    "url_ingest_roundtrip",
-    "sql_extract_roundtrip",
-    "window_range_frame_sum",
-    "set_ops_multiset",
-    "asof_nearest_event",
-    "gopher_quality_rules",
-    "user_activity_streaks",
-    "bloom_prefilter_join",
-    "bloom_fpp_audit",
-    "bpe_pair_counts",
-    "semdedup_prune",
-    "k_anonymity_events",
-    "profile_orders_table",
-    "dsir_importance_weights",
-    "incremental_agg_merge",
-    "psi_drift_orders",
-    "temperature_lang_rates",
-    "gapfill_user_hourly",
-    "corr_matrix_lineitem",
-    "benford_price_audit",
-    "basket_brand_lift",
-    "bucketed_join_roundtrip",
-    "incremental_join_view",
-    "streaming_upsert_apply",
-    "c4_cleaning_rules",
-    "impute_group_mean",
-    "join_size_estimate_cm",
-    "hierarchy_share_rollup",
-    "session_path_trigrams",
-    "rfm_segments",
-    "cusum_changepoint_daily",
-    "rolling_corr_daily",
-    "market_concentration_hhi",
-    "keyness_log_odds",
-    "ab_test_conversion",
-    "cohort_ltv_curve",
-    "neyman_allocation_orders",
-    "txlog_time_travel",
-    "graph_bfs_hops",
-    "survival_kaplan_meier",
-    "gini_revenue_concentration",
-    "seasonal_dow_anomalies",
-    "user_event_entropy",
-    "l_diversity_events",
-    "zipf_vocab_fit",
+    "ks_drift_price",
+    "bootstrap_revenue_ci",
+    "auc_price_basket_size",
+    "chi2_event_dow",
+    "acf_daily_revenue",
+    "trimmed_mean_prices",
+    "kmv_distinct_users",
+    "dp_event_counts",
+    "did_revenue_effect",
+    "fdr_event_value_tests",
+    "embedding_pca_project",
+    "dedup_minhash",
+    "dedup_minhash_transitive",
+    "dedup_simhash",
+    "embedding_centroids",
+    "embedding_centroids_udaf",
+    "similarity_ivf_topk",
+    "approx_quantiles",
+    "hll_mergeable_rollup",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "dedup_graph_kcore",
+    "mahalanobis_outliers",
+    "hll_audience_overlap",
+    "approx_distinct",
+    "similarity_topk",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "clean_pipeline",
+    "filter_equality",
+    "filter_null_disjunction",
+    "filter_hour_range",
+    "projection_rename_drop",
+    "constant_column_stamp",
+    "string_filter_generic",
+    "time_bucket_enrich",
+    "datetime_parts",
+    "datetime_coerce",
+    "string_trim",
+    "json_extract_props",
+    "row_count",
+    "filtered_count",
+    "null_matrix",
+    "group_agg_stats",
+    "time_bucket_rollup",
+    "distinct_count",
+    "pricing_summary",
+    "join_broadcast_dims",
+    "join_left_enrich",
+    "join_semi",
 ]
+
 
 
 def test_window_is_first_50():
@@ -78,13 +79,39 @@ def test_window_is_first_50():
     assert suite.DRIVER_WINDOW == EXPECTED_WINDOW
 
 
-def test_window_is_all_oracle_backed():
+#: The 15 rows-only queries in the r7 window — no SQL-expressible
+#: oracle by design (each docstring states why); the driver records a
+#: rows-only row for them.  Everything else gets the full hash check.
+ROWS_ONLY_SLOTS = {
+    "embedding_pca_project",
+    "dedup_minhash",
+    "dedup_minhash_transitive",
+    "dedup_simhash",
+    "embedding_centroids",
+    "embedding_centroids_udaf",
+    "similarity_ivf_topk",
+    "approx_quantiles",
+    "hll_mergeable_rollup",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "dedup_graph_kcore",
+    "mahalanobis_outliers",
+    "hll_audience_overlap",
+    "approx_distinct",
+}
+
+
+def test_window_oracle_coverage():
     for name in suite.DRIVER_WINDOW:
-        assert suite.QUERIES[name].oracle is not None, name
+        if name in ROWS_ONLY_SLOTS:
+            assert suite.QUERIES[name].oracle is None, name
+        else:
+            assert suite.QUERIES[name].oracle is not None, name
 
 
-def test_window_targets_never_verified_queries():
-    """Every r6 window slot goes to a query with no prior driver-green row."""
+def test_window_drains_debt_then_reverifies_stale():
+    """r7 slots 1-25 = every never-driver-verified query (debt -> 0);
+    slots 26-50 = stale-first re-verification of r1/r2-green queries."""
     green: set[str] = set()
     for fname in (
         "CORRECTNESS_r01.json",
@@ -92,14 +119,21 @@ def test_window_targets_never_verified_queries():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     ):
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
             continue
         for name, row in json.load(open(path)).items():
-            if row.get("hash_match"):
+            ok = row.get("hash_match")
+            if ok is None:
+                ok = row.get("rows_match")
+            if ok:
                 green.add(name)
-    assert not green & set(suite.DRIVER_WINDOW)
+    never = [n for n in suite.QUERIES if n not in green]
+    assert set(never) == set(suite.DRIVER_WINDOW[:25])
+    assert not set(suite.DRIVER_WINDOW[25:]) - green
+    assert suite._NEXT_WINDOW_QUEUE == []
 
 
 def test_rotation_covers_every_registration_exactly_once():
@@ -123,7 +157,10 @@ def test_entry_module_exposes_rotated_order():
     assert list(mod.queries())[:50] == EXPECTED_WINDOW
     oracles = mod.oracle_sql()
     for name in EXPECTED_WINDOW:
-        assert name in oracles, name
+        if name in ROWS_ONLY_SLOTS:
+            assert name not in oracles, name
+        else:
+            assert name in oracles, name
 
 
 def test_queries_md_is_current():
