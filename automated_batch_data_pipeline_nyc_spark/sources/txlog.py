@@ -291,30 +291,54 @@ def vacuum(
     horizon = time.time() - retention_seconds
     data_root = os.path.join(path, _DATA_DIR)
     removed = 0
+    touched: set[str] = set()  # top-level commit dirs we unlinked from
     for root, _dirs, files in os.walk(data_root):
         for f in files:
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
             if not f.endswith(".parquet") or rel in keep:
                 continue
-            if rel not in ever_published and os.path.getmtime(full) > horizon:
-                continue  # possibly an in-flight commit's staged data
-            os.unlink(full)
+            # A concurrent vacuum (or a commit retry rmtree-ing its own
+            # staging dir) can remove the file between the walk and the
+            # stat/unlink; a vanished file is already reclaimed, not an
+            # error — don't abort the sweep mid-way.
+            try:
+                if (
+                    rel not in ever_published
+                    and os.path.getmtime(full) > horizon
+                ):
+                    continue  # possibly an in-flight commit's staged data
+                os.unlink(full)
+            except FileNotFoundError:
+                continue
             removed += 1
+            touched.add(os.path.relpath(full, data_root).split(os.sep)[0])
     # Drop commit directories left holding no parquet (only _SUCCESS /
     # .crc job markers, or nothing) so the data dir doesn't accrete.
-    # Safe: an in-flight commit's directory still contains its parquet
-    # files (protected above by the retention window), so a marker-only
-    # directory is necessarily dead.
+    # An in-flight commit's directory is NOT necessarily protected by
+    # the file-level retention window: in the instant after df.write
+    # creates it but before any .parquet part lands, the dir is
+    # marker-only (or empty) yet very much alive — rmtree-ing it would
+    # fail the writer or let it publish a version referencing a deleted
+    # directory.  Two dirs are provably dead: (a) dirs THIS run
+    # unlinked parquet from (every commit stages into its own fresh
+    # dir, so a dir we emptied held only dead files), and (b) dirs
+    # older than the same mtime ``horizon`` used for unreferenced
+    # files.  Everything else is skipped until it ages out.
     for entry in os.listdir(data_root):
         d = os.path.join(data_root, entry)
-        if not os.path.isdir(d):
+        try:
+            if not os.path.isdir(d):
+                continue
+            if entry not in touched and os.path.getmtime(d) > horizon:
+                continue  # possibly an in-flight commit's fresh staging
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _r, _dirs, fs in os.walk(d)
+                for f in fs
+            )
+            if not has_parquet:
+                shutil.rmtree(d)
+        except FileNotFoundError:
             continue
-        has_parquet = any(
-            f.endswith(".parquet")
-            for _r, _dirs, fs in os.walk(d)
-            for f in fs
-        )
-        if not has_parquet:
-            shutil.rmtree(d)
     return removed
