@@ -662,3 +662,52 @@ def test_global_row_number_equals_exact_window(spark, vals, n_buckets):
         ).collect()
     }
     assert got == want
+
+
+def test_global_row_number_heavy_ties_spread_and_null_loud(spark):
+    """VERDICT r6 item 3 + ADVICE r6: the skew bound and the NULL
+    contract.  (a) A 99%-identical-value column — the pathological
+    heavy-tail fixture where equi-width bucketing degenerated to one
+    task — must still spread its ties across many buckets (equi-depth
+    cutpoints + tiebreak sub-bucketing), while staying bit-identical to
+    the exact single-task window.  (b) A NULL value_col must raise
+    loudly inside the job, not silently drop the row."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import (
+        global_row_number,
+    )
+
+    rows = [(i, 7.0 if i % 100 else float(i) / 10.0) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    ranked = global_row_number(df, "v", "id", n_buckets=32, _keep_bucket=True)
+    # the 9_900-row tie class must not collapse into one window task
+    tie_buckets = (
+        ranked.where(F.col("v") == 7.0).select("__b").distinct().count()
+    )
+    assert tie_buckets >= 16, (
+        f"99%-identical values landed in only {tie_buckets} bucket(s) — "
+        "the skew fix regressed"
+    )
+    # and the largest single bucket must hold a bounded share of rows
+    top = (
+        ranked.groupBy("__b").count().agg(F.max("count").alias("m")).first().m
+    )
+    assert top <= 2_500, f"largest bucket holds {top}/10000 rows"
+    # placement freedom must not change the result: bit-equal to the
+    # exact unpartitioned window
+    got = {(r.id, r.i) for r in ranked.select("id", "i").collect()}
+    w = Window.orderBy("v", "id")
+    want = {
+        (r.id, r.i)
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("i")
+        ).collect()
+    }
+    assert got == want
+
+    dfn = spark.createDataFrame([(1, None), (2, 3.0)], "id long, v double")
+    with pytest.raises(Exception, match="NULL in value_col"):
+        global_row_number(dfn, "v", "id").collect()
