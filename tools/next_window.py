@@ -9,6 +9,14 @@ rows-only entries) row, and prints:
      rows-only, then (only if slots remain) oldest-verified re-checks;
   2. the leftover never-verified queries that don't fit this round.
 
+Zero-debt maintenance policy (in effect since round 7, when the
+never-verified queue drained): with no debt, the emission is PURELY
+stale-first — the 50 queries whose most recent driver-green row is
+oldest (registration order breaks ties), so every registered query
+re-verifies at least every ceil(n_registered / 50) ≈ 6 rounds.  New
+registrations (always appended to suite._NEXT_WINDOW_QUEUE) count as
+never-verified and jump the stale queue the following round.
+
 Advisory only — it rewrites nothing.  Apply by editing
 ``suite.DRIVER_WINDOW`` (+ the queue / previously-verified lists) and
 ``tests/test_suite_contract.py::EXPECTED_WINDOW`` together, then
