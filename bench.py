@@ -84,6 +84,22 @@ def _run() -> dict:
     ).write.format("noop").mode("overwrite").save()
     calib_s = round(time.perf_counter() - t0, 3)
 
+    # Second probe: per-JOB scheduling overhead (round-7 addition).
+    # calib_s measures raw compute throughput, but iterative queries
+    # (BPE training, BFS, streaming micro-batches) are dominated by
+    # Spark job/stage launch latency, which swings independently of CPU
+    # speed on shared hosts — round 7 measured the same iterative query
+    # at 4 s and 25 s minutes apart while calib_s moved only 1.16x.
+    # 20 tiny two-stage jobs isolate that latency: read cross-round
+    # swings in job-heavy queries relative to calib_jobs_s, and
+    # everything else relative to calib_s.
+    t0 = time.perf_counter()
+    for _ in range(20):
+        spark.range(32, numPartitions=32).selectExpr("id % 4 AS g").groupBy(
+            "g"
+        ).count().write.format("noop").mode("overwrite").save()
+    calib_jobs_s = round(time.perf_counter() - t0, 3)
+
     # Oracle-only O(n^2) cross-check forms; their scale-safe twins
     # (dedup_ngram_jaccard_prefix / dedup_embedding_cosine_lsh /
     # containment_pairs_prefix) are the timed production paths.
@@ -134,6 +150,11 @@ def _run() -> dict:
         "sf": sf,
         "calib_s": calib_s,
         "calib_anchor_s": CALIB_ANCHOR_S,
+        # Per-job scheduling-latency probe (20 tiny two-stage jobs);
+        # no anchor yet — record and compare across rounds to attribute
+        # swings in iterative/streaming queries to scheduler latency
+        # rather than plan changes.
+        "calib_jobs_s": calib_jobs_s,
     }
 
 
@@ -169,6 +190,7 @@ if __name__ == "__main__":
         "unit": result["unit"],
         "sf": result["sf"],
         "calib_s": result["calib_s"],
+        "calib_jobs_s": result["calib_jobs_s"],
         "n_queries": len(result["queries"]),
         "n_failed": len(failed),
         "failed": failed[:10],

@@ -711,3 +711,31 @@ def test_global_row_number_heavy_ties_spread_and_null_loud(spark):
     dfn = spark.createDataFrame([(1, None), (2, 3.0)], "id long, v double")
     with pytest.raises(Exception, match="NULL in value_col"):
         global_row_number(dfn, "v", "id").collect()
+
+
+def test_global_row_number_string_tiebreak_fallback(spark):
+    """Non-numeric tiebreaks can't sub-bucket (no quantiles over
+    strings via percentile_approx), so heavy ties stay in one bucket —
+    the documented skew bound — but correctness must hold on the
+    fallback path too, including heavy ties and all-equal values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.windows import (
+        global_row_number,
+    )
+
+    rows = [(f"k{i:04d}", (i % 5) * 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "id string, v long")
+    got = {
+        (r.id, r.i)
+        for r in global_row_number(df, "v", "id", n_buckets=16).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r.id, r.i)
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("i")
+        ).collect()
+    }
+    assert got == want
