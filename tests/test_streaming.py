@@ -635,3 +635,101 @@ def test_stream_txlog_sink_exactly_once(spark, staged_events, tmp_path):
     )
     assert v == v_before + 1
     assert txlog.read_table(spark, table).count() == want + 5
+
+
+def test_foreach_batch_upsert_partitioned_prunes(spark, staged_events, tmp_path):
+    """Partition-pruned streaming MERGE (the scale path for
+    foreach_batch_upsert's O(|table|)-per-batch rewrite): semantics
+    match the table-rewrite sink — one row per key, latest order_col
+    wins — and a follow-up batch touching ONE partition leaves every
+    other partition's files physically untouched."""
+    import glob
+    import os
+
+    from automated_batch_data_pipeline_nyc_spark.streaming.jobs import (
+        foreach_batch_upsert_partitioned,
+    )
+
+    src, batch = staged_events
+    part = F.pmod(F.col("user_id"), F.lit(8)).cast("long")
+    clean = batch.filter(F.col("user_id").isNotNull()).withColumn("p", part)
+    target = str(tmp_path / "user_latest")
+
+    stream = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("p", part)
+    )
+    q = foreach_batch_upsert_partitioned(
+        stream,
+        target,
+        ["user_id"],
+        partition_col="p",
+        checkpoint=str(tmp_path / "ckpt1"),
+        order_col="ts",
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(target)
+    assert got.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+    want = clean.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    assert (
+        got.join(want, "user_id").filter(F.col("ts") != F.col("max_ts")).count()
+        == 0
+    )
+
+    # snapshot the physical file state of every partition
+    def snap(p):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(target, f"p={p}", "*.parquet"))
+        }
+
+    before = {p: snap(p) for p in range(8)}
+    assert any(before.values())
+
+    # second stream: rows for exactly ONE user (one partition)
+    victim = clean.filter(F.col("p") == 3).select("user_id").first().user_id
+    upd = (
+        clean.filter(F.col("user_id") == victim)
+        .limit(1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 days"))
+    )
+    src2 = str(tmp_path / "src2")
+    upd.write.parquet(src2)
+    stream2 = (
+        read_event_stream(spark, src2, max_files_per_trigger=1)
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("p", part)
+    )
+    q2 = foreach_batch_upsert_partitioned(
+        stream2,
+        target,
+        ["user_id"],
+        partition_col="p",
+        checkpoint=str(tmp_path / "ckpt2"),
+        order_col="ts",
+    )
+    q2.awaitTermination(180)
+
+    after = {p: snap(p) for p in range(8)}
+    for p in range(8):
+        if p == 3:
+            assert after[p] != before[p], "touched partition must rewrite"
+        else:
+            assert after[p] == before[p], (
+                f"untouched partition p={p} was rewritten — pruning failed"
+            )
+    # and the merge applied: the victim's row carries the advanced ts
+    new_ts = (
+        spark.read.parquet(target)
+        .filter(F.col("user_id") == victim)
+        .first()
+        .ts
+    )
+    old_max = (
+        clean.filter(F.col("user_id") == victim)
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    assert new_ts > old_max
