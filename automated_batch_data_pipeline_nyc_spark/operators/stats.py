@@ -226,6 +226,36 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     ).select("p.col_x", "p.col_y", F.col("n"), "p.corr")
 
 
+def _equi_depth_buckets(hist: DataFrame, n_buckets: int) -> DataFrame:
+    """Attach ``__b``: the equi-depth range bucket of ``__v``.
+
+    Boundaries come from ``percentile_approx(__v, i/n_buckets)`` over
+    the histogram (1-row aggregate — broadcasts, no driver collect), so
+    buckets hold ~equal DISTINCT-VALUE counts whatever the value
+    distribution; the old equi-width ``[min, max]`` splits degenerated
+    toward a few buckets on heavy-tailed values (the same skew
+    ``operators/windows.py::global_row_number`` fixed — VERDICT r6
+    item 3).  ``__b`` is monotone non-decreasing in ``__v`` (count of
+    cutpoints strictly below), which is the only property the two-level
+    prefix scans need — placement-only freedom, results bit-unchanged.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    v = F.col("__v").cast("double")
+    if n_buckets == 1:
+        return hist.withColumn("__b", F.lit(0))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = hist.agg(F.percentile_approx(v, qs, 10_000).alias("__cuts"))
+    b = F.aggregate(
+        "__cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("int")
+    return (
+        hist.crossJoin(F.broadcast(cuts)).withColumn("__b", b).drop("__cuts")
+    )
+
+
 def _two_sample_running_counts(
     df: DataFrame,
     value_col: str,
@@ -239,10 +269,10 @@ def _two_sample_running_counts(
 
     1. ONE corpus-sized shuffle builds the per-distinct-value histogram
        ``(__v, __ca, __cb)``.
-    2. Values are range-bucketed into ``n_buckets`` splits of
-       ``[min, max]`` (min/max taken over the histogram itself, so the
-       1-row aggregate reuses the same corpus exchange and broadcasts —
-       no driver collect).
+    2. Values are range-bucketed on EQUI-DEPTH ``percentile_approx``
+       cutpoints over the histogram (:func:`_equi_depth_buckets` — the
+       1-row aggregate broadcasts, no driver collect), so heavy-tailed
+       value distributions still fill all buckets.
     3. Per-bucket totals (``n_buckets`` rows) get exclusive running
        offsets via a window over the TINY bucket table; within-bucket
        running counts use a window PARTITIONED by bucket — the classic
@@ -262,20 +292,7 @@ def _two_sample_running_counts(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
     )
-    rng = hist.agg(
-        F.min("__v").cast("double").alias("__lo"),
-        F.max("__v").cast("double").alias("__hi"),
-    )
-    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("__v").cast("double") - F.col("__lo"))
-                / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
-            ),
-            F.lit(n_buckets - 1),
-        )
-    ).cast("int")
-    h = hist.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    h = _equi_depth_buckets(hist, n_buckets)
     btot = h.groupBy("__b").agg(
         F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
     )
@@ -1120,24 +1137,7 @@ def trimmed_mean(
         )
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    rng = hist.agg(
-        F.min("__v").cast("double").alias("__lo"),
-        F.max("__v").cast("double").alias("__hi"),
-    )
-    bucket = (
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("__v").cast("double") - F.col("__lo"))
-                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)))
-                ),
-                F.lit(n_buckets - 1),
-            )
-        )
-        .cast("int")
-    )
-    h = hist.crossJoin(F.broadcast(rng)).withColumn("__b", bucket)
+    h = _equi_depth_buckets(hist, n_buckets)
     btot = h.groupBy("__g", "__b").agg(F.sum("__cnt").alias("__bc"))
     w_excl = (
         Wn.partitionBy("__g").orderBy("__b").rowsBetween(Wn.unboundedPreceding, -1)

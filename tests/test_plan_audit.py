@@ -1,0 +1,90 @@
+"""Suite-WIDE physical-plan invariants (tools/plan_audit.py).
+
+tests/test_plans.py pins individual queries' plan shapes; this module
+asserts the three invariants that must hold for EVERY registered query
+— so a future registration can't quietly ship a cartesian product, a
+row-at-a-time Python stage, or an unbounded single-task window.  The
+allowlists below are the complete, deliberate exceptions; growing one
+requires editing this file, i.e. a reviewed decision.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+#: Queries allowed to carry Arrow/pandas Python stages: media codecs
+#: (binary payloads genuinely need Python's stdlib codecs), Unicode NFC
+#: (no JVM-side builtin), the declared grouped-map UDAF shape, and the
+#: BLAS partial-Gramian mapInPandas.  Everything else must stay JVM-side.
+PYTHON_EVAL_ALLOWED = {
+    "embedding_centroids_udaf",
+    "embedding_gram_matrix",
+    "multimodal_audio_features",
+    "multimodal_format_sniff",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_video_frames",
+    "multimodal_payload_meta",
+    "text_normalize_nfc",
+}
+
+#: Queries allowed unpartitioned window specs — each runs its window
+#: over a PROVABLY BOUNDED frame (stated in the query doc): day spines,
+#: dim-sized aggregates, vocabulary tables, n_buckets-row offset scans.
+#: The value is the max allowed count, so a refactor that adds MORE
+#: single-task windows to one of these still fails.
+UNPARTITIONED_WINDOWS_ALLOWED = {
+    "auc_price_basket_size": 1,      # value-histogram frame (distinct prices)
+    "fdr_event_value_tests": 2,      # p-value frame (event types)
+    "gini_revenue_concentration": 1, # n_buckets-row bucket-offset scan
+    "hybrid_retrieval_rrf": 2,       # two top-k rank frames (k rows)
+    "ks_drift_price": 2,             # distinct-value CDF frames
+    "rolling_corr_daily": 6,         # span-bounded generated day spine
+    "supplier_pareto_share": 1,      # supplier-level aggregate frame
+    "survival_kaplan_meier": 2,      # distinct event-time frame
+    "user_growth_daily": 1,          # day-level aggregate frame
+    "zipf_vocab_fit": 1,             # top-vocab rank frame
+}
+
+
+@pytest.fixture(scope="module")
+def plan_report(spark):
+    from plan_audit import audit
+
+    return audit(SF_SMOKE, spark=spark)
+
+
+def test_audit_covers_every_query_without_errors(plan_report):
+    from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
+
+    assert set(plan_report) == set(QUERIES)
+    errs = {n: r["error"] for n, r in plan_report.items() if "error" in r}
+    assert not errs, errs
+
+
+def test_no_cartesian_product_anywhere(plan_report):
+    cart = [n for n, r in plan_report.items() if r.get("cartesian")]
+    assert cart == [], f"CartesianProduct in: {cart}"
+
+
+def test_python_stages_only_where_justified(plan_report):
+    py = {n for n, r in plan_report.items() if r.get("python_eval")}
+    assert py <= PYTHON_EVAL_ALLOWED, (
+        f"unexpected Python eval stages in: {sorted(py - PYTHON_EVAL_ALLOWED)}"
+    )
+
+
+def test_unpartitioned_windows_only_over_bounded_frames(plan_report):
+    bad = {}
+    for n, r in plan_report.items():
+        got = r.get("unpart_windows", 0)
+        if got > UNPARTITIONED_WINDOWS_ALLOWED.get(n, 0):
+            bad[n] = r.get("unpart_window_specs", got)
+    assert not bad, f"unbounded single-task window risk in: {bad}"

@@ -739,3 +739,32 @@ def test_global_row_number_string_tiebreak_fallback(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_equi_depth_buckets_fill_on_heavy_tail(spark):
+    """The shared prefix-scan bucketing (_equi_depth_buckets) must keep
+    all buckets populated on a heavy-tailed value distribution — the
+    case where the old equi-width [min, max] splits collapsed most
+    distinct values into a few low buckets (one giant window task)."""
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        _equi_depth_buckets,
+    )
+
+    # power-law-ish: 5000 distinct values packed near 0, a long tail to 1e9
+    hist = spark.range(5000).select(
+        (F.pow(F.lit(1.005), F.col("id"))).alias("__v")
+    )
+    h = _equi_depth_buckets(hist, 64)
+    per = h.groupBy("__b").count()
+    n_buckets = per.count()
+    biggest = per.agg(F.max("count")).first()[0]
+    assert n_buckets >= 48, f"only {n_buckets}/64 buckets populated"
+    assert biggest <= 5000 * 0.10, (
+        f"largest bucket holds {biggest}/5000 distinct values"
+    )
+    # monotone placement: bucket id never decreases along value order
+    rows = h.select("__v", "__b").orderBy("__v").collect()
+    bs = [r["__b"] for r in rows]
+    assert bs == sorted(bs)

@@ -1,0 +1,118 @@
+"""Physical-plan audit over every registered query: PLAN_AUDIT.json.
+
+Builds each suite query at a small sf (plans are scale-invariant in
+STRUCTURE — the audit looks at operator choices, not sizes) and counts
+the plan features that decide 100 TB behavior:
+
+- ``exchanges``        shuffle count (Exchange nodes, incl. broadcasts)
+- ``bnlj``             BroadcastNestedLoopJoin count (fine only when one
+                       side is provably tiny — centroid/1-row attaches)
+- ``cartesian``        CartesianProduct count (never acceptable in a
+                       production path; the O(n²) oracle twins are the
+                       only registered queries allowed to carry one)
+- ``python_eval``      Batch/ArrowEvalPython + map-in-pandas nodes (the
+                       slow path; only media codecs + NFC should hit it)
+- ``unpart_windows``   window specs with NO partition keys — each one is
+                       a single-task sort at scale; every remaining one
+                       must be over a provably bounded frame (dim-sized
+                       aggregates, n_buckets-row offset tables) and is
+                       listed here so the claim is auditable, not vibes
+- ``wscg``             WholeStageCodegen span count (JVM-side pipelines)
+
+Usage: ``python tools/plan_audit.py [sf_dir]`` (default
+/root/testdata/sf0.001).  Streaming-backed queries EXECUTE their
+micro-batches during construction, so the audit runs them at the small
+sf; everything else is plan-only (no job runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_WSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+def _unpartitioned_specs(plan: str) -> list[str]:
+    """Window specs whose argument list starts with an ORDER column
+    (i.e. no partition columns).  Spec grammar:
+    windowspecdefinition(part..., order ASC/DESC ..., frame)."""
+    out = []
+    for m in _WSPEC.finditer(plan):
+        args = m.group(1)
+        first = args.split(",", 1)[0]
+        if " ASC" in first or " DESC" in first:
+            out.append(m.group(0)[:120])
+    return out
+
+
+def audit(sf_dir: str, spark=None) -> dict:
+    from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
+
+    if spark is None:
+        from automated_batch_data_pipeline_nyc_spark.session import get_session
+
+        spark = get_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict[str, dict] = {}
+    for name, q in QUERIES.items():
+        try:
+            df = q.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # surface, keep auditing
+            report[name] = {"error": repr(exc)[:200]}
+            continue
+        unpart = _unpartitioned_specs(plan)
+        report[name] = {
+            "exchanges": plan.count("Exchange"),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "cartesian": plan.count("CartesianProduct"),
+            "python_eval": (
+                plan.count("BatchEvalPython")
+                + plan.count("ArrowEvalPython")
+                + plan.count("MapInPandas")
+                + plan.count("FlatMapGroupsInPandas")
+            ),
+            "unpart_windows": len(unpart),
+            "unpart_window_specs": unpart,
+            "wscg": plan.count("WholeStageCodegen"),
+        }
+    return report
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    report = audit(sf_dir)
+    errors = {n: r for n, r in report.items() if "error" in r}
+    cart = [n for n, r in report.items() if r.get("cartesian")]
+    py = [n for n, r in report.items() if r.get("python_eval")]
+    unpart = {
+        n: r["unpart_windows"] for n, r in report.items()
+        if r.get("unpart_windows")
+    }
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(report),
+        "summary": {
+            "errors": sorted(errors),
+            "cartesian": sorted(cart),
+            "python_eval": sorted(py),
+            "unpartitioned_windows": dict(sorted(unpart.items())),
+        },
+        "queries": report,
+    }
+    path = os.path.join(REPO, "PLAN_AUDIT.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(out["summary"], indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
