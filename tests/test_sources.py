@@ -454,3 +454,58 @@ def test_txlog_vacuum_spares_inflight_marker_only_dir(spark, tmp_path):
     # nothing to assert beyond "no exception" — exercised implicitly by
     # repeated vacuums above sharing the same walk windows
     assert txlog.read_table(spark, t).count() == 5
+
+
+def test_txlog_randomized_protocol_vs_model(spark, tmp_path):
+    """Randomized protocol check: a seeded sequence of append/overwrite
+    commits and vacuums against the real log, mirrored by a pure-Python
+    model of what every snapshot must contain.  After each op the head
+    read must equal the model; at the end, every retained version
+    time-travels to its model snapshot and every vacuumed version
+    raises loudly."""
+    import random
+
+    from automated_batch_data_pipeline_nyc_spark.sources import txlog
+
+    rng = random.Random(7)
+    t = str(tmp_path / "tbl")
+    model: list[set[int]] = []  # model[v] = expected id set at version v
+    nxt = 0
+
+    def fresh_ids(k):
+        nonlocal nxt
+        ids = set(range(nxt, nxt + k))
+        nxt += k
+        return ids
+
+    vacuumed_below = 0  # versions < this are unreadable
+    for step in range(14):
+        op = rng.choice(["append", "append", "overwrite", "vacuum"])
+        if op == "vacuum" and model:
+            keep = rng.choice([1, 2])
+            txlog.vacuum(t, keep_versions=keep, retention_seconds=0)
+            vacuumed_below = max(vacuumed_below, len(model) - keep)
+        elif op in ("append", "overwrite"):
+            ids = fresh_ids(rng.randint(1, 5))
+            df = spark.createDataFrame([(i,) for i in sorted(ids)], "id long")
+            mode = op if model else "overwrite"
+            txlog.commit(df, t, mode=mode)
+            prev = model[-1] if (model and mode == "append") else set()
+            model.append(prev | ids)
+        if model:
+            got = {r.id for r in txlog.read_table(spark, t).collect()}
+            assert got == model[-1], f"head mismatch at step {step}"
+            assert txlog.current_version(t) == len(model) - 1
+
+    # time travel: retained versions must reproduce their snapshots;
+    # versions below the retention point either raise loudly (files
+    # reclaimed) or — when every file they reference is still live in a
+    # retained snapshot, e.g. pure-append history — still reproduce
+    # exactly.  What must NEVER happen is a silent wrong result.
+    for v, want in enumerate(model):
+        try:
+            got = {r.id for r in txlog.read_table(spark, t, version=v).collect()}
+        except ValueError:
+            assert v < vacuumed_below, f"retained v{v} must stay readable"
+            continue
+        assert got == want, f"time travel mismatch at v{v}"
