@@ -768,3 +768,42 @@ def test_equi_depth_buckets_fill_on_heavy_tail(spark):
     rows = h.select("__v", "__b").orderBy("__v").collect()
     bs = [r["__b"] for r in rows]
     assert bs == sorted(bs)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(0, 4) | st.integers(0, 10_000),
+        min_size=1,
+        max_size=60,
+    ),
+    frac=st.sampled_from([0.0, 0.05, 0.1, 0.25, 0.4]),
+    n_buckets=st.integers(min_value=1, max_value=5),
+)
+def test_trimmed_mean_equals_sorted_reference(spark, vals, frac, n_buckets):
+    """trimmed_mean's histogram count algebra (clamp(min(cum,n-k) -
+    max(cum-cnt,k)) tie weights over the equi-depth prefix scan) vs the
+    obvious sort-and-slice reference, across heavy ties, tiny groups,
+    trim fractions that round to zero, and bucket counts below the
+    distinct-value count."""
+    import pytest
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    got = trimmed_mean(df, "g", "v", frac, n_buckets=n_buckets).collect()[0]
+
+    xs = sorted(round(v, 2) for v in vals)
+    k = int(frac * len(xs))
+    kept = xs[k: len(xs) - k] if len(xs) - 2 * k > 0 else []
+    assert got.n == len(xs) and got.k_trim == k
+    if kept:
+        assert got.trimmed_mean6 == pytest.approx(
+            round(sum(kept) / len(kept), 6), abs=1e-6
+        )
+    else:
+        assert got.trimmed_mean6 is None
