@@ -50,6 +50,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "bigram_lm_scores",
 ]
 
 #: Small English stopword set (public-domain list subset) used by the
@@ -1311,4 +1312,114 @@ def log_odds_keyness(
         "y0",
         delta.alias("delta"),
         (delta / F.sqrt(var)).alias("z"),
+    )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Adjacent alpha-token bigrams of ``text_col`` (lowercased,
+    ``[^a-z]+`` split — the BPE-oracle tokenization), one row per
+    occurrence, carrying the ``keep`` columns.  Documents with fewer
+    than two tokens contribute nothing."""
+    t = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != ""
+    )
+    toks = df.select(*keep, t.alias("__t")).filter(F.size("__t") >= 2)
+    return toks.select(
+        *keep, F.explode(_adjacent_pairs(F.col("__t"))).alias("p")
+    ).select(*keep, F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    round_lp: int = 8,
+) -> DataFrame:
+    """Per-document score under an add-one-smoothed bigram language
+    model — the perplexity quality filter of CCNet / Wikipedia-LM
+    pipelines (Wenzek et al. 2020 train a KenLM on a clean reference
+    corpus and keep the low-perplexity tail of the crawl):
+
+        P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
+        nll(doc)   = -(1/n) * sum over doc bigrams of ln P(w2|w1)
+        ppl(doc)   = exp(nll)
+
+    ``model_df`` is the REFERENCE corpus the counts c and vocabulary V
+    come from (default: ``df`` itself — self-trained).  The smoothing
+    is what makes the reference-model form work at all: bigrams unseen
+    in the model (including unseen left contexts, where c(w1)=0) score
+    a proper finite ln(1/(0+V)) instead of ln 0 — this is the
+    distinction from the unsmoothed MLE self-scorer
+    ``bigram_logprob_scores`` in the suite, whose zero-count case
+    cannot occur only because it scores its own training data.
+
+    Scale shape — each corpus is read ONCE and shuffled ONCE:
+
+    * scored side: one shuffle to per-(doc, bigram) cells
+      ``db = (id, w1, w2, n)``; model scores attach at bigram-TYPE
+      granularity (doc-distinct pairs, not token occurrences);
+    * model side: bigram totals ``c12`` (one shuffle — reused from
+      ``db`` when self-trained), left-context totals ``c1`` and the
+      conditioning vocabulary ``V`` (distinct w1/w2 tokens) both roll
+      up from the c12 TYPE table, never the corpus;
+    * unseen pairs survive via LEFT joins + coalesce(0) — the model
+      tables never need the scored corpus's key space;
+    * exactness: each ln is rounded to ``round_lp`` dp (absorbing the
+      cross-libm ULP — at 8 dp a 1-ulp ln() disagreement flips a grid
+      cell with probability ~1e-7; Benford/keyness precedent) and cast
+      DECIMAL(18,8), so per-doc weighted sums are order-independent
+      exact decimals on any partitioning.  Only the final /n and exp()
+      touch doubles (6dp).
+
+    Documents with fewer than two alpha tokens have no bigrams and are
+    excluded (the oracle's pair-unnest excludes them identically).
+    """
+    db = (
+        _bigram_pairs(df, text_col, id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    if model_df is None or model_df is df:
+        mp = db  # self-trained: reuse the one corpus shuffle
+        c12 = mp.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    else:
+        mp = _bigram_pairs(model_df, model_text_col or text_col)
+        c12 = mp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = (
+        c12.select(F.col("w1").alias("w"))
+        .unionAll(c12.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+        ),
+        round_lp,
+    ).cast("decimal(18,8)")
+    return (
+        db.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(id_col, "n", lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n").cast("decimal(10,0)") * F.col("lp")).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                -F.col("__s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("nll"),
+            F.round(
+                F.exp(-F.col("__s").cast("double") / F.col("n_bigrams")), 6
+            ).alias("ppl"),
+        )
     )

@@ -12228,6 +12228,278 @@ def _fdr_value_tests(spark, sf_dir):
 
 
 # ===========================================================================
+# Round 7 additions: LM-perplexity quality filter, binaryFile ingestion,
+# hash-verified IVF probe.  Three registrations (VERDICT r6 item 2 caps
+# the round at ~10) — each closes a named family gap: perplexity-based
+# filtering was the one headline LLM-data op with no entry, binaryFile
+# was the one Spark-native source format with no roundtrip, and the IVF
+# PROBE path was the last rows-only similarity stage with no oracle.
+# ===========================================================================
+
+@_q(
+    "lm_perplexity_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                    w -> w <> '') AS t
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS u(i)),
+    db AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3),
+    mtoks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w <> '') AS t
+      FROM documents WHERE lang = 'en'),
+    mp AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      FROM mtoks, unnest(range(1, len(t))) AS u(i)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM mp GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM
+            (SELECT w1 AS w FROM c12 UNION ALL SELECT w2 AS w FROM c12)),
+    sc AS (
+      SELECT db.doc_id, db.n,
+        CAST(round(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                      / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 8)
+          AS DECIMAL(18,8)) AS lp
+      FROM db
+      LEFT JOIN c12 ON db.w1 = c12.w1 AND db.w2 = c12.w2
+      LEFT JOIN c1 ON db.w1 = c1.w1
+      CROSS JOIN v),
+    doc AS (
+      SELECT doc_id, SUM(n) AS n_bigrams,
+        SUM(CAST(n AS DECIMAL(10,0)) * lp) AS s
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      CAST(round(-CAST(s AS DOUBLE) / n_bigrams, 6) AS DOUBLE) AS nll,
+      CAST(round(exp(-CAST(s AS DOUBLE) / n_bigrams), 6) AS DOUBLE) AS ppl
+    FROM doc
+    """,
+    doc="Perplexity LM quality filter, REFERENCE-model form (the true "
+        "CCNet shape, Wenzek et al. 2020: train a KenLM on clean "
+        "Wikipedia, score the crawl, keep the low-perplexity tail): an "
+        "add-one-smoothed bigram model trained on the English documents "
+        "scores EVERY document's mean negative log-likelihood + "
+        "perplexity — non-English docs hit unseen bigrams and left "
+        "contexts (c12=0, even c1=0), so the smoothing is load-bearing, "
+        "which is the semantic distinction from the unsmoothed MLE "
+        "self-scorer bigram_logprob_scores (that form cannot leave its "
+        "own training support).  Each side is read once and shuffled "
+        "once: scored corpus -> (doc, bigram) cells, model corpus -> "
+        "bigram-type counts; c1 and the vocabulary roll up from the "
+        "TYPE table; unseen pairs survive via LEFT joins + coalesce. "
+        "Exactness: each ln rounded to 8dp, carried as DECIMAL(18,8), "
+        "so per-doc weighted sums are order-independent; only the final "
+        "/n and exp() touch doubles (6dp).  Operator: operators/text.py "
+        "bigram_lm_scores",
+)
+def _lm_perplexity(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return tx.bigram_lm_scores(
+        docs, "doc_id", "text", model_df=docs.filter(F.col("lang") == "en")
+    )
+
+
+@_q(
+    "binaryfile_ingest_roundtrip",
+    """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="S-ext binaryFile source (the multimodal INGESTION path: raw "
+        "image/audio/doc files on disk -> one binary column + file "
+        "metadata): the first 200 documents are staged as individual "
+        "UTF-8 files, read back through Spark's binaryFile DataSource "
+        "v2, and each file's byte length + md5 must hash-match the "
+        "source table — REAL byte movement through the file-source "
+        "scan, the url_ingest_roundtrip philosophy on the format the "
+        "reference never had.  At 100 TB the same reader points at an "
+        "object-store glob; files partition by size "
+        "(maxPartitionBytes), and decode/feature-extract kernels "
+        "(operators/multimodal.py) consume the binary column via "
+        "mapInPandas.  Driver-side staging here is test plumbing only "
+        "(bounded at 200 tiny files, memoized per process).",
+)
+def _binaryfile_ingest(spark, sf_dir):
+    import hashlib
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:12]
+    src = _scratch(f"automated_batch_data_pipeline_nyc_binfiles_{os.path.basename(norm)}_{digest}")
+    if src not in _STAGED_DIRS:
+        os.makedirs(src, exist_ok=True)
+        rows = (
+            docs.filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(src, f"doc_{r['doc_id']}.txt"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        _STAGED_DIRS.add(src)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.txt"))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@_q(
+    "ivf_probe_verified",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+             FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, cent.cid,
+        list_dot_product(e.x, e.x)
+          - 2 * list_dot_product(e.x, cent.c)
+          + list_dot_product(cent.c, cent.c) AS dist
+      FROM e, cent),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell, rn AS probe_rank FROM (
+        SELECT e.vec_id, cent.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.x, e.x)
+              - 2 * list_dot_product(e.x, cent.c)
+              + list_dot_product(cent.c, cent.c), cent.cid) AS rn
+        FROM e, cent WHERE e.vec_id % 100 = 7)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS cand_id,
+        round(list_dot_product(q.x, e.x)
+          / (sqrt(list_dot_product(q.x, q.x))
+             * sqrt(list_dot_product(e.x, e.x))), 6) AS cos6
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id,
+      CAST(cos6 AS DOUBLE) AS cos6
+    FROM (
+      SELECT query_id, cand_id, cos6,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos6 DESC, cand_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="IVF probe path, hash-verified END TO END (the last rows-only "
+        "similarity stage gains an oracle): coarse quantizer = the 8 "
+        "deterministic seed centroids (vec_id < 8; the Lloyd UPDATE "
+        "those seeds would iterate is separately hash-verified by "
+        "kmeans_step_verified — numpy's multi-iteration trajectory is "
+        "why the full KMeans index stays rows-only), every vector "
+        "assigned to its nearest cell via the proven portable argmin "
+        "(squared L2 expanded, identical fold order, cid tiebreak), "
+        "then each query (vec_id % 100 = 7) probes its nprobe=2 "
+        "nearest cells and exact cosine ranks the probed candidates, "
+        "top-5 under a (rounded-score, vec_id) total order.  Plan: "
+        "centroids broadcast twice (assignment + probe — both "
+        "dim-bounded BNLJs over an 8-row side), candidate scoring is "
+        "an equi-join on cell id (the IVF point: scoring touches "
+        "~nprobe/k of the corpus, never all of it), top-5 is a "
+        "WindowGroupLimit.  Operator: operators/similarity.py "
+        "ivf_build/ivf_search iterate exactly this shape.",
+)
+def _ivf_probe(spark, sf_dir):
+    from pyspark.sql import Window as Wn
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+        )
+
+    e = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        )
+        .withColumn("__xx", dot(F.col("x"), F.col("x")))
+        .localCheckpoint(eager=False)
+    )
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("x").alias("c"),
+            F.col("__xx").alias("__cc"),
+        )
+    )
+    dist = (
+        F.col("__xx") - F.lit(2) * dot(F.col("x"), F.col("c")) + F.col("__cc")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cell"))
+    )
+    probes = (
+        e.filter(F.col("vec_id") % 100 == 7)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("cell"),
+            F.row_number()
+            .over(
+                Wn.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid").asc())
+            )
+            .alias("probe_rank"),
+        )
+        .filter(F.col("probe_rank") <= 2)
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("__xx").alias("__qq"),
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(q, "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                dot(F.col("qx"), F.col("x"))
+                / (F.sqrt(F.col("__qq")) * F.sqrt(F.col("__xx"))),
+                6,
+            ).alias("cos6"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Wn.partitionBy("query_id").orderBy(
+                    F.desc("cos6"), F.asc("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("rnk").cast("long").alias("rnk"), "cand_id", "cos6")
+    )
+
+
+# ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
 # The driver hash-verifies only the FIRST 50 entries of queries() each
@@ -12319,6 +12591,10 @@ DRIVER_WINDOW: list[str] = [
 #: every new registration this round must be appended here (it gets a
 #: driver slot in the r8 rotation ahead of stale re-verification).
 _NEXT_WINDOW_QUEUE: list[str] = [
+    # round-7 registrations (VERDICT r6 item 2: capped, gap-closing only)
+    "lm_perplexity_scores",
+    "binaryfile_ingest_roundtrip",
+    "ivf_probe_verified",
 ]
 
 

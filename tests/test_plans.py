@@ -970,3 +970,43 @@ def test_fdr_one_moment_shuffle_then_hypothesis_frame(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PushedFilters: [IsNotNull(event_type), IsNotNull(ts), IsNotNull(value)]" in plan
+
+
+def test_lm_perplexity_one_corpus_shuffle_no_python(spark):
+    """lm_perplexity_scores: the corpus collapses ONCE into (doc,
+    bigram) cells; bigram/left-context totals and the vocabulary all
+    derive from staged cell/type tables, and scoring joins back at
+    bigram-TYPE granularity.  Everything JVM-side: no Python stage, no
+    cartesian (the 1-row vocabulary count attaches via broadcast)."""
+    df = QUERIES["lm_perplexity_scores"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # all aggregation is hash-agg over the staged cell tables; the
+    # per-doc score needs no window anywhere
+    assert "Window" not in plan
+
+
+def test_binaryfile_scan_is_datasource_not_python(spark):
+    """binaryfile_ingest_roundtrip: the bytes flow through the
+    binaryFile DataSource scan (a FileScan over the staged files) —
+    no Python stage, no collect-side re-read; md5/length are JVM
+    expressions on the binary column."""
+    df = QUERIES["binaryfile_ingest_roundtrip"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_probe_scores_only_probed_cells(spark):
+    """ivf_probe_verified: both centroid attachments are dim-bounded
+    broadcasts over the 8-row centroid side (BNLJ is acceptable THERE
+    and only there), candidate scoring is an equi-join on cell id, and
+    top-5 per query compiles to WindowGroupLimit — the probe touches
+    ~nprobe/k of the corpus, never all pairs."""
+    df = QUERIES["ivf_probe_verified"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
