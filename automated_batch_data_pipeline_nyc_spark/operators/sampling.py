@@ -39,6 +39,7 @@ __all__ = [
     "weighted_sample_per_group",
     "downsample_to_token_budget",
     "dsir_log_weights",
+    "temporal_split_audit",
     "temperature_resample_rates",
     "neyman_allocation",
     "stratified_sample_neyman",
@@ -775,4 +776,57 @@ def stratified_sample_neyman(
         )
         .filter(b < F.col("__thresh"))
         .drop("__stratum", "__thresh")
+    )
+
+
+def temporal_split_audit(
+    df: DataFrame, ts_col: str, entity_col: str, pivot: str
+) -> DataFrame:
+    """Time-based train/test split summary with an entity-leakage
+    audit — the standard evaluation split for event/behavioral data
+    (train on the past, test on the future), which the hash- and
+    content-keyed splits (``train_test_split``,
+    ``split_leakproof_by_content``) deliberately do NOT provide.
+
+    Rows with ``ts_col`` strictly before ``pivot`` (an ISO wall-clock
+    string, compared against the column's own timestamp type so a
+    non-UTC session cannot shift the boundary) are train; the rest are
+    test.  Returns ONE summary row:
+
+    * ``n_train_rows`` / ``n_test_rows`` — split sizes;
+    * ``n_train_users`` / ``n_test_users`` — distinct entities per side;
+    * ``n_leaky_users`` — entities with rows on BOTH sides: legitimate
+      for forecasting-style eval, fatal for user-cold-start eval (then
+      subtract these users from test);
+    * ``n_test_rows_seen_user`` — test rows whose entity appeared in
+      train: the share of "future" the model has entity-level memory
+      of.
+
+    Plan: ONE entity-keyed count shuffle (per-entity conditional
+    counts, map-side combinable), then a 1-row rollup over the
+    entity-cardinality frame — the corpus is read once and never
+    shuffled at row granularity.  NULL ts/entity rows are excluded
+    (they belong to neither split), stated here so the oracle matches.
+    """
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
+    )
+    is_train = F.col(ts_col) < F.lit(pivot).cast(
+        dict(df.dtypes)[ts_col]
+    )
+    per_entity = base.groupBy(entity_col).agg(
+        F.count(F.when(is_train, 1)).alias("__n_tr"),
+        F.count(F.when(~is_train, 1)).alias("__n_te"),
+    )
+    return per_entity.agg(
+        F.sum("__n_tr").alias("n_train_rows"),
+        F.sum("__n_te").alias("n_test_rows"),
+        F.count(F.when(F.col("__n_tr") > 0, 1)).alias("n_train_users"),
+        F.count(F.when(F.col("__n_te") > 0, 1)).alias("n_test_users"),
+        F.count(
+            F.when((F.col("__n_tr") > 0) & (F.col("__n_te") > 0), 1)
+        ).alias("n_leaky_users"),
+        F.sum(
+            F.when(F.col("__n_tr") > 0, F.col("__n_te")).otherwise(F.lit(0))
+        ).alias("n_test_rows_seen_user"),
     )

@@ -12499,6 +12499,49 @@ def _ivf_probe(spark, sf_dir):
     )
 
 
+@_q(
+    "temporal_split_audit",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-24 00:00:00')
+          AS n_tr,
+        COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-24 00:00:00')
+          AS n_te
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id)
+    SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train_rows,
+      CAST(SUM(n_te) AS BIGINT) AS n_test_rows,
+      CAST(COUNT(*) FILTER (WHERE n_tr > 0) AS BIGINT) AS n_train_users,
+      CAST(COUNT(*) FILTER (WHERE n_te > 0) AS BIGINT) AS n_test_users,
+      CAST(COUNT(*) FILTER (WHERE n_tr > 0 AND n_te > 0) AS BIGINT)
+        AS n_leaky_users,
+      CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT)
+        AS n_test_rows_seen_user
+    FROM per_user
+    """,
+    doc="Time-based train/test split with an entity-leakage audit — "
+        "the standard eval split for event data (train on the past, "
+        "test on the future), which the hash-keyed and content-keyed "
+        "splits deliberately don't provide.  One summary row: split "
+        "sizes, distinct users per side, users present on BOTH sides "
+        "(fatal for user-cold-start eval; legitimate for forecasting), "
+        "and test rows whose user was seen in train.  The pivot "
+        "compares against the column's own TIMESTAMP_NTZ type, so a "
+        "non-UTC session can't shift the boundary.  Plan: ONE "
+        "user-keyed count shuffle (map-side combinable conditional "
+        "counts), then a 1-row rollup over the user-cardinality frame "
+        "— the corpus is never shuffled at row granularity.  Operator: "
+        "operators/sampling.py temporal_split_audit",
+)
+def _temporal_split(spark, sf_dir):
+    (events,) = _load(spark, sf_dir, "events")
+    return sa.temporal_split_audit(
+        events, "ts", "user_id", "2024-01-24 00:00:00"
+    )
+
+
 # ===========================================================================
 # Driver verification window rotation
 # ===========================================================================
@@ -12595,6 +12638,7 @@ _NEXT_WINDOW_QUEUE: list[str] = [
     "lm_perplexity_scores",
     "binaryfile_ingest_roundtrip",
     "ivf_probe_verified",
+    "temporal_split_audit",
 ]
 
 

@@ -1977,3 +1977,33 @@ def test_bigram_lm_reference_model_scores_unseen(spark):
     nll2 = -round(math.log(1 / v), 8)
     assert out[2].nll == pytest.approx(nll2, abs=2e-6)
     assert out[2].nll > out[1].nll
+
+
+def test_temporal_split_audit_counts(spark):
+    """Constructed corpus with known entity overlap across the pivot."""
+    import datetime as dt
+
+    ts = dt.datetime
+    rows = [
+        # user 1: both sides (leaky) — 2 train, 3 test
+        (1, ts(2024, 1, 1)), (1, ts(2024, 1, 2)),
+        (1, ts(2024, 2, 1)), (1, ts(2024, 2, 2)), (1, ts(2024, 2, 3)),
+        # user 2: train only
+        (2, ts(2024, 1, 5)),
+        # user 3: test only (cold-start)
+        (3, ts(2024, 2, 9)),
+        # boundary: exactly at the pivot -> test
+        (4, ts(2024, 1, 15)),
+        # NULL ts: excluded
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sa.temporal_split_audit(
+        df, "ts", "user_id", "2024-01-15 00:00:00"
+    ).collect()[0]
+    assert out.n_train_rows == 3
+    assert out.n_test_rows == 5
+    assert out.n_train_users == 2
+    assert out.n_test_users == 3
+    assert out.n_leaky_users == 1
+    assert out.n_test_rows_seen_user == 3

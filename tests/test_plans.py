@@ -1010,3 +1010,16 @@ def test_ivf_probe_scores_only_probed_cells(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temporal_split_one_entity_shuffle(spark):
+    """temporal_split_audit: ONE user-keyed count shuffle, then a 1-row
+    rollup over the user frame; pivot predicates are plain JVM
+    comparisons — no window, no join, no Python."""
+    df = QUERIES["temporal_split_audit"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(ts), IsNotNull(user_id)]" in plan

@@ -144,6 +144,7 @@ def test_window_drains_debt_then_reverifies_stale():
         "lm_perplexity_scores",
         "binaryfile_ingest_roundtrip",
         "ivf_probe_verified",
+        "temporal_split_audit",
     ]
 
 
