@@ -1374,7 +1374,9 @@ def bigram_lm_scores(
       touch doubles (6dp).
 
     Documents with fewer than two alpha tokens have no bigrams and are
-    excluded (the oracle's pair-unnest excludes them identically).
+    excluded (the oracle's pair-unnest excludes them identically).  A
+    model corpus with NO bigrams at all (V=0) can score nothing —
+    ``nll``/``ppl`` come back NULL rather than a silent 1/0 Infinity.
     """
     db = (
         _bigram_pairs(df, text_col, id_col)
@@ -1395,13 +1397,21 @@ def bigram_lm_scores(
         .unionAll(c12.select(F.col("w2").alias("w")))
         .agg(F.count_distinct("w").alias("v"))
     )
-    lp = F.round(
-        F.log(
-            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
-        ),
-        round_lp,
-    ).cast("decimal(18,8)")
+    # An empty model (no bigrams at all) has V=0 and can score nothing:
+    # P=(0+1)/(0+0) is undefined.  Scores go NULL — loud, not garbage
+    # (a 1/0 double would silently propagate Infinity into the sums).
+    lp = F.when(
+        F.col("v") > 0,
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                    "double"
+                )
+            ),
+            round_lp,
+        ).cast("decimal(18,8)"),
+    )
     return (
         db.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")

@@ -12,6 +12,7 @@ these buy breadth per example, not per thousand.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from automated_batch_data_pipeline_nyc_spark.operators import chunking as ch
@@ -807,3 +808,66 @@ def test_trimmed_mean_equals_sorted_reference(spark, vals, frac, n_buckets):
         )
     else:
         assert got.trimmed_mean6 is None
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    model_split=st.integers(min_value=0, max_value=5),
+)
+def test_bigram_lm_matches_python_reference_property(spark, docs, model_split):
+    """bigram_lm_scores (reference-model form) vs a pure-Python
+    add-one-smoothed bigram LM over random tiny corpora, including
+    empty models, fully-unseen documents, and sub-bigram documents."""
+    import math
+    from collections import Counter
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model_rows = rows[:model_split] or rows  # empty slice -> self-trained
+    model = spark.createDataFrame(model_rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in bigram_lm_scores(
+            df, "doc_id", "text", model_df=model
+        ).collect()
+    }
+
+    mp = [
+        p
+        for _, txt in model_rows
+        for p in zip(txt.split(), txt.split()[1:])
+    ]
+    c12 = Counter(mp)
+    c1 = Counter(p[0] for p in mp)
+    vocab = {w for p in c12 for w in p}
+    for i, toks in enumerate(docs):
+        ps = list(zip(toks, toks[1:]))
+        if not ps:
+            assert i not in got  # sub-bigram docs are excluded
+            continue
+        v = len(vocab)
+        if v == 0:
+            # empty model: scores are NULL by contract, never Infinity
+            assert got[i].nll is None and got[i].ppl is None
+            continue
+        nll = -sum(
+            round(
+                math.log((c12.get(p, 0) + 1) / (c1.get(p[0], 0) + v)), 8
+            )
+            for p in ps
+        ) / len(ps)
+        assert got[i].n_bigrams == len(ps)
+        assert got[i].nll == pytest.approx(nll, abs=2e-6), (toks, model_rows)
