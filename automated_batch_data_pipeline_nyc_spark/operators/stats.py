@@ -244,13 +244,14 @@ def _equi_depth_buckets(hist: DataFrame, n_buckets: int) -> DataFrame:
     v = F.col("__v").cast("double")
     if n_buckets == 1:
         return hist.withColumn("__b", F.lit(0))
+    from .util import sorted_array_rank
+
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = hist.agg(F.percentile_approx(v, qs, 10_000).alias("__cuts"))
-    b = F.aggregate(
-        "__cuts",
-        F.lit(0),
-        lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)),
-    ).cast("int")
+    # bucket = #{cuts < v} via sqrt-decomposition (~2*sqrt(n_buckets)
+    # HOF steps/row) — the naive per-row fold over n_buckets-1 cuts is
+    # interpreted work measured at ~10 s/eval at sf0.1 with 1024 buckets
+    b = sorted_array_rank(F.col("__cuts"), v, n_buckets - 1).cast("int")
     return (
         hist.crossJoin(F.broadcast(cuts)).withColumn("__b", b).drop("__cuts")
     )
@@ -292,6 +293,10 @@ def _two_sample_running_counts(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
     )
+    # h feeds the bucket totals AND the final running-count join: AQE
+    # exchange reuse dedupes the histogram shuffle, and the binary-
+    # search bucket assignment above it is cheap enough to evaluate per
+    # consumer (the old per-row fold was NOT — ~10 s/eval at sf0.1).
     h = _equi_depth_buckets(hist, n_buckets)
     btot = h.groupBy("__b").agg(
         F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
@@ -325,7 +330,7 @@ def rank_sum_auc(
     df: DataFrame,
     score_col: str,
     is_positive: Column,
-    n_buckets: int = 1024,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Distributed ROC-AUC via the Mann–Whitney rank-sum identity —
     the standard evaluation for any scoring model (quality classifier,
@@ -371,7 +376,7 @@ def ks_two_sample(
     df: DataFrame,
     value_col: str,
     is_a: Column,
-    n_buckets: int = 1024,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic — the exact
     distribution-drift test that complements the binned PSI

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spread", "epoch_micros"]
+__all__ = ["spread", "epoch_micros", "sorted_array_rank"]
 
 
 def epoch_micros(df: DataFrame, col_name: str) -> Column:
@@ -57,3 +57,55 @@ def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def sorted_array_rank(cuts: Column, value: Column, max_len: int) -> Column:
+    """``#{c in cuts : c < value}`` for a SORTED array column — the
+    range-bucket index — via sqrt-decomposition: ~2*sqrt(max_len)
+    higher-order-function steps per row instead of an O(max_len) fold.
+
+    The naive ``F.aggregate(cuts, ...)`` fold is *interpreted*: at 1023
+    cutpoints it costs ~1e3 boxed lambda steps per row — round-7
+    profiling measured ~10 s per evaluation over a 583k-row frame at
+    sf0.1, and plans often evaluate the bucket expression once per
+    consumer.  (An unrolled binary search through chained columns was
+    tried first and is WORSE: Catalyst's project collapsing re-inlines
+    each level ~3x, growing the expression tree ~3^levels.)
+
+    Decomposition: probe the ``max_len // stride`` coarse cuts at
+    positions ``stride, 2*stride, ...`` (one ``element_at`` each), then
+    scan only the ``stride-1`` fine cuts inside the located block via
+    ``slice``.  Everything is ONE expression — safe under expression
+    inlining, no chained columns, no join.
+
+    NULL ``cuts`` yields a NULL rank by an explicit guard (callers
+    LEFT-joining a cut table coalesce it).  Non-null arrays must have
+    EXACTLY ``max_len`` elements (a ``percentile_approx`` over
+    ``max_len`` fractions always does), sorted ascending, non-null —
+    the coarse ``element_at`` probes index up to ``max_len`` and would
+    raise under ANSI on a shorter array.
+    """
+    import math
+
+    if max_len <= 0:
+        return F.lit(0)
+    # explicit NULL-array guard: size(NULL) is config-dependent
+    # (spark.sql.legacy.sizeOfNull) and a -1 would corrupt the slice
+    # start below — pin rank(NULL) = NULL regardless of session confs
+    if max_len < 16:
+        ranked = F.size(F.filter(cuts, lambda c: c < value))
+        return F.when(cuts.isNotNull(), ranked)
+    stride = math.isqrt(max_len) + 1
+    n_coarse = max_len // stride
+    coarse = F.transform(
+        F.sequence(F.lit(1), F.lit(n_coarse)),
+        lambda i: F.element_at(cuts, (i * stride).cast("int")),
+    )
+    s = F.size(F.filter(coarse, lambda c: c < value))
+    inner = F.size(
+        F.filter(
+            F.slice(cuts, (s * stride + 1).cast("int"), stride - 1),
+            lambda c: c < value,
+        )
+    )
+    return F.when(cuts.isNotNull(), s * F.lit(stride) + inner)
