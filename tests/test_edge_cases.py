@@ -744,3 +744,46 @@ def test_bfs_hops_max_degree_cuts_hub_fanout(spark):
 
     with _p.raises(ValueError, match="max_degree must be"):
         bfs_hops(sdf, edf, max_degree=0)
+
+
+def test_sorted_array_rank_matches_bisect(spark):
+    """util.sorted_array_rank == bisect_left on random sorted arrays,
+    across the small-array fast path, the sqrt-decomposition path, and
+    boundary lengths around the stride math; NULL arrays rank NULL."""
+    import bisect
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from automated_batch_data_pipeline_nyc_spark.operators.util import sorted_array_rank
+
+    rng = random.Random(7)
+    for max_len in (1, 2, 15, 16, 17, 63, 64, 100, 255, 1023):
+        cuts = sorted(rng.uniform(0, 100) for _ in range(max_len))
+        # probe below, above, between, and exactly ON cut values
+        # (rank counts strictly-less cuts, i.e. bisect_left)
+        probes = (
+            [-1.0, 101.0]
+            + [rng.uniform(0, 100) for _ in range(20)]
+            + [cuts[rng.randrange(max_len)] for _ in range(5)]
+        )
+        rows = [(float(p), cuts) for p in probes] + [(50.0, None)]
+        schema = T.StructType(
+            [
+                T.StructField("v", T.DoubleType()),
+                T.StructField("cuts", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        df = spark.createDataFrame(rows, schema)
+        out = df.select(
+            "v",
+            "cuts",
+            sorted_array_rank(F.col("cuts"), F.col("v"), max_len).alias("r"),
+        ).collect()
+        for row in out:
+            if row.cuts is None:
+                assert row.r is None, f"max_len={max_len}: NULL array"
+            else:
+                expect = bisect.bisect_left(cuts, row.v)
+                assert row.r == expect, (max_len, row.v, row.r, expect)
