@@ -247,7 +247,14 @@ def _equi_depth_buckets(hist: DataFrame, n_buckets: int) -> DataFrame:
     from .util import sorted_array_rank
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = hist.agg(F.percentile_approx(v, qs, 10_000).alias("__cuts"))
+    # the 1-row cut aggregate is staged: the bucketed frame feeds two
+    # consumers downstream and an unstaged cuts subtree re-runs the
+    # percentile pass once per consumer; checkpointing ONLY this tiny
+    # frame keeps the fact scan (and its pushed filters) in the main
+    # plan branch, unlike checkpointing the bucketed frame itself
+    cuts = hist.agg(
+        F.percentile_approx(v, qs, 10_000).alias("__cuts")
+    ).localCheckpoint(eager=False)
     # bucket = #{cuts < v} via sqrt-decomposition (~2*sqrt(n_buckets)
     # HOF steps/row) — the naive per-row fold over n_buckets-1 cuts is
     # interpreted work measured at ~10 s/eval at sf0.1 with 1024 buckets

@@ -231,9 +231,12 @@ def global_row_number(
         from .util import sorted_array_rank
 
         qs = [i / n_buckets for i in range(1, n_buckets)]
+        # 1-row aggregate — broadcasts, no driver collect; staged
+        # because both the bucket assignment and the heavy-tie probe
+        # consume it (unstaged, the percentile pass runs per consumer)
         cuts = df.agg(
             F.percentile_approx(v, qs, 10_000).alias("__cuts")
-        )  # 1-row aggregate — broadcasts, no driver collect
+        ).localCheckpoint(eager=False)
         # bucket = #{cuts < v} via sqrt-decomposition (~2*sqrt(n) HOF
         # steps/row) — a full per-row fold over n_buckets-1 cuts is
         # interpreted work, ~10 s/eval at sf0.1 with 1024 buckets

@@ -932,7 +932,9 @@ def test_trimmed_mean_bucketed_no_per_group_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(__g" in plan
     assert "ntile(" not in plan  # the window fn; "percentile_approx" contains "ntile"
-    assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
+    # the value predicate must reach the scan (exact list intentionally
+    # unpinned: the group-join inference adds IsNotNull(l_returnflag))
+    assert "PushedFilters: [IsNotNull(l_extendedprice)" in plan
 
 
 def test_did_broadcast_dim_then_single_conditional_agg(spark):
