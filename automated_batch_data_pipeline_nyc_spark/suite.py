@@ -12563,90 +12563,25 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-7 window: drains the never-driver-verified debt to ZERO
-#: (VERDICT r6 item 1).  Slots 1-25 = the full _NEXT_WINDOW_QUEUE as of
-#: round 6 (10 oracle-backed stats queries, then the 15 rows-only
-#: entries); slots 26-50 = stale-first re-verification, oldest
-#: driver-green round first (the r1 trio, then the r2-green tail in
-#: registration order) — exactly the tools/next_window.py proposal the
-#: round-6 judge pinned.  After this round every registered query has a
-#: driver row and the window becomes pure regression re-verification.
+#: Round-8 window (VERDICT r7 items 1+3): slots 1-4 = the full
+#: _NEXT_WINDOW_QUEUE as of round 7 (the only never-driver-run
+#: queries, each already oracle-backed and locally green); slot 5 =
+#: the standing SS2 reference-pipeline canary (clean_pipeline stays
+#: in every window so the reference surface is never more than one
+#: round stale); slots 6-50 = stale-first re-verification, oldest
+#: driver-green round first (r1/r2-era queries not covered by the
+#: r7 re-verification batch, then the r3-green head) -- exactly the
+#: tools/next_window.py proposal with the canary swapped in for the
+#: 46th stale slot (schema_evolution_roundtrip, picked up r9).
 DRIVER_WINDOW: list[str] = [
-    # never-driver-verified: oracle-backed r5/r6 stats batch first
-    "ks_drift_price",
-    "bootstrap_revenue_ci",
-    "auc_price_basket_size",
-    "chi2_event_dow",
-    "acf_daily_revenue",
-    "trimmed_mean_prices",
-    "kmv_distinct_users",
-    "dp_event_counts",
-    "did_revenue_effect",
-    "fdr_event_value_tests",
-    # never-driver-verified: rows-only by design (driver records a
-    # rows-only row; docstrings state why no SQL oracle exists)
-    "embedding_pca_project",
-    "dedup_minhash",
-    "dedup_minhash_transitive",
-    "dedup_simhash",
-    "embedding_centroids",
-    "embedding_centroids_udaf",
-    "similarity_ivf_topk",
-    "approx_quantiles",
-    "hll_mergeable_rollup",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "dedup_graph_kcore",
-    "mahalanobis_outliers",
-    "hll_audience_overlap",
-    "approx_distinct",
-    # stale-first re-verification: r1-green trio, then the r2 tail
-    "similarity_topk",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "clean_pipeline",
-    "filter_equality",
-    "filter_null_disjunction",
-    "filter_hour_range",
-    "projection_rename_drop",
-    "constant_column_stamp",
-    "string_filter_generic",
-    "time_bucket_enrich",
-    "datetime_parts",
-    "datetime_coerce",
-    "string_trim",
-    "json_extract_props",
-    "row_count",
-    "filtered_count",
-    "null_matrix",
-    "group_agg_stats",
-    "time_bucket_rollup",
-    "distinct_count",
-    "pricing_summary",
-    "join_broadcast_dims",
-    "join_left_enrich",
-    "join_semi",
-]
-
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: EMPTY as of round 7: the r7 rotation drained the debt to zero, so
-#: every new registration this round must be appended here (it gets a
-#: driver slot in the r8 rotation ahead of stale re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # round-7 registrations (VERDICT r6 item 2: capped, gap-closing only)
+    # never-driver-verified: round-7 registrations
     "lm_perplexity_scores",
     "binaryfile_ingest_roundtrip",
     "ivf_probe_verified",
     "temporal_split_audit",
-]
-
-
-#: Driver-green in r1-r5 (hash-stable; guarded by local oracle parity).
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
+    # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
+    "clean_pipeline",
+    # stale-first re-verification (last driver-green r1/r2, then r3)
     "join_anti",
     "join_range_buckets",
     "sql_revenue_by_nation",
@@ -12674,7 +12609,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "text_language_id",
     "text_fingerprint",
     "dedup_exact",
-    # driver-green in r3 (CORRECTNESS_r03.json, 50/50 hash-green)
     "dedup_ngram_jaccard_prefix",
     "dedup_ngram_jaccard_freq",
     "duplicated_ngram_spans",
@@ -12693,6 +12627,24 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "csv_roundtrip",
     "json_roundtrip",
     "orc_roundtrip",
+]
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: The round-8 rotation drained the round-7 registrations into
+#: DRIVER_WINDOW; every new registration this round must be appended
+#: here (it gets a driver slot in the r9 rotation ahead of stale
+#: re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
+    # most recent driver-green row: round 3 (CORRECTNESS_r03.json)
     "schema_evolution_roundtrip",
     "merge_upsert_orders",
     "snapshot_diff_orders",
@@ -12725,7 +12677,7 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "mutual_information",
     "pagerank_order_part",
     "cross_source_contamination",
-    # driver-green in r4 (CORRECTNESS_r04.json, 50/50 hash-green)
+    # most recent driver-green row: round 4 (CORRECTNESS_r04.json)
     "streaming_sessionize",
     "streaming_dedup_counts",
     "streaming_enriched_totals",
@@ -12776,7 +12728,7 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "event_transition_matrix",
     "revenue_share_of_total",
     "topk_with_ties_per_nation",
-    # driver-green in r5 (CORRECTNESS_r05.json, 50/50 hash-green)
+    # most recent driver-green row: round 5 (CORRECTNESS_r05.json)
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",
@@ -12827,7 +12779,7 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "supplier_pareto_share",
     "countmin_heavy_hitters",
     "skew_salted_join",
-    # driver-green in r6 (CORRECTNESS_r06.json, 50/50 green)
+    # most recent driver-green row: round 6 (CORRECTNESS_r06.json)
     "window_percentile_ranks",
     "clean_pipeline_dirty",
     "scalar_function_battery",
@@ -12878,6 +12830,56 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "user_event_entropy",
     "l_diversity_events",
     "zipf_vocab_fit",
+    # most recent driver-green row: round 7 (CORRECTNESS_r07.json)
+    "ks_drift_price",
+    "bootstrap_revenue_ci",
+    "auc_price_basket_size",
+    "chi2_event_dow",
+    "acf_daily_revenue",
+    "trimmed_mean_prices",
+    "kmv_distinct_users",
+    "dp_event_counts",
+    "did_revenue_effect",
+    "fdr_event_value_tests",
+    "embedding_pca_project",
+    "dedup_minhash",
+    "dedup_minhash_transitive",
+    "dedup_simhash",
+    "embedding_centroids",
+    "embedding_centroids_udaf",
+    "similarity_ivf_topk",
+    "approx_quantiles",
+    "hll_mergeable_rollup",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "dedup_graph_kcore",
+    "mahalanobis_outliers",
+    "hll_audience_overlap",
+    "approx_distinct",
+    "similarity_topk",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "filter_equality",
+    "filter_null_disjunction",
+    "filter_hour_range",
+    "projection_rename_drop",
+    "constant_column_stamp",
+    "string_filter_generic",
+    "time_bucket_enrich",
+    "datetime_parts",
+    "datetime_coerce",
+    "string_trim",
+    "json_extract_props",
+    "row_count",
+    "filtered_count",
+    "null_matrix",
+    "group_agg_stats",
+    "time_bucket_rollup",
+    "distinct_count",
+    "pricing_summary",
+    "join_broadcast_dims",
+    "join_left_enrich",
+    "join_semi",
 ]
 
 _rotated = (

@@ -16,60 +16,60 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-7 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-8 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
-    "ks_drift_price",
-    "bootstrap_revenue_ci",
-    "auc_price_basket_size",
-    "chi2_event_dow",
-    "acf_daily_revenue",
-    "trimmed_mean_prices",
-    "kmv_distinct_users",
-    "dp_event_counts",
-    "did_revenue_effect",
-    "fdr_event_value_tests",
-    "embedding_pca_project",
-    "dedup_minhash",
-    "dedup_minhash_transitive",
-    "dedup_simhash",
-    "embedding_centroids",
-    "embedding_centroids_udaf",
-    "similarity_ivf_topk",
-    "approx_quantiles",
-    "hll_mergeable_rollup",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "dedup_graph_kcore",
-    "mahalanobis_outliers",
-    "hll_audience_overlap",
-    "approx_distinct",
-    "similarity_topk",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "lm_perplexity_scores",
+    "binaryfile_ingest_roundtrip",
+    "ivf_probe_verified",
+    "temporal_split_audit",
     "clean_pipeline",
-    "filter_equality",
-    "filter_null_disjunction",
-    "filter_hour_range",
-    "projection_rename_drop",
-    "constant_column_stamp",
-    "string_filter_generic",
-    "time_bucket_enrich",
-    "datetime_parts",
-    "datetime_coerce",
-    "string_trim",
-    "json_extract_props",
-    "row_count",
-    "filtered_count",
-    "null_matrix",
-    "group_agg_stats",
-    "time_bucket_rollup",
-    "distinct_count",
-    "pricing_summary",
-    "join_broadcast_dims",
-    "join_left_enrich",
-    "join_semi",
+    "join_anti",
+    "join_range_buckets",
+    "sql_revenue_by_nation",
+    "shipping_priority_topk",
+    "top_k_customers",
+    "ordered_limit",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_running_sum",
+    "hourly_event_counts",
+    "streaming_hourly_counts",
+    "merge_user_intervals",
+    "user_growth_daily",
+    "retention_cohorts",
+    "fk_integrity_audit",
+    "pivot_event_matrix",
+    "rollup_order_stats",
+    "quality_gate_report",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_freq",
+    "duplicated_ngram_spans",
+    "dedup_embedding_cosine_lsh",
+    "dedup_components",
+    "dedup_pipeline_transitive",
+    "url_canonical_dedup",
+    "edit_distance_pairs",
+    "fuzzy_levenshtein",
+    "knn_join_batch",
+    "embedding_gram_matrix",
+    "embedding_quantize",
+    "embedding_group_mean",
+    "multimodal_payload_meta",
+    "sink_roundtrip",
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
 ]
 
 
@@ -79,27 +79,12 @@ def test_window_is_first_50():
     assert suite.DRIVER_WINDOW == EXPECTED_WINDOW
 
 
-#: The 14 rows-only queries in the r7 window — no SQL-expressible
-#: oracle by design (each docstring states why); the driver records a
-#: rows-only row for them.  Everything else gets the full hash check.
-#: (dedup_graph_kcore was promoted to oracle-backed in r7 via the
-#: bounded-unroll peel SQL — VERDICT r6 item 4.)
-ROWS_ONLY_SLOTS = {
-    "embedding_pca_project",
-    "dedup_minhash",
-    "dedup_minhash_transitive",
-    "dedup_simhash",
-    "embedding_centroids",
-    "embedding_centroids_udaf",
-    "similarity_ivf_topk",
-    "approx_quantiles",
-    "hll_mergeable_rollup",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    "mahalanobis_outliers",
-    "hll_audience_overlap",
-    "approx_distinct",
-}
+#: Rows-only slots in the r8 window: NONE — every slot this round is
+#: oracle-backed, so the driver runs the full rows+schema+hash check on
+#: all 50.  (The 14 rows-only-by-design queries were all driver-executed
+#: in r7 and sit in _PREVIOUSLY_VERIFIED until the stale-first rotation
+#: brings them back.)
+ROWS_ONLY_SLOTS: set = set()
 
 
 def test_window_oracle_coverage():
@@ -111,41 +96,38 @@ def test_window_oracle_coverage():
 
 
 def test_window_drains_debt_then_reverifies_stale():
-    """r7 slots 1-25 = every never-driver-verified query (debt -> 0);
-    slots 26-50 = stale-first re-verification of r1/r2-green queries."""
+    """r8 slots 1-4 = every never-driver-verified query (the round-7
+    registrations — debt -> 0); slot 5 = the standing reference-pipeline
+    canary; slots 6-50 = stale-first re-verification of already-green
+    queries.  Rows-only-by-design queries count as driver-executed via
+    their recorded spark_rows (err == "no_oracle" means "no SQL oracle
+    exists", not "failed")."""
     green: set[str] = set()
-    for fname in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-    ):
-        path = os.path.join(REPO, fname)
-        if not os.path.exists(path):
+    for fname in sorted(os.listdir(REPO)):
+        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
             continue
-        for name, row in json.load(open(path)).items():
+        for name, row in json.load(open(os.path.join(REPO, fname))).items():
             ok = row.get("hash_match")
             if ok is None:
                 ok = row.get("rows_match")
+            if ok is None:
+                ok = (
+                    row.get("spark_rows") is not None
+                    and row.get("err") in (None, "no_oracle")
+                )
             if ok:
                 green.add(name)
     never = [n for n in suite.QUERIES if n not in green]
-    # never-verified = the 25 debt slots this window drains, plus any
-    # same-round registrations queued for the NEXT window (r8 slots).
-    assert set(never) == set(suite.DRIVER_WINDOW[:25]) | set(
+    # never-verified = the debt slots this window drains, plus any
+    # same-round registrations queued for the NEXT window (r9 slots).
+    assert set(never) == set(suite.DRIVER_WINDOW[:4]) | set(
         suite._NEXT_WINDOW_QUEUE
     )
-    assert not set(suite.DRIVER_WINDOW[25:]) - green
-    # queue holds ONLY this round's registrations (zero-debt steady
-    # state: nothing older than the current round may be queued)
-    assert suite._NEXT_WINDOW_QUEUE == [
-        "lm_perplexity_scores",
-        "binaryfile_ingest_roundtrip",
-        "ivf_probe_verified",
-        "temporal_split_audit",
-    ]
+    # the canary + stale slots must all be previously green
+    assert not set(suite.DRIVER_WINDOW[4:]) - green
+    # standing canary: the reference clean_nyc_taxi_pipeline surface is
+    # re-verified every round (VERDICT r7 item 3)
+    assert "clean_pipeline" in suite.DRIVER_WINDOW
 
 
 def test_rotation_covers_every_registration_exactly_once():

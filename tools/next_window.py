@@ -46,6 +46,14 @@ def main() -> None:
             ok = row.get("hash_match")
             if ok is None:  # rows-only driver check
                 ok = row.get("rows_match")
+            if ok is None:
+                # Rows-only-by-design queries record spark_rows with
+                # err == "no_oracle" and null match fields; the driver
+                # DID execute them, so they are not "never-verified".
+                ok = (
+                    row.get("spark_rows") is not None
+                    and row.get("err") in (None, "no_oracle")
+                )
             if ok:
                 last_green[name] = rnd
     green = set(last_green)
