@@ -226,7 +226,9 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     ).select("p.col_x", "p.col_y", F.col("n"), "p.corr")
 
 
-def _equi_depth_buckets(hist: DataFrame, n_buckets: int) -> DataFrame:
+def _equi_depth_buckets(
+    hist: DataFrame, n_buckets: int, stage: bool = True
+) -> DataFrame:
     """Attach ``__b``: the equi-depth range bucket of ``__v``.
 
     Boundaries come from ``percentile_approx(__v, i/n_buckets)`` over
@@ -238,28 +240,46 @@ def _equi_depth_buckets(hist: DataFrame, n_buckets: int) -> DataFrame:
     item 3).  ``__b`` is monotone non-decreasing in ``__v`` (count of
     cutpoints strictly below), which is the only property the two-level
     prefix scans need — placement-only freedom, results bit-unchanged.
+
+    The RETURNED bucketed frame is ``localCheckpoint(eager=False)``-ed:
+    every caller feeds it to at least two consumers (the bucket-total
+    table and the final running-count join), and round-8 profiling
+    showed the un-staged form re-evaluating the histogram shuffle +
+    percentile pass + ~2·√n_buckets interpreted HOF steps/row once per
+    consumer (a cuts-only checkpoint was WORSE — it split the plan into
+    separate RDD lineages and defeated AQE exchange reuse of the
+    histogram: ks_drift_price 3.8 s vs 1.7 s at sf0.1).  The
+    materialized frame is histogram-sized (distinct values × 4 narrow
+    columns), the same size class the engine already shuffles — at
+    100 TB that is executor-local disk-backed storage proportional to
+    value cardinality, never the raw corpus.
+
+    ``stage=False`` skips the checkpoint so plan tests can assert the
+    FULL lineage contract (pushed scan filters, exchange reuse, bucket-
+    partitioned windows) that staging hides behind an RDD scan; the
+    production default always stages.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
     v = F.col("__v").cast("double")
+    def _staged(out: DataFrame) -> DataFrame:
+        return out.localCheckpoint(eager=False) if stage else out
+
     if n_buckets == 1:
-        return hist.withColumn("__b", F.lit(0))
+        return _staged(hist.withColumn("__b", F.lit(0)))
     from .util import sorted_array_rank
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # the 1-row cut aggregate is staged: the bucketed frame feeds two
-    # consumers downstream and an unstaged cuts subtree re-runs the
-    # percentile pass once per consumer; checkpointing ONLY this tiny
-    # frame keeps the fact scan (and its pushed filters) in the main
-    # plan branch, unlike checkpointing the bucketed frame itself
-    cuts = hist.agg(
-        F.percentile_approx(v, qs, 10_000).alias("__cuts")
-    ).localCheckpoint(eager=False)
+    # 1-row aggregate — broadcasts, no driver collect.  NOT checkpointed:
+    # its only consumer is the crossJoin below, and within the single
+    # checkpoint-materialization job the cuts subtree and the main
+    # branch share the histogram exchange via AQE reuse.
+    cuts = hist.agg(F.percentile_approx(v, qs, 10_000).alias("__cuts"))
     # bucket = #{cuts < v} via sqrt-decomposition (~2*sqrt(n_buckets)
     # HOF steps/row) — the naive per-row fold over n_buckets-1 cuts is
     # interpreted work measured at ~10 s/eval at sf0.1 with 1024 buckets
     b = sorted_array_rank(F.col("__cuts"), v, n_buckets - 1).cast("int")
-    return (
+    return _staged(
         hist.crossJoin(F.broadcast(cuts)).withColumn("__b", b).drop("__cuts")
     )
 
@@ -269,6 +289,7 @@ def _two_sample_running_counts(
     value_col: str,
     is_a: Column,
     n_buckets: int,
+    stage: bool = True,
 ) -> DataFrame:
     """Shared engine of :func:`ks_two_sample` / :func:`rank_sum_auc`:
     per-distinct-value counts of two labeled samples with INCLUSIVE
@@ -300,11 +321,11 @@ def _two_sample_running_counts(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
         F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("__cb"),
     )
-    # h feeds the bucket totals AND the final running-count join: AQE
-    # exchange reuse dedupes the histogram shuffle, and the binary-
-    # search bucket assignment above it is cheap enough to evaluate per
-    # consumer (the old per-row fold was NOT — ~10 s/eval at sf0.1).
-    h = _equi_depth_buckets(hist, n_buckets)
+    # h feeds the bucket totals AND the final running-count join;
+    # _equi_depth_buckets returns it checkpointed, so the histogram
+    # shuffle + percentile pass + bucket assignment run exactly once
+    # (r8 profiling: per-consumer re-evaluation was the dominant cost).
+    h = _equi_depth_buckets(hist, n_buckets, stage=stage)
     btot = h.groupBy("__b").agg(
         F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
     )
@@ -337,7 +358,8 @@ def rank_sum_auc(
     df: DataFrame,
     score_col: str,
     is_positive: Column,
-    n_buckets: int = 256,
+    n_buckets: int = 128,
+    stage: bool = True,
 ) -> DataFrame:
     """Distributed ROC-AUC via the Mann–Whitney rank-sum identity —
     the standard evaluation for any scoring model (quality classifier,
@@ -358,7 +380,9 @@ def rank_sum_auc(
     NULL when either class is empty.
     """
     _d38 = "decimal(38,0)"
-    cum = _two_sample_running_counts(df, score_col, is_positive, n_buckets)
+    cum = _two_sample_running_counts(
+        df, score_col, is_positive, n_buckets, stage=stage
+    )
     num2 = F.sum(
         (2 * F.col("__cumb") - F.col("__cb")).cast(_d38)
         * F.col("__ca").cast(_d38)
@@ -383,7 +407,8 @@ def ks_two_sample(
     df: DataFrame,
     value_col: str,
     is_a: Column,
-    n_buckets: int = 256,
+    n_buckets: int = 128,
+    stage: bool = True,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic — the exact
     distribution-drift test that complements the binned PSI
@@ -411,7 +436,7 @@ def ks_two_sample(
     IEEE-double sequence — bit-reproducible on any engine or
     partitioning, no rounding needed.
     """
-    cum = _two_sample_running_counts(df, value_col, is_a, n_buckets)
+    cum = _two_sample_running_counts(df, value_col, is_a, n_buckets, stage=stage)
     gap = F.abs(
         F.col("__cuma").cast("double") / F.col("n_a").cast("double")
         - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
@@ -1115,6 +1140,7 @@ def trimmed_mean(
     value_col: str,
     trim_frac: float = 0.1,
     n_buckets: int = 64,
+    stage: bool = True,
 ) -> DataFrame:
     """Exact per-group trimmed mean — drop the lowest and highest
     ``floor(trim_frac·n)`` values, average the rest — WITHOUT any
@@ -1149,7 +1175,7 @@ def trimmed_mean(
         )
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    h = _equi_depth_buckets(hist, n_buckets)
+    h = _equi_depth_buckets(hist, n_buckets, stage=stage)
     btot = h.groupBy("__g", "__b").agg(F.sum("__cnt").alias("__bc"))
     w_excl = (
         Wn.partitionBy("__g").orderBy("__b").rowsBetween(Wn.unboundedPreceding, -1)

@@ -814,12 +814,30 @@ def test_cohort_ltv_copartitioned_join_broadcast_sizes(spark):
 def test_ks_two_sample_no_global_data_sort(spark):
     """The KS sup-gap must come from the two-level prefix scan: the only
     windows are (a) partitioned by range-bucket — parallel — and (b) a
-    single-partition pass over the ~1024-row bucket-totals table.  A
-    global-order window/sort over the corpus-sized histogram would be
-    the single-task scaler this operator exists to avoid."""
-    df = QUERIES["ks_drift_price"].spark(spark, SF_SMOKE)
-    df.collect()  # finalize the adaptive plan (exchange reuse resolves)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    single-partition pass over the bucket-totals table.  A global-order
+    window/sort over the corpus-sized histogram would be the single-task
+    scaler this operator exists to avoid.
+
+    The production form stages the bucketed histogram through a lazy
+    localCheckpoint (it feeds two consumers; r8 profiling showed per-
+    consumer re-evaluation doubling the query), which hides the scan
+    from the final plan — so the LINEAGE contract (pushed filter,
+    bucket-partitioned windows) is asserted on the stage=False twin,
+    and the staging itself on the registered query's plan."""
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        ks_two_sample,
+    )
+    from automated_batch_data_pipeline_nyc_spark.sources.readers import (
+        read_parquet,
+    )
+
+    orders = read_parquet(spark, f"{SF_SMOKE}/orders.parquet")
+    is_a = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    raw = ks_two_sample(orders, "o_totalprice", is_a, stage=False)
+    raw.collect()  # finalize the adaptive plan (exchange reuse resolves)
+    plan = raw._jdf.queryExecution().executedPlan().toString()
     # the within-bucket running sums keep the bucket key in the window spec
     assert "windowspecdefinition(__b" in plan
     # predicate + pruning reach the scan
@@ -827,6 +845,12 @@ def test_ks_two_sample_no_global_data_sort(spark):
     # the corpus-sized per-value histogram exchange executes once: every
     # further consumer (bucket totals, offsets, grand totals) reuses it
     assert "ReusedExchange" in plan
+    # the registered query stages the bucketed histogram: downstream
+    # consumers read the checkpointed RDD, windows stay bucket-keyed
+    staged = QUERIES["ks_drift_price"].spark(spark, SF_SMOKE)
+    splan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in splan
+    assert "windowspecdefinition(__b" in splan
 
 
 def test_poisson_bootstrap_single_corpus_exchange(spark):
@@ -926,15 +950,33 @@ def test_trimmed_mean_bucketed_no_per_group_global_sort(spark):
     """trimmed_mean_prices: within-group running counts must be
     partitioned by (group, range-bucket) — with 3 return flags a
     partitionBy(group) window caps parallelism at 3; the bucket key
-    keeps every stage parallel.  No NTILE, no global sort."""
-    df = QUERIES["trimmed_mean_prices"].spark(spark, SF_SMOKE)
-    df.collect()  # finalize adaptive plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    keeps every stage parallel.  No NTILE, no global sort.  Lineage
+    contract asserted on the stage=False twin (the production form
+    stages the bucketed histogram behind an RDD scan — see
+    test_ks_two_sample_no_global_data_sort); staging asserted on the
+    registered query."""
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        trimmed_mean,
+    )
+    from automated_batch_data_pipeline_nyc_spark.sources.readers import (
+        read_parquet,
+    )
+
+    lineitem = read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet")
+    raw = trimmed_mean(
+        lineitem, "l_returnflag", "l_extendedprice", 0.1, stage=False
+    )
+    raw.collect()  # finalize adaptive plan
+    plan = raw._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(__g" in plan
     assert "ntile(" not in plan  # the window fn; "percentile_approx" contains "ntile"
     # the value predicate must reach the scan (exact list intentionally
     # unpinned: the group-join inference adds IsNotNull(l_returnflag))
     assert "PushedFilters: [IsNotNull(l_extendedprice)" in plan
+    staged = QUERIES["trimmed_mean_prices"].spark(spark, SF_SMOKE)
+    splan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in splan
+    assert "windowspecdefinition(__g" in splan
 
 
 def test_did_broadcast_dim_then_single_conditional_agg(spark):
