@@ -808,12 +808,25 @@ def temporal_split_audit(
     shuffled at row granularity.  NULL ts/entity rows are excluded
     (they belong to neither split), stated here so the oracle matches.
     """
+    # Validate the pivot on the driver: an unparseable (or date-only-vs-
+    # timestamp-incompatible) literal casts to NULL, which would make
+    # is_train NULL for every row and silently return an all-zero
+    # summary instead of failing loudly (same convention as the V=0
+    # guard in text.bigram_lm_scores).
+    import datetime as _dt
+
+    try:
+        _dt.datetime.fromisoformat(pivot)
+    except ValueError as exc:
+        raise ValueError(
+            f"temporal_split_audit: pivot {pivot!r} is not an ISO "
+            f"date/timestamp string: {exc}"
+        ) from None
     base = df.filter(
         F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
     )
-    is_train = F.col(ts_col) < F.lit(pivot).cast(
-        dict(df.dtypes)[ts_col]
-    )
+    pivot_lit = F.lit(pivot).cast(dict(df.dtypes)[ts_col])
+    is_train = F.col(ts_col) < pivot_lit
     per_entity = base.groupBy(entity_col).agg(
         F.count(F.when(is_train, 1)).alias("__n_tr"),
         F.count(F.when(~is_train, 1)).alias("__n_te"),

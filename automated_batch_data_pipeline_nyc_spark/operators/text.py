@@ -1382,9 +1382,13 @@ def bigram_lm_scores(
         _bigram_pairs(df, text_col, id_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
     )
     if model_df is None or model_df is df:
+        # Self-trained: db feeds BOTH the model counts and the scoring
+        # join, so materialize the corpus-sized cell table once.  With
+        # an external model, db has exactly one consumer and a
+        # checkpoint would just burn executor storage.
+        db = db.localCheckpoint(eager=False)
         mp = db  # self-trained: reuse the one corpus shuffle
         c12 = mp.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     else:

@@ -2007,3 +2007,15 @@ def test_temporal_split_audit_counts(spark):
     assert out.n_test_users == 3
     assert out.n_leaky_users == 1
     assert out.n_test_rows_seen_user == 3
+
+
+def test_temporal_split_audit_rejects_bad_pivot(spark):
+    """A typo'd pivot must raise on the driver, not cast to NULL and
+    masquerade as an all-zero (empty-dataset) summary."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], ["user_id", "ts"]
+    )
+    with pytest.raises(ValueError, match="pivot"):
+        sa.temporal_split_audit(df, "ts", "user_id", "2024-13-99 not-a-ts")
