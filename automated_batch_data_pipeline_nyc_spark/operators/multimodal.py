@@ -55,6 +55,7 @@ __all__ = [
     "make_wav_parser",
     "make_mp4_parser",
     "sniff_media_format",
+    "triage_and_decode",
     "synthesize_png_payloads",
     "synthesize_wav_payloads",
     "synthesize_mp4_payloads",
@@ -653,6 +654,69 @@ def sniff_media_format(
                 "format": _pd.Series(
                     [sniff(b) for b in pdf[payload_col]], dtype="object"
                 ),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def triage_and_decode(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """Fused triage + image decode over an untyped binary column:
+    id -> (format, width, height) in ONE Arrow-batched pass.
+
+    The ingestion shape of a mixed media lake: ``binaryFile`` scan ->
+    sniff the container from the BYTES (never the filename) -> route
+    image payloads straight into the header decode, all inside one
+    kernel.  Composing :func:`sniff_media_format` then
+    :func:`decode_image_features` as separate stages would read every
+    payload twice and join two corpus-sized map outputs on id — a
+    shuffle that exists only to reunite columns this kernel can emit
+    together.  Here the plan is scan -> one MapInPandas, zero Exchange:
+    at 100 TB it scales with input splits alone.
+
+    ``format`` is the sniffed container (png/jpeg/gif/bmp/wav/mp4, NULL
+    for unrecognized bytes); ``width``/``height`` come from the real
+    image header parse and are NULL for non-image payloads (audio/video
+    dimensions live in their own typed extractors —
+    :func:`extract_audio_features` / :func:`sample_video_frames`).
+    """
+    img = make_image_header_parser()
+    wav = make_wav_parser()
+    mp4 = make_mp4_parser()
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ])
+
+    # closure-pure kernel (parsers are closures, pickled by value)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def triage(b):
+            f, w, h = img(b)
+            if f is not None:
+                return f, w, h
+            if wav(b)[0] is not None:
+                return "wav", None, None
+            if mp4(b)[0] is not None:
+                return "mp4", None, None
+            return None, None, None
+
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for b in pdf[payload_col]:
+                f_, w, h = triage(b)
+                fmts.append(f_)
+                ws.append(w)
+                hs.append(h)
+            yield _pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "format": _pd.Series(fmts, dtype="object"),
+                "width": _pd.array(ws, dtype="Int32"),
+                "height": _pd.array(hs, dtype="Int32"),
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -12308,7 +12308,7 @@ def _lm_perplexity(spark, sf_dir):
     SELECT doc_id,
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       md5(text) AS content_md5
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     """,
     doc="S-ext binaryFile source (the multimodal INGESTION path: raw "
         "image/audio/doc files on disk -> one binary column + file "
@@ -12333,8 +12333,14 @@ def _binaryfile_ingest(spark, sf_dir):
     src = _scratch(f"automated_batch_data_pipeline_nyc_binfiles_{os.path.basename(norm)}_{digest}")
     if src not in _STAGED_DIRS:
         os.makedirs(src, exist_ok=True)
+        # NULL text cannot stage as a file; filter it on BOTH sides
+        # (see the oracle's `text IS NOT NULL`) so the query degrades
+        # consistently instead of an AttributeError on .encode if
+        # fixtures ever gain NULL documents.
         rows = (
-            docs.filter(F.col("doc_id") < 200)
+            docs.filter(
+                (F.col("doc_id") < 200) & F.col("text").isNotNull()
+            )
             .select("doc_id", "text")
             .collect()
         )
@@ -12349,6 +12355,80 @@ def _binaryfile_ingest(spark, sf_dir):
         .alias("doc_id"),
         F.length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
+    )
+
+
+@_q(
+    "binaryfile_decode_fused",
+    """
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' END AS format,
+      CASE WHEN doc_id % 3 = 0
+           THEN CAST(16 + doc_id % 32 AS INTEGER) END AS width,
+      CASE WHEN doc_id % 3 = 0
+           THEN CAST(16 + (doc_id * 7) % 32 AS INTEGER) END AS height
+    FROM documents WHERE doc_id < 210
+    """,
+    doc="END-TO-END multimodal ingestion (VERDICT r7 item 4 — closes "
+        "the gap between binaryfile_ingest_roundtrip's byte roundtrip "
+        "and the decode kernels): a mixed media directory (one third "
+        "real varying-dimension PNGs, one third real PCM WAVs, one "
+        "third plain text, all staged EXTENSION-LESS as blob_{id}.bin "
+        "so format can only come from bytes) is read through Spark's "
+        "binaryFile DataSource v2 and pushed through the fused "
+        "triage+decode kernel: sniff the container from the bytes, "
+        "route image payloads straight into the real header decode, "
+        "one Arrow pass, zero Exchange — scan -> MapInPandas is the "
+        "whole plan.  The oracle recomputes format and the PNG "
+        "width/height arithmetically from doc_id (the synthesizer's "
+        "dimension law), so the sniff AND the decoded dims are "
+        "hash-verified end-to-end.  At 100 TB the same two-node plan "
+        "points at an object-store glob and scales with input splits; "
+        "driver-side staging here is test plumbing only (bounded at "
+        "210 tiny files, memoized per process).  Operator: "
+        "operators/multimodal.py triage_and_decode",
+)
+def _binaryfile_decode_fused(spark, sf_dir):
+    import hashlib
+
+    from .operators import multimodal as mm
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:12]
+    src = _scratch(
+        f"automated_batch_data_pipeline_nyc_mediafiles_{os.path.basename(norm)}_{digest}"
+    )
+    if src not in _STAGED_DIRS:
+        os.makedirs(src, exist_ok=True)
+        ids = docs.filter(F.col("doc_id") < 210).select("doc_id")
+        png = {
+            r["id"]: bytes(r["payload"])
+            for r in mm.synthesize_png_payloads(
+                ids.filter(F.col("doc_id") % 3 == 0), "doc_id"
+            ).collect()
+        }
+        wav = {
+            r["id"]: bytes(r["payload"])
+            for r in mm.synthesize_wav_payloads(
+                ids.filter(F.col("doc_id") % 3 == 1), "doc_id"
+            ).collect()
+        }
+        for r in ids.collect():
+            i = r["doc_id"]
+            payload = png.get(i) or wav.get(i) or f"plain text blob {i}".encode()
+            with open(os.path.join(src, f"blob_{i}.bin"), "wb") as fh:
+                fh.write(payload)
+        _STAGED_DIRS.add(src)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.bin"))
+    blobs = files.select(
+        F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    return mm.triage_and_decode(blobs, "content", "doc_id").withColumnRenamed(
+        "id", "doc_id"
     )
 
 
@@ -12634,7 +12714,10 @@ DRIVER_WINDOW: list[str] = [
 #: DRIVER_WINDOW; every new registration this round must be appended
 #: here (it gets a driver slot in the r9 rotation ahead of stale
 #: re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = []
+_NEXT_WINDOW_QUEUE: list[str] = [
+    # round-8 registration (VERDICT r7 item 4: capped, gap-closing only)
+    "binaryfile_decode_fused",
+]
 
 
 #: Driver-green in a past round (hash-stable; guarded by local oracle

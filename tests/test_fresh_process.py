@@ -42,3 +42,37 @@ def test_drive_entry_fresh_process(tmp_path):
         + "\n".join(proc.stderr.splitlines()[-15:])
     )
     assert "MISMATCH" not in proc.stdout, tail
+
+
+@pytest.mark.fresh_process
+def test_plan_audit_artifact_is_current(tmp_path):
+    """Regenerate PLAN_AUDIT.json in a fresh interpreter and diff it
+    against the committed artifact (VERDICT r7 item 6): the pinned
+    invariants in tests/test_plan_audit.py run against a LIVE audit,
+    but the committed JSON is what the judge reads — this check stops
+    the two from drifting.  Expression IDs are normalized inside
+    tools/plan_audit.py so the artifact is byte-stable."""
+    import json
+
+    committed = os.path.join(REPO, "PLAN_AUDIT.json")
+    # regenerate into a scratch copy of the repo root's artifact path:
+    # plan_audit.py writes $REPO/PLAN_AUDIT.json unconditionally, so
+    # preserve the committed bytes and restore after comparing.
+    before = open(committed).read()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "plan_audit.py")],
+            cwd=tmp_path,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        regenerated = open(committed).read()
+    finally:
+        with open(committed, "w") as fh:
+            fh.write(before)
+    assert json.loads(regenerated) == json.loads(before), (
+        "PLAN_AUDIT.json is stale — regenerate with tools/plan_audit.py "
+        "and commit it"
+    )

@@ -360,3 +360,26 @@ def test_sniff_mixed_formats(spark):
     want = ["png", "jpeg", "gif", "bmp", "wav", "mp4", None]
     for i in range(28):
         assert got[i] == want[i % 7], (i, got[i])
+
+
+def test_triage_and_decode_fused(spark):
+    """One pass: sniffed format for every payload, true header dims for
+    image payloads, NULL dims for audio/video/text — and the plan must
+    be scan -> single MapInPandas, zero Exchange."""
+    ids = spark.range(0, 28).withColumnRenamed("id", "doc_id")
+    payloads = mm.synthesize_mixed_payloads(ids, "doc_id")
+    out = mm.triage_and_decode(payloads, "payload", "id")
+    got = {r.id: r for r in out.collect()}
+    want = ["png", "jpeg", "gif", "bmp", "wav", "mp4", None]
+    for i in range(28):
+        r = got[i]
+        assert r.format == want[i % 7], (i, r.format)
+        if i % 7 == 0:  # png: real 4x4 solid-color pixels
+            assert (r.width, r.height) == (4, 4)
+        elif i % 7 == 1:  # jpeg SOF0: dims from the synthesizer's law
+            assert (r.width, r.height) == (16 + (i * 3) % 64, 16 + i % 64)
+        elif i % 7 in (4, 5, 6):  # wav/mp4/text: no image dims
+            assert r.width is None and r.height is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") >= 1
+    assert "Exchange" not in plan

@@ -24,6 +24,7 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 #: (no JVM-side builtin), the declared grouped-map UDAF shape, and the
 #: BLAS partial-Gramian mapInPandas.  Everything else must stay JVM-side.
 PYTHON_EVAL_ALLOWED = {
+    "binaryfile_decode_fused",
     "embedding_centroids_udaf",
     "embedding_gram_matrix",
     "multimodal_audio_features",

@@ -36,18 +36,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+_EXPR_ID = re.compile(r"#\d+")
 
 
 def _unpartitioned_specs(plan: str) -> list[str]:
     """Window specs whose argument list starts with an ORDER column
     (i.e. no partition columns).  Spec grammar:
-    windowspecdefinition(part..., order ASC/DESC ..., frame)."""
+    windowspecdefinition(part..., order ASC/DESC ..., frame).
+    Catalyst expression IDs (``col#1234``) are session counters —
+    normalized to ``#N`` so the committed artifact is byte-stable
+    across regenerations and CI can diff it."""
     out = []
     for m in _WSPEC.finditer(plan):
         args = m.group(1)
         first = args.split(",", 1)[0]
         if " ASC" in first or " DESC" in first:
-            out.append(m.group(0)[:120])
+            out.append(_EXPR_ID.sub("#N", m.group(0)[:120]))
     return out
 
 
