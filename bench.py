@@ -9,6 +9,7 @@ Usage: ``python bench.py`` (driver contract)
   line FIRST and then ends with ONE SHORT summary line
   {"metric": "suite_wall_seconds", "value": <total>,
    "value_calibrated": <total normalized to the anchor host speed>,
+   "value_production": <total minus verification-only forms>,
    "unit": "sec", "sf": <sf>, "calib_s": <host calibration>,
    "n_queries": N, "n_failed": N, "slowest": {...top5}}
   The driver keeps only a ~2 KB tail of stdout, which truncated round
@@ -20,11 +21,14 @@ runs — scan, shuffle, aggregate — but nothing is collected to the
 driver, so the timing measures the engine, not result transfer).
 Failures are recorded as -1 for that query instead of killing the run.
 
-Two suite entries are deliberately NOT timed: the unblocked O(n^2)
+Three suite entries are deliberately NOT timed: the unblocked O(n^2)
 forms that exist purely as small-sf oracle cross-checks for their
 production twins (see the suite docs for dedup_ngram_jaccard /
-dedup_embedding_cosine vs *_prefix / *_lsh).  They are listed in the
-output under "excluded" so the omission is visible, not silent.
+dedup_embedding_cosine / containment_pairs_blocked vs *_prefix /
+*_lsh).  They are listed in the output under "excluded" so the
+omission is visible, not silent.  Five further timed entries are
+verification-only forms reported separately ("verification_forms" /
+"value_production").
 """
 
 from __future__ import annotations
@@ -75,14 +79,15 @@ def _run() -> dict:
     # run-to-run (round-4 measured 2-8x inflation from outside load), so
     # cross-round query-time comparisons should be read relative to
     # calib_s, not as absolutes.
-    t0 = time.perf_counter()
-    spark.range(200_000_000).selectExpr(
-        # double accumulators: ANSI-safe (a bigint sum of 2e8 64-bit
-        # hashes overflows), still one xxhash64 + fma per row
-        "sum(cast(xxhash64(id) as double))",
-        "sum(cast(id as double) * cast(id as double))",
-    ).write.format("noop").mode("overwrite").save()
-    calib_s = round(time.perf_counter() - t0, 3)
+    def _calib_compute() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            # double accumulators: ANSI-safe (a bigint sum of 2e8 64-bit
+            # hashes overflows), still one xxhash64 + fma per row
+            "sum(cast(xxhash64(id) as double))",
+            "sum(cast(id as double) * cast(id as double))",
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
     # Second probe: per-JOB scheduling overhead (round-7 addition).
     # calib_s measures raw compute throughput, but iterative queries
@@ -93,12 +98,24 @@ def _run() -> dict:
     # 20 tiny two-stage jobs isolate that latency: read cross-round
     # swings in job-heavy queries relative to calib_jobs_s, and
     # everything else relative to calib_s.
-    t0 = time.perf_counter()
-    for _ in range(20):
-        spark.range(32, numPartitions=32).selectExpr("id % 4 AS g").groupBy(
-            "g"
-        ).count().write.format("noop").mode("overwrite").save()
-    calib_jobs_s = round(time.perf_counter() - t0, 3)
+    def _calib_jobs() -> float:
+        t0 = time.perf_counter()
+        for _ in range(20):
+            spark.range(32, numPartitions=32).selectExpr(
+                "id % 4 AS g"
+            ).groupBy("g").count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+        return time.perf_counter() - t0
+
+    # Median-of-3 INTERLEAVED probes (VERDICT r7 item 2a): a single
+    # probe taken before the suite mis-calibrates the whole run when
+    # host load shifts mid-run (round-7's committed record and its
+    # re-run calibrated 244-406 s from the SAME code).  One sample
+    # before the loop, one mid-loop, one after; the median absorbs a
+    # transient hitting any single sample.
+    calib_samples = [_calib_compute()]
+    calib_jobs_samples = [_calib_jobs()]
 
     # Oracle-only O(n^2) cross-check forms; their scale-safe twins
     # (dedup_ngram_jaccard_prefix / dedup_embedding_cosine_lsh /
@@ -109,11 +126,15 @@ def _run() -> dict:
         "containment_pairs_blocked",
     ]
 
+    run_list = [n for n in QUERIES if n not in excluded]
+    midpoint = len(run_list) // 2
     timings: dict[str, float] = {}
     total = 0.0
-    for name, q in QUERIES.items():
-        if name in excluded:
-            continue
+    for i, name in enumerate(run_list):
+        if i == midpoint:  # mid-run calibration sample
+            calib_samples.append(_calib_compute())
+            calib_jobs_samples.append(_calib_jobs())
+        q = QUERIES[name]
         t0 = time.perf_counter()
         try:
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -124,6 +145,31 @@ def _run() -> dict:
         timings[name] = round(dt, 4)
         if dt > 0:
             total += dt
+    calib_samples.append(_calib_compute())
+    calib_jobs_samples.append(_calib_jobs())
+    calib_s = round(sorted(calib_samples)[1], 3)  # median of 3
+    calib_jobs_s = round(sorted(calib_jobs_samples)[1], 3)
+
+    # Production-path subtotal (VERDICT r7 item 5): these timed entries
+    # exist to cross-verify a production twin rather than as the path a
+    # user would run at 100 TB — portable md5-32 signature twins of the
+    # engine-hash dedups, single-step/probe verification forms of the
+    # iterative clustering ops, and the between-batch O(increment x
+    # corpus-candidate) verification shape of incremental dedup.  They
+    # stay timed (a regression there is still a regression) but are
+    # reported separately so a swing in a verification form cannot
+    # drown a regression in a real path, and vice versa.
+    verification_forms = [
+        "dedup_minhash_portable",   # md5-32 twin of dedup_minhash
+        "dedup_simhash_portable",   # md5-32 twin of dedup_simhash
+        "kmeans_step_verified",     # one-step twin of embedding_centroids
+        "ivf_probe_verified",       # hash-verified twin of similarity_ivf_topk
+        "dedup_incremental_batch",  # between-batch verification shape
+    ]
+    verification_s = sum(
+        t for n, t in timings.items() if n in verification_forms and t > 0
+    )
+    production_total = total - verification_s
 
     return {
         "metric": "suite_wall_seconds",
@@ -155,6 +201,19 @@ def _run() -> dict:
         # swings in iterative/streaming queries to scheduler latency
         # rather than plan changes.
         "calib_jobs_s": calib_jobs_s,
+        # All three interleaved samples (start / mid / end), so a
+        # mid-run load shift is visible in the record itself.
+        "calib_samples": [round(s, 3) for s in calib_samples],
+        "calib_jobs_samples": [round(s, 3) for s in calib_jobs_samples],
+        # Production-path subtotal: full total minus the verification-
+        # only forms listed under "verification_forms".
+        "value_production": round(production_total, 3),
+        "value_production_calibrated": round(
+            production_total * (CALIB_ANCHOR_S / calib_s), 3
+        )
+        if calib_s > 0
+        else None,
+        "verification_forms": verification_forms,
     }
 
 
@@ -187,6 +246,8 @@ if __name__ == "__main__":
         "metric": result["metric"],
         "value": result["value"],
         "value_calibrated": result["value_calibrated"],
+        "value_production": result["value_production"],
+        "value_production_calibrated": result["value_production_calibrated"],
         "unit": result["unit"],
         "sf": result["sf"],
         "calib_s": result["calib_s"],
