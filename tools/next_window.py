@@ -65,6 +65,11 @@ def main() -> None:
     never_rows = [n for n in never if n not in oracle]
 
     window = (never_oracle + never_rows)[:50]
+    # Standing SS2 reference-pipeline canary (VERDICT r7 item 3): the
+    # clean_nyc_taxi_pipeline surface re-verifies EVERY round, so it is
+    # never more than one round stale.
+    if "clean_pipeline" not in window and len(window) < 50:
+        window.append("clean_pipeline")
     if len(window) < 50:
         # top up with already-verified queries: the one whose most recent
         # driver-green row is OLDEST re-verifies first (registration
