@@ -1336,6 +1336,7 @@ def bigram_lm_scores(
     model_df: DataFrame | None = None,
     model_text_col: str | None = None,
     round_lp: int = 8,
+    model_flag: Column | None = None,
 ) -> DataFrame:
     """Per-document score under an add-one-smoothed bigram language
     model — the perplexity quality filter of CCNet / Wikipedia-LM
@@ -1347,7 +1348,21 @@ def bigram_lm_scores(
         ppl(doc)   = exp(nll)
 
     ``model_df`` is the REFERENCE corpus the counts c and vocabulary V
-    come from (default: ``df`` itself — self-trained).  The smoothing
+    come from (default: ``df`` itself — self-trained).  When the
+    reference is a SUBSET of the scored corpus (the CCNet shape where
+    the model trains on the "clean" slice of the same lake — e.g. the
+    English documents), pass ``model_flag`` (a boolean Column over
+    ``df``'s rows, constant per document) instead of ``model_df``: the
+    model counts then derive from the SAME per-(doc, bigram) cell table
+    as the scoring side, so the corpus is scanned, tokenized, exploded
+    and shuffled exactly once instead of twice.  At sf0.1 the two forms
+    time equal (the extra pass hides behind shuffle latency); the
+    saving is the second full corpus SCAN + tokenize, which is the
+    dominant term at lake scale.  Counts are identical by construction
+    (verified bit-equal at sf0.1): sum of per-doc occurrence
+    counts over flagged docs == occurrence count over the flagged
+    sub-corpus.  ``model_flag`` and ``model_df`` are mutually
+    exclusive.  The smoothing
     is what makes the reference-model form work at all: bigrams unseen
     in the model (including unseen left contexts, where c(w1)=0) score
     a proper finite ln(1/(0+V)) instead of ln 0 — this is the
@@ -1378,22 +1393,52 @@ def bigram_lm_scores(
     model corpus with NO bigrams at all (V=0) can score nothing —
     ``nll``/``ppl`` come back NULL rather than a silent 1/0 Infinity.
     """
-    db = (
-        _bigram_pairs(df, text_col, id_col)
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    if model_df is None or model_df is df:
-        # Self-trained: db feeds BOTH the model counts and the scoring
-        # join, so materialize the corpus-sized cell table once.  With
-        # an external model, db has exactly one consumer and a
-        # checkpoint would just burn executor storage.
-        db = db.localCheckpoint(eager=False)
-        mp = db  # self-trained: reuse the one corpus shuffle
-        c12 = mp.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    if model_flag is not None and model_df is not None:
+        raise ValueError(
+            "bigram_lm_scores: pass model_df OR model_flag, not both"
+        )
+    if model_flag is not None:
+        # Subset-model: carry the (per-document constant) flag through
+        # the cell table — grouping by (id, w1, w2) preserves it — so
+        # the model counts filter the SAME frame the scoring join
+        # consumes: one tokenize, one explode, one shuffle.  NULL flags
+        # count as not-model (the filter drops them), matching a
+        # model_df built with df.filter(flag).
+        db = (
+            _bigram_pairs(
+                df.withColumn("__mf", model_flag.cast("boolean")),
+                text_col,
+                id_col,
+                "__mf",
+            )
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("__mf").alias("__mf"))
+            .localCheckpoint(eager=False)  # feeds model AND scoring
+        )
+        c12 = (
+            db.filter(F.col("__mf"))
+            .groupBy("w1", "w2")
+            .agg(F.sum("n").alias("c12"))
+        )
+        db = db.drop("__mf")
     else:
-        mp = _bigram_pairs(model_df, model_text_col or text_col)
-        c12 = mp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        db = (
+            _bigram_pairs(df, text_col, id_col)
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if model_df is None or model_df is df:
+            # Self-trained: db feeds BOTH the model counts and the
+            # scoring join, so materialize the corpus-sized cell table
+            # once.  With an external model, db has exactly one consumer
+            # and a checkpoint would just burn executor storage.
+            db = db.localCheckpoint(eager=False)
+            c12 = db.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+        else:
+            mp = _bigram_pairs(model_df, model_text_col or text_col)
+            c12 = mp.groupBy("w1", "w2").agg(
+                F.count(F.lit(1)).alias("c12")
+            )
     c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = (

@@ -12286,9 +12286,11 @@ def _fdr_value_tests(spark, sf_dir):
         "contexts (c12=0, even c1=0), so the smoothing is load-bearing, "
         "which is the semantic distinction from the unsmoothed MLE "
         "self-scorer bigram_logprob_scores (that form cannot leave its "
-        "own training support).  Each side is read once and shuffled "
-        "once: scored corpus -> (doc, bigram) cells, model corpus -> "
-        "bigram-type counts; c1 and the vocabulary roll up from the "
+        "own training support).  The corpus is read, tokenized and "
+        "shuffled ONCE (round 8): the model is a subset of the scored "
+        "corpus, so model_flag derives its counts from the same "
+        "(doc, bigram) cell table the scoring join consumes — no "
+        "second corpus scan; c1 and the vocabulary roll up from the "
         "TYPE table; unseen pairs survive via LEFT joins + coalesce. "
         "Exactness: each ln rounded to 8dp, carried as DECIMAL(18,8), "
         "so per-doc weighted sums are order-independent; only the final "
@@ -12297,8 +12299,11 @@ def _fdr_value_tests(spark, sf_dir):
 )
 def _lm_perplexity(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
+    # model_flag (not model_df): the reference corpus is a SUBSET of the
+    # scored corpus, so the model counts derive from the same tokenize/
+    # shuffle as the scoring cells — one corpus pass instead of two
     return tx.bigram_lm_scores(
-        docs, "doc_id", "text", model_df=docs.filter(F.col("lang") == "en")
+        docs, "doc_id", "text", model_flag=F.col("lang") == "en"
     )
 
 

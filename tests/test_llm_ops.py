@@ -1979,6 +1979,50 @@ def test_bigram_lm_reference_model_scores_unseen(spark):
     assert out[2].nll > out[1].nll
 
 
+def test_bigram_lm_model_flag_equals_model_df(spark):
+    """model_flag (subset model derived from the scoring cell table —
+    one corpus scan) must be bit-identical to the equivalent
+    model_df=df.filter(flag) form (two scans), NULL flags counting as
+    not-model; passing both is rejected."""
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog sat on the log", "en"),
+            (3, "der hund sitzt am see", "de"),
+            (4, "zyx qwv uts zyx qwv", None),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    flag_rows = sorted(
+        tuple(r)
+        for r in bigram_lm_scores(
+            df, "doc_id", "text", model_flag=F.col("lang") == "en"
+        ).collect()
+    )
+    df_rows = sorted(
+        tuple(r)
+        for r in bigram_lm_scores(
+            df, "doc_id", "text", model_df=df.filter(F.col("lang") == "en")
+        ).collect()
+    )
+    assert flag_rows == df_rows
+    assert len(flag_rows) == 4  # every >=2-token doc scored
+    with pytest.raises(ValueError, match="not both"):
+        bigram_lm_scores(
+            df,
+            "doc_id",
+            "text",
+            model_df=df,
+            model_flag=F.col("lang") == "en",
+        )
+
+
 def test_temporal_split_audit_counts(spark):
     """Constructed corpus with known entity overlap across the pivot."""
     import datetime as dt
