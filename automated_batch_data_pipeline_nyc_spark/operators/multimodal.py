@@ -625,38 +625,12 @@ def sniff_media_format(
     type-specific decode stages — all three real parsers tried in
     sequence (image headers, RIFF/WAVE, ISO-BMFF), map-only, bounded
     memory via Arrow batches.
+
+    Thin view over :func:`triage_and_decode` (one kernel to maintain —
+    a new container format lands in both surfaces automatically); the
+    image parser computes the dims it discards here either way.
     """
-    img = make_image_header_parser()
-    wav = make_wav_parser()
-    mp4 = make_mp4_parser()
-    schema = T.StructType([
-        T.StructField("id", T.LongType(), False),
-        T.StructField("format", T.StringType(), True),
-    ])
-
-    # closure-pure kernel (parsers are closures, pickled by value)
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pandas as _pd
-
-        def sniff(b):
-            f, _w, _h = img(b)
-            if f is not None:
-                return f
-            if wav(b)[0] is not None:
-                return "wav"
-            if mp4(b)[0] is not None:
-                return "mp4"
-            return None
-
-        for pdf in batches:
-            yield _pd.DataFrame({
-                "id": pdf[id_col].astype("int64"),
-                "format": _pd.Series(
-                    [sniff(b) for b in pdf[payload_col]], dtype="object"
-                ),
-            })
-
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+    return triage_and_decode(df, payload_col, id_col).select("id", "format")
 
 
 def triage_and_decode(

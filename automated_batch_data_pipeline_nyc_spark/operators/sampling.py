@@ -808,24 +808,34 @@ def temporal_split_audit(
     shuffled at row granularity.  NULL ts/entity rows are excluded
     (they belong to neither split), stated here so the oracle matches.
     """
-    # Validate the pivot on the driver: an unparseable (or date-only-vs-
-    # timestamp-incompatible) literal casts to NULL, which would make
-    # is_train NULL for every row and silently return an all-zero
-    # summary instead of failing loudly (same convention as the V=0
-    # guard in text.bigram_lm_scores).
-    import datetime as _dt
-
-    try:
-        _dt.datetime.fromisoformat(pivot)
-    except ValueError as exc:
+    # Validate the pivot on the driver: a literal that Spark's cast to
+    # the ts column's own type turns into NULL would make is_train NULL
+    # for every row and silently return an all-zero summary instead of
+    # failing loudly (same convention as the V=0 guard in
+    # text.bigram_lm_scores).  Evaluating the actual cast (one 1-row
+    # local job) accepts exactly what the comparison below accepts —
+    # unlike a Python-side ISO parse, which both over-rejects
+    # ('2024-1-1' casts fine in Spark) and under-rejects (a datetime
+    # pivot against a bigint ts column still casts to NULL).
+    ts_type = dict(df.dtypes)[ts_col]
+    pivot_lit = F.lit(pivot).cast(ts_type)
+    # try_cast: ANSI sessions THROW on a bad cast (their own loudness);
+    # the probe needs the NULL so it can raise the same clear error in
+    # both ANSI and legacy modes.
+    probe = (
+        df.sparkSession.range(1)
+        .select(F.lit(pivot).try_cast(ts_type).alias("p"))
+        .first()
+    )
+    if probe["p"] is None:
         raise ValueError(
-            f"temporal_split_audit: pivot {pivot!r} is not an ISO "
-            f"date/timestamp string: {exc}"
-        ) from None
+            f"temporal_split_audit: pivot {pivot!r} casts to NULL as the "
+            f"ts column's type {ts_type!r} — every row would fall on "
+            "neither side of the split"
+        )
     base = df.filter(
         F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
     )
-    pivot_lit = F.lit(pivot).cast(dict(df.dtypes)[ts_col])
     is_train = F.col(ts_col) < pivot_lit
     per_entity = base.groupBy(entity_col).agg(
         F.count(F.when(is_train, 1)).alias("__n_tr"),

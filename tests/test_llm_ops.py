@@ -2063,3 +2063,12 @@ def test_temporal_split_audit_rejects_bad_pivot(spark):
     )
     with pytest.raises(ValueError, match="pivot"):
         sa.temporal_split_audit(df, "ts", "user_id", "2024-13-99 not-a-ts")
+    # a well-formed datetime pivot against a NON-datetime ts column is
+    # the same silent-NULL trap and must also raise
+    dfi = spark.createDataFrame([(1, 1704067200000)], ["user_id", "ts"])
+    with pytest.raises(ValueError, match="pivot"):
+        sa.temporal_split_audit(dfi, "ts", "user_id", "2024-01-15 00:00:00")
+    # ...while anything Spark's cast accepts must keep working, even if
+    # Python's own ISO parser would reject it (non-zero-padded parts)
+    out = sa.temporal_split_audit(df, "ts", "user_id", "2024-6-1").collect()[0]
+    assert out.n_train_rows == 1 and out.n_test_rows == 0

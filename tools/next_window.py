@@ -67,8 +67,12 @@ def main() -> None:
     window = (never_oracle + never_rows)[:50]
     # Standing SS2 reference-pipeline canary (VERDICT r7 item 3): the
     # clean_nyc_taxi_pipeline surface re-verifies EVERY round, so it is
-    # never more than one round stale.
-    if "clean_pipeline" not in window and len(window) < 50:
+    # never more than one round stale — even when never-verified debt
+    # fills all 50 slots, the canary displaces the last one (the
+    # displaced query surfaces in the leftover list below).
+    if "clean_pipeline" not in window:
+        if len(window) >= 50:
+            window = window[:49]
         window.append("clean_pipeline")
     if len(window) < 50:
         # top up with already-verified queries: the one whose most recent

@@ -51,7 +51,9 @@ def _unpartitioned_specs(plan: str) -> list[str]:
         args = m.group(1)
         first = args.split(",", 1)[0]
         if " ASC" in first or " DESC" in first:
-            out.append(_EXPR_ID.sub("#N", m.group(0)[:120]))
+            # normalize BEFORE truncating: the cut point must not depend
+            # on the digit width of the session's expression counter
+            out.append(_EXPR_ID.sub("#N", m.group(0))[:120])
     return out
 
 
