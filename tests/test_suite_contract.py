@@ -96,11 +96,28 @@ def test_window_oracle_coverage():
 
 
 def test_window_drains_debt_then_reverifies_stale():
-    """r8 slots 1-4 = every never-driver-verified query (the round-7
-    registrations — debt -> 0); slot 5 = the standing reference-pipeline
-    canary; slots 6-50 = stale-first re-verification of already-green
-    queries.  Rows-only-by-design queries count as driver-executed via
-    their recorded spark_rows (err == "no_oracle" means "no SQL oracle
+    """Lifecycle-stable rotation invariant (VERDICT r8 item 1).
+
+    The r8 version of this test pinned a point-in-time snapshot
+    ("never-verified == window[:4] | queue") that went red the moment
+    the driver committed CORRECTNESS_r08.json and turned those four
+    slots green.  The invariant that actually matters, and that stays
+    true both while the builder is rotating and after the driver lands
+    a new record, is:
+
+      1. every never-driver-verified query is scheduled — it sits in
+         DRIVER_WINDOW (this round's slots) or _NEXT_WINDOW_QUEUE
+         (next round's slots); debt can never silently fall off;
+      2. _NEXT_WINDOW_QUEUE holds ONLY never-verified queries — once
+         the driver turns a queued query green the next rotation must
+         move it out;
+      3. never-verified window slots form a contiguous HEAD of the
+         window (debt drains first, stale re-verification fills the
+         tail) — trivially true once the driver has run the window;
+      4. the reference-pipeline canary is in every window.
+
+    Rows-only-by-design queries count as driver-executed via their
+    recorded spark_rows (err == "no_oracle" means "no SQL oracle
     exists", not "failed")."""
     green: set[str] = set()
     for fname in sorted(os.listdir(REPO)):
@@ -117,16 +134,16 @@ def test_window_drains_debt_then_reverifies_stale():
                 )
             if ok:
                 green.add(name)
-    never = [n for n in suite.QUERIES if n not in green]
-    # never-verified = the debt slots this window drains, plus any
-    # same-round registrations queued for the NEXT window (r9 slots).
-    assert set(never) == set(suite.DRIVER_WINDOW[:4]) | set(
-        suite._NEXT_WINDOW_QUEUE
-    )
-    # the canary + stale slots must all be previously green
-    assert not set(suite.DRIVER_WINDOW[4:]) - green
-    # standing canary: the reference clean_nyc_taxi_pipeline surface is
-    # re-verified every round (VERDICT r7 item 3)
+    never = {n for n in suite.QUERIES if n not in green}
+    # 1. all debt is scheduled
+    assert never <= set(suite.DRIVER_WINDOW) | set(suite._NEXT_WINDOW_QUEUE)
+    # 2. the queue holds only debt
+    assert set(suite._NEXT_WINDOW_QUEUE) <= never
+    # 3. debt occupies a contiguous head of the window
+    in_window_never = [n for n in suite.DRIVER_WINDOW if n in never]
+    assert suite.DRIVER_WINDOW[: len(in_window_never)] == in_window_never
+    # 4. standing canary: the reference clean_nyc_taxi_pipeline surface
+    # is re-verified every round (VERDICT r7 item 3)
     assert "clean_pipeline" in suite.DRIVER_WINDOW
 
 
