@@ -12648,91 +12648,20 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-8 window (VERDICT r7 items 1+3): slots 1-4 = the full
-#: _NEXT_WINDOW_QUEUE as of round 7 (the only never-driver-run
-#: queries, each already oracle-backed and locally green); slot 5 =
-#: the standing SS2 reference-pipeline canary (clean_pipeline stays
-#: in every window so the reference surface is never more than one
-#: round stale); slots 6-50 = stale-first re-verification, oldest
-#: driver-green round first (r1/r2-era queries not covered by the
-#: r7 re-verification batch, then the r3-green head) -- exactly the
-#: tools/next_window.py proposal with the canary swapped in for the
-#: 46th stale slot (schema_evolution_roundtrip, picked up r9).
+#: Round-9 window (VERDICT r8 item 2 — exactly the tools/next_window.py
+#: proposal): slot 1 = the sole never-driver-run query (the round-8
+#: capped registration binaryfile_decode_fused — drains never-verified
+#: debt back to 0); slot 2 = the standing SS2 reference-pipeline canary
+#: (clean_pipeline stays in every window so the reference surface is
+#: never more than one round stale); slots 3-50 = stale-first
+#: re-verification, oldest driver-green round first (the full r3-green
+#: bucket, then the r4-green head).
 DRIVER_WINDOW: list[str] = [
-    # never-driver-verified: round-7 registrations
-    "lm_perplexity_scores",
-    "binaryfile_ingest_roundtrip",
-    "ivf_probe_verified",
-    "temporal_split_audit",
+    # never-driver-verified: round-8 registration
+    "binaryfile_decode_fused",
     # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",
-    # stale-first re-verification (last driver-green r1/r2, then r3)
-    "join_anti",
-    "join_range_buckets",
-    "sql_revenue_by_nation",
-    "shipping_priority_topk",
-    "top_k_customers",
-    "ordered_limit",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "window_topk_per_group",
-    "window_lag_delta",
-    "window_moving_avg",
-    "window_running_sum",
-    "hourly_event_counts",
-    "streaming_hourly_counts",
-    "merge_user_intervals",
-    "user_growth_daily",
-    "retention_cohorts",
-    "fk_integrity_audit",
-    "pivot_event_matrix",
-    "rollup_order_stats",
-    "quality_gate_report",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_ngram_jaccard_freq",
-    "duplicated_ngram_spans",
-    "dedup_embedding_cosine_lsh",
-    "dedup_components",
-    "dedup_pipeline_transitive",
-    "url_canonical_dedup",
-    "edit_distance_pairs",
-    "fuzzy_levenshtein",
-    "knn_join_batch",
-    "embedding_gram_matrix",
-    "embedding_quantize",
-    "embedding_group_mean",
-    "multimodal_payload_meta",
-    "sink_roundtrip",
-    "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: The round-8 rotation drained the round-7 registrations into
-#: DRIVER_WINDOW; every new registration this round must be appended
-#: here (it gets a driver slot in the r9 rotation ahead of stale
-#: re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = [
-    # round-8 registration (VERDICT r7 item 4: capped, gap-closing only)
-    "binaryfile_decode_fused",
-]
-
-
-#: Driver-green in a past round (hash-stable; guarded by local oracle
-#: parity).  Grouped by the MOST RECENT driver-green round so the
-#: stale-first rotation (tools/next_window.py) is auditable by eye.
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
-    # most recent driver-green row: round 3 (CORRECTNESS_r03.json)
+    # stale-first re-verification (last driver-green r3, then r4 head)
     "schema_evolution_roundtrip",
     "merge_upsert_orders",
     "snapshot_diff_orders",
@@ -12765,7 +12694,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "mutual_information",
     "pagerank_order_part",
     "cross_source_contamination",
-    # most recent driver-green row: round 4 (CORRECTNESS_r04.json)
     "streaming_sessionize",
     "streaming_dedup_counts",
     "streaming_enriched_totals",
@@ -12782,6 +12710,24 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "top_supplier_revenue",
     "dominant_part_suppliers",
     "sole_supplier_open_orders",
+]
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: The round-9 rotation drained the round-8 registration
+#: (binaryfile_decode_fused) into DRIVER_WINDOW slot 1; every new
+#: registration this round must be appended here (it gets a driver
+#: slot in the r10 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
+    # most recent driver-green row: round 4 (CORRECTNESS_r04.json)
     "idle_rich_customers",
     "small_quantity_revenue",
     "customer_order_distribution",
@@ -12968,6 +12914,56 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "join_broadcast_dims",
     "join_left_enrich",
     "join_semi",
+    # most recent driver-green row: round 8 (CORRECTNESS_r08.json)
+    "lm_perplexity_scores",
+    "binaryfile_ingest_roundtrip",
+    "ivf_probe_verified",
+    "temporal_split_audit",
+    "join_anti",
+    "join_range_buckets",
+    "sql_revenue_by_nation",
+    "shipping_priority_topk",
+    "top_k_customers",
+    "ordered_limit",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_running_sum",
+    "hourly_event_counts",
+    "streaming_hourly_counts",
+    "merge_user_intervals",
+    "user_growth_daily",
+    "retention_cohorts",
+    "fk_integrity_audit",
+    "pivot_event_matrix",
+    "rollup_order_stats",
+    "quality_gate_report",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_freq",
+    "duplicated_ngram_spans",
+    "dedup_embedding_cosine_lsh",
+    "dedup_components",
+    "dedup_pipeline_transitive",
+    "url_canonical_dedup",
+    "edit_distance_pairs",
+    "fuzzy_levenshtein",
+    "knn_join_batch",
+    "embedding_gram_matrix",
+    "embedding_quantize",
+    "embedding_group_mean",
+    "multimodal_payload_meta",
+    "sink_roundtrip",
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
 ]
 
 _rotated = (

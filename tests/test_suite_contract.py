@@ -16,60 +16,60 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-8 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-9 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
-    "lm_perplexity_scores",
-    "binaryfile_ingest_roundtrip",
-    "ivf_probe_verified",
-    "temporal_split_audit",
+    "binaryfile_decode_fused",
     "clean_pipeline",
-    "join_anti",
-    "join_range_buckets",
-    "sql_revenue_by_nation",
-    "shipping_priority_topk",
-    "top_k_customers",
-    "ordered_limit",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "window_topk_per_group",
-    "window_lag_delta",
-    "window_moving_avg",
-    "window_running_sum",
-    "hourly_event_counts",
-    "streaming_hourly_counts",
-    "merge_user_intervals",
-    "user_growth_daily",
-    "retention_cohorts",
-    "fk_integrity_audit",
-    "pivot_event_matrix",
-    "rollup_order_stats",
-    "quality_gate_report",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_ngram_jaccard_freq",
-    "duplicated_ngram_spans",
-    "dedup_embedding_cosine_lsh",
-    "dedup_components",
-    "dedup_pipeline_transitive",
-    "url_canonical_dedup",
-    "edit_distance_pairs",
-    "fuzzy_levenshtein",
-    "knn_join_batch",
-    "embedding_gram_matrix",
-    "embedding_quantize",
-    "embedding_group_mean",
-    "multimodal_payload_meta",
-    "sink_roundtrip",
-    "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
+    "schema_evolution_roundtrip",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "scd2_orders_history",
+    "asof_click_attribution",
+    "sessionize_events",
+    "interval_overlap_pairs",
+    "resample_gap_fill",
+    "funnel_signup_purchase",
+    "sample_hash_fraction",
+    "train_test_split_counts",
+    "mixture_by_source",
+    "sample_per_group",
+    "weighted_sample_per_group",
+    "token_budget_mixture",
+    "shuffle_shard_assign",
+    "split_leakproof_by_content",
+    "chunk_documents",
+    "pack_token_windows",
+    "corpus_prep",
+    "redact_pii",
+    "tfidf_top_terms",
+    "repetition_scores",
+    "decontaminate_overlap",
+    "domain_stats",
+    "token_divergence",
+    "text_normalize_nfc",
+    "exact_moment_stats",
+    "group_linear_fit",
+    "mutual_information",
+    "pagerank_order_part",
+    "cross_source_contamination",
+    "streaming_sessionize",
+    "streaming_dedup_counts",
+    "streaming_enriched_totals",
+    "streaming_interval_join",
+    "streaming_ewma",
+    "local_supplier_volume",
+    "revenue_forecast_band",
+    "bilateral_trade_volume",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "brand_bracket_revenue",
+    "market_share_by_year",
+    "top_supplier_revenue",
+    "dominant_part_suppliers",
+    "sole_supplier_open_orders",
 ]
 
 
@@ -79,9 +79,9 @@ def test_window_is_first_50():
     assert suite.DRIVER_WINDOW == EXPECTED_WINDOW
 
 
-#: Rows-only slots in the r8 window: NONE — every slot this round is
+#: Rows-only slots in the r9 window: NONE — every slot this round is
 #: oracle-backed, so the driver runs the full rows+schema+hash check on
-#: all 50.  (The 14 rows-only-by-design queries were all driver-executed
+#: all 50.  (The rows-only-by-design queries were all driver-executed
 #: in r7 and sit in _PREVIOUSLY_VERIFIED until the stale-first rotation
 #: brings them back.)
 ROWS_ONLY_SLOTS: set = set()
