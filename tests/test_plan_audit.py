@@ -89,3 +89,39 @@ def test_unpartitioned_windows_only_over_bounded_frames(plan_report):
         if got > UNPARTITIONED_WINDOWS_ALLOWED.get(n, 0):
             bad[n] = r.get("unpart_window_specs", got)
     assert not bad, f"unbounded single-task window risk in: {bad}"
+
+
+#: BNLJ build sides that are NOT a plan-visible keyless aggregate, each
+#: pinned EXACTLY with its real bound (VERDICT r8 item 4).  ``rdd_scan``
+#: = the build frame was localCheckpoint'd, hiding its upstream
+#: aggregate from the plan; ``opaque:*`` = bounded by something the plan
+#: can't prove (literal-filtered batch, dim-sized distinct, or the one
+#: declared O(n²) verifier).  Any NEW nonscalar build side — or a count
+#: increase on these — fails, so a frame-sized broadcast through a
+#: nested loop can't hide inside an expected-nonzero bnlj count.
+BNLJ_NONSCALAR_ALLOWED = {
+    # declared O(n²) all-pairs oracle verifier (bench-excluded by design)
+    "dedup_embedding_cosine": ["opaque:Scan parquet "],
+    # k=8 centroid batch: literal vec_id<8 pushed filter bounds the build
+    "kmeans_step_verified": ["opaque:Scan parquet "],
+    # 5-row query batch: literal vec_id<5 pushed filter bounds the build
+    "knn_join_batch": ["opaque:Scan parquet "],
+    # event-type dim distinct (domain-bounded) crossed with the hour spine
+    "resample_gap_fill": ["opaque:HashAggregate"],
+    # k-centroid IVF frame, localCheckpoint'd (k rows by construction):
+    # crossed once on the probe path and once on the verify path
+    "ivf_probe_verified": ["rdd_scan", "rdd_scan"],
+    # n_buckets-row bucket-boundary frame, localCheckpoint'd
+    "join_range_buckets": ["rdd_scan"],
+}
+
+
+def test_bnlj_build_sides_are_bounded(plan_report):
+    """Every BroadcastNestedLoopJoin build side must be a plan-provable
+    ≤1-row scalar aggregate, or match the exact pinned exception above."""
+    bad = {}
+    for n, r in plan_report.items():
+        nonscalar = [k for k in r.get("bnlj_builds", []) if k != "scalar_agg"]
+        if nonscalar != BNLJ_NONSCALAR_ALLOWED.get(n, []):
+            bad[n] = r.get("bnlj_builds")
+    assert not bad, f"unreviewed BNLJ build sides in: {bad}"

@@ -7,6 +7,22 @@ the plan features that decide 100 TB behavior:
 - ``exchanges``        shuffle count (Exchange nodes, incl. broadcasts)
 - ``bnlj``             BroadcastNestedLoopJoin count (fine only when one
                        side is provably tiny — centroid/1-row attaches)
+- ``bnlj_builds``      per-BNLJ build-side verdict (VERDICT r8 item 4):
+                       ``scalar_agg`` = the build side provably descends
+                       from an Aggregate with NO grouping keys (≤1 row
+                       by construction) through row-count-preserving
+                       wrappers only; ``rdd_scan`` = the build side is a
+                       localCheckpoint'd frame whose upstream aggregate
+                       the plan no longer shows (bound must be asserted
+                       per-query — tests/test_plan_audit.py allowlists
+                       these by name); anything else =
+                       ``opaque:<node>`` and must match an exact
+                       per-query allowlist entry whose comment states
+                       the real bound (k-row literal-filtered batches,
+                       dim-sized distincts, the declared O(n²)
+                       verifier) — a refactor that broadcasts a FRAME
+                       through a nested loop can't hide inside an
+                       expected-nonzero count
 - ``cartesian``        CartesianProduct count (never acceptable in a
                        production path; the O(n²) oracle twins are the
                        only registered queries allowed to carry one)
@@ -57,6 +73,73 @@ def _unpartitioned_specs(plan: str) -> list[str]:
     return out
 
 
+#: Plan nodes that cannot INCREASE the row count of their single child —
+#: safe to look through when proving a BNLJ build side is ≤1 row.
+_ROW_PRESERVING = (
+    "Project",
+    "Filter",
+    "Exchange",
+    "BroadcastExchange",
+    "Sort",
+    "Coalesce",
+    "ColumnarToRow",
+    "InputAdapter",
+    "AQEShuffleRead",
+    "LocalLimit",
+    "GlobalLimit",
+    "WholeStageCodegen",
+)
+
+
+def _iter_plan(node):
+    """Yield every node of a SparkPlan tree (py4j), descending into the
+    AQE initial plan and reused-exchange targets."""
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _iter_plan(cs.apply(i))
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _iter_plan(node.initialPlan())
+    elif name == "ReusedExchange":
+        yield from _iter_plan(node.child())
+
+
+def _build_kind(node) -> str:
+    """Classify a BNLJ build-side subtree (see module docstring)."""
+    while True:
+        name = node.nodeName()
+        if "Aggregate" in name:
+            try:
+                if node.groupingExpressions().isEmpty():
+                    return "scalar_agg"
+            except Exception:
+                pass
+            return f"opaque:{name}"
+        if "ExistingRDD" in name:  # localCheckpoint'd frame: plan-opaque
+            return "rdd_scan"
+        if name == "ReusedExchange":
+            node = node.child()
+            continue
+        if name.startswith(_ROW_PRESERVING):
+            cs = node.children()
+            if cs.size() == 1:
+                node = cs.apply(0)
+                continue
+        return f"opaque:{name}"
+
+
+def _bnlj_builds(plan) -> list[str]:
+    out = []
+    for node in _iter_plan(plan):
+        if node.nodeName() != "BroadcastNestedLoopJoin":
+            continue
+        side = node.buildSide().toString()
+        build = node.children().apply(1 if side == "BuildRight" else 0)
+        out.append(_build_kind(build))
+    return sorted(out)
+
+
 def audit(sf_dir: str, spark=None) -> dict:
     from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
 
@@ -69,7 +152,9 @@ def audit(sf_dir: str, spark=None) -> dict:
     for name, q in QUERIES.items():
         try:
             df = q.spark(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
+            bnlj_builds = _bnlj_builds(jplan)
         except Exception as exc:  # surface, keep auditing
             report[name] = {"error": repr(exc)[:200]}
             continue
@@ -77,6 +162,7 @@ def audit(sf_dir: str, spark=None) -> dict:
         report[name] = {
             "exchanges": plan.count("Exchange"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "bnlj_builds": bnlj_builds,
             "cartesian": plan.count("CartesianProduct"),
             "python_eval": (
                 plan.count("BatchEvalPython")
@@ -101,6 +187,15 @@ def main() -> None:
         n: r["unpart_windows"] for n, r in report.items()
         if r.get("unpart_windows")
     }
+    bnlj_opaque = {
+        n: [k for k in r["bnlj_builds"] if k.startswith("opaque")]
+        for n, r in report.items()
+        if any(k.startswith("opaque") for k in r.get("bnlj_builds", []))
+    }
+    bnlj_rdd = sorted(
+        n for n, r in report.items()
+        if "rdd_scan" in r.get("bnlj_builds", [])
+    )
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(report),
@@ -109,6 +204,8 @@ def main() -> None:
             "cartesian": sorted(cart),
             "python_eval": sorted(py),
             "unpartitioned_windows": dict(sorted(unpart.items())),
+            "bnlj_opaque": dict(sorted(bnlj_opaque.items())),
+            "bnlj_rdd_scan": bnlj_rdd,
         },
         "queries": report,
     }
