@@ -90,10 +90,22 @@ def make_image_header_parser():
     - BMP — BITMAPINFOHEADER (LE i32, height may be negative =
       top-down) or the ancient BITMAPCOREHEADER (LE u16).
 
+    Dimensions outside ``[0, 2**31)`` (possible for PNG u32 and BMP
+    i32 fields) come back NULL: consumers materialize width/height as
+    Arrow Int32, and a hostile header must degrade like any other
+    corrupt payload instead of raising mid-job.
+
     Returned from a factory as a closure so mapInPandas kernels can
     embed it without importing this package on workers.
     """
     import struct
+
+    def _dim(v):
+        # PNG carries u32 dims and BMP signed i32: a corrupt/hostile
+        # header can hold a value outside int32, which would raise in
+        # the consumers' Arrow Int32 materialization and fail the whole
+        # job.  Degrade to NULL like any other unparseable payload.
+        return v if v is not None and 0 <= v < 2**31 else None
 
     def parse(payload):
         if payload is None or len(payload) < 10:
@@ -102,7 +114,7 @@ def make_image_header_parser():
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             if len(b) >= 24 and b[12:16] == b"IHDR":
                 w, h = struct.unpack(">II", b[16:24])
-                return "png", w, h
+                return "png", _dim(w), _dim(h)
             return None, None, None
         if b[:2] == b"\xff\xd8":
             i, n = 2, len(b)
@@ -134,7 +146,9 @@ def make_image_header_parser():
             hdr_size = struct.unpack("<I", b[14:18])[0]
             if hdr_size >= 40:
                 w, h = struct.unpack("<ii", b[18:26])
-                return "bmp", w, abs(h)
+                # height may be negative = top-down; abs(-2**31)
+                # overflows int32, _dim nulls it like negative width
+                return "bmp", _dim(w), _dim(abs(h))
             if hdr_size == 12 and len(b) >= 22:
                 w, h = struct.unpack("<HH", b[18:22])
                 return "bmp", w, h

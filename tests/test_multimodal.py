@@ -71,6 +71,51 @@ def test_header_parser_rejects_non_media():
         assert parse(junk) == (None, None, None)
 
 
+def _hostile_png(w: int, h: int) -> bytes:
+    """PNG signature + IHDR carrying arbitrary u32 dims."""
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8
+    )
+
+
+def test_header_parser_nulls_dims_outside_int32():
+    """PNG u32 / BMP i32 dims that don't fit Arrow Int32 must come back
+    NULL (format keeps the sniff) — consumers materialize Int32 and a
+    hostile header must not raise mid-job (ADVICE r8)."""
+    parse = mm.make_image_header_parser()
+    assert parse(_hostile_png(2**31, 7)) == ("png", None, 7)
+    assert parse(_hostile_png(7, 2**32 - 1)) == ("png", 7, None)
+    assert parse(_hostile_png(2**31 - 1, 1)) == ("png", 2**31 - 1, 1)
+    # BMP: negative width, and INT32_MIN height whose abs() overflows
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 146, 0, 0, 54)
+        + struct.pack("<Iii", 40, -5, -(2**31)) + struct.pack("<HH", 1, 24)
+        + b"\x00" * 120
+    )
+    assert parse(bmp) == ("bmp", None, None)
+
+
+def test_triage_and_decode_survives_hostile_dims(spark):
+    """End-to-end: a corrupt blob with u32 dims >= 2**31 degrades to
+    NULL dims inside the fused kernel instead of failing the job."""
+    rows = [
+        (0, bytearray(_hostile_png(2**31 + 5, 2**32 - 1))),
+        (1, bytearray(GOLDEN_1X1_PNG)),
+        (2, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r for r in mm.triage_and_decode(df, "payload", "id").collect()}
+    assert (got[0].format, got[0].width, got[0].height) == ("png", None, None)
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 1, 1)
+    assert (got[2].format, got[2].width, got[2].height) == (None, None, None)
+    # sniff_media_format is a view over the same kernel — same payloads
+    # must classify without raising
+    fmts = {r.id: r.format
+            for r in mm.sniff_media_format(df, "payload", "id").collect()}
+    assert fmts == {0: "png", 1: "png", 2: None}
+
+
 # ---------------------------------------------------------------------------
 # PNG pixel codec
 # ---------------------------------------------------------------------------
