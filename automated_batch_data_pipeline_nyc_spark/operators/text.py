@@ -1337,6 +1337,7 @@ def bigram_lm_scores(
     model_text_col: str | None = None,
     round_lp: int = 8,
     model_flag: Column | None = None,
+    validate_flag: bool = False,
 ) -> DataFrame:
     """Per-document score under an add-one-smoothed bigram language
     model — the perplexity quality filter of CCNet / Wikipedia-LM
@@ -1362,7 +1363,19 @@ def bigram_lm_scores(
     (verified bit-equal at sf0.1): sum of per-doc occurrence
     counts over flagged docs == occurrence count over the flagged
     sub-corpus.  ``model_flag`` and ``model_df`` are mutually
-    exclusive.  The smoothing
+    exclusive.
+
+    The constant-per-document requirement is load-bearing: the flag is
+    carried through the cell table with a per-(doc, bigram) MAX, so if
+    it varied across rows of one document the doc would enter the model
+    with its FULL cell counts whenever ANY of its rows is flagged
+    (any-occurrence-true) — which diverges from
+    ``model_df=df.filter(flag)`` (that keeps only the flagged rows'
+    bigrams).  NULL flags count as not-model, matching the filter.
+    Pass ``validate_flag=True`` (debug path) to enforce the
+    precondition: one extra aggregation job over the already-
+    checkpointed cell table, raising ``ValueError`` if any document
+    carries both flagged and unflagged rows.  The smoothing
     is what makes the reference-model form work at all: bigrams unseen
     in the model (including unseen left contexts, where c(w1)=0) score
     a proper finite ln(1/(0+V)) instead of ln 0 — this is the
@@ -1402,19 +1415,45 @@ def bigram_lm_scores(
         # the cell table — grouping by (id, w1, w2) preserves it — so
         # the model counts filter the SAME frame the scoring join
         # consumes: one tokenize, one explode, one shuffle.  NULL flags
-        # count as not-model (the filter drops them), matching a
-        # model_df built with df.filter(flag).
+        # coalesce to false (not-model), matching a model_df built with
+        # df.filter(flag); the coalesce also lets the validate path
+        # read min/max without NULL-skipping blind spots.
+        agg = [F.count(F.lit(1)).alias("n"), F.max("__mf").alias("__mf")]
+        if validate_flag:
+            agg.append(F.min("__mf").alias("__mf_min"))
         db = (
             _bigram_pairs(
-                df.withColumn("__mf", model_flag.cast("boolean")),
+                df.withColumn(
+                    "__mf",
+                    F.coalesce(model_flag.cast("boolean"), F.lit(False)),
+                ),
                 text_col,
                 id_col,
                 "__mf",
             )
             .groupBy(id_col, "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("__mf").alias("__mf"))
+            .agg(*agg)
             .localCheckpoint(eager=False)  # feeds model AND scoring
         )
+        if validate_flag:
+            n_bad = (
+                db.groupBy(id_col)
+                .agg(
+                    F.min(F.col("__mf_min").cast("int")).alias("__lo"),
+                    F.max(F.col("__mf").cast("int")).alias("__hi"),
+                )
+                .filter(F.col("__lo") != F.col("__hi"))
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    "bigram_lm_scores: model_flag must be constant per "
+                    "document — found a document with both flagged and "
+                    "unflagged rows; its any-occurrence-true model "
+                    "counts would diverge from model_df=df.filter(flag)"
+                )
+            db = db.drop("__mf_min")
         c12 = (
             db.filter(F.col("__mf"))
             .groupBy("w1", "w2")

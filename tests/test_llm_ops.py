@@ -727,6 +727,144 @@ def test_pca_project_recovers_planted_subspace(spark):
     assert sorted(map(str, out)) == sorted(map(str, again))
 
 
+def test_pca_project_fixed_components_match_numpy(spark):
+    """The components override (the hash-verified suite form) runs the
+    same distributed mean/center/project path with literal axes — must
+    equal numpy's centered projection exactly, and reject wrong-length
+    axes loudly."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from automated_batch_data_pipeline_nyc_spark.operators.similarity import (
+        pca_project,
+    )
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(80, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], ["vec_id", "embedding"]
+    ).repartition(4)
+    axes = [[0.5, -0.5, 0.5, -0.5, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0, 1.0, 0.0]]
+    out = pca_project(df, "embedding", components=axes).collect()
+    P = np.array([[r.pc1, r.pc2] for r in sorted(out, key=lambda r: r.vec_id)])
+    Xc = X.astype(np.float64) - X.astype(np.float64).mean(axis=0)
+    want = Xc @ np.array(axes).T
+    assert np.allclose(P, want, atol=1e-9)
+    with _pytest.raises(ValueError, match="length-6"):
+        pca_project(df, "embedding", components=[[1.0, 0.0]])
+
+
+def test_bpe_double_replace_oracle_law():
+    """Pin the law the bpe_encode_tokens oracle rests on: one BPE merge
+    applied as TWO successive replace() passes over the space-delimited
+    symbol string is exactly greedy left-to-right BPE, provided every
+    merge has left != right.  Pass 1 is greedy but consumes the shared
+    delimiter of back-to-back occurrences; pass 2 merges exactly the
+    skipped ones (their neighbors are merged away, and left != right
+    means replacements can't create new matches).  A (x,x) self-merge
+    over a run of 5+ identical symbols is the counterexample — excluded
+    from _BPE_FIXED_MERGES by construction."""
+    import itertools
+    import random
+
+    def greedy_merge(syms, a, b):
+        out, skip = [], False
+        for i, cur in enumerate(syms):
+            if skip:
+                skip = False
+                continue
+            nxt = syms[i + 1] if i + 1 < len(syms) else None
+            if cur == a and nxt == b:
+                out.append(a + b)
+                skip = True
+            else:
+                out.append(cur)
+        return out
+
+    def greedy_encode(word, merges):
+        syms = list(word)
+        for a, b in merges:
+            syms = greedy_merge(syms, a, b)
+        return syms
+
+    def replace_encode(word, merges):
+        s = " " + " ".join(word) + " "
+        for a, b in merges:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            s = s.replace(pat, rep).replace(pat, rep)
+        return s.strip().split(" ")
+
+    rng = random.Random(0)
+    alpha = "abc"
+    words = [
+        "".join(w)
+        for L in range(1, 8)
+        for w in itertools.product(alpha, repeat=L)
+    ]
+    for _ in range(40):
+        merges, syms = [], set(alpha)
+        for _ in range(8):
+            a, b = rng.sample(sorted(syms), 2)  # left != right always
+            merges.append((a, b))
+            syms.add(a + b)
+        for w in rng.sample(words, 300):
+            assert greedy_encode(w, merges) == replace_encode(w, merges), (
+                w,
+                merges,
+            )
+    # the documented counterexample: self-merge over a 5-run diverges
+    aa = [("a", "a"), ("a", "aa")]
+    assert greedy_encode("aaaaa", aa) != replace_encode("aaaaa", aa)
+
+
+def test_bpe_encode_fixed_table_matches_greedy_reference(spark):
+    """The suite's fixed 8-merge table applied by the distributed
+    dictionary-join encoder must equal the pure-Python greedy reference
+    on chain-pathological words (overlapping occurrence runs)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.text import bpe_encode
+    from automated_batch_data_pipeline_nyc_spark.suite import _BPE_FIXED_MERGES
+
+    def greedy_encode(word):
+        syms = list(word)
+        for a, b in _BPE_FIXED_MERGES:
+            out, skip = [], False
+            for i, cur in enumerate(syms):
+                if skip:
+                    skip = False
+                    continue
+                nxt = syms[i + 1] if i + 1 < len(syms) else None
+                if cur == a and nxt == b:
+                    out.append(a + b)
+                    skip = True
+                else:
+                    out.append(cur)
+            syms = out
+        return syms
+
+    docs = [
+        (0, "thththe thread thanders"),
+        (1, "banana and errand rethink"),
+        (2, "ononon rere the in an"),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.bpe_syms
+        for r in bpe_encode(df, "doc_id", "text", _BPE_FIXED_MERGES).collect()
+    }
+    import re
+
+    for doc_id, text in docs:
+        want = [
+            s
+            for w in re.split(r"[^a-z]+", text.lower())
+            if w
+            for s in greedy_encode(w)
+        ]
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
 def test_knn_join_self_match_and_small_corpus(spark):
     from automated_batch_data_pipeline_nyc_spark.operators.similarity import (
         knn_join,
@@ -2020,6 +2158,71 @@ def test_bigram_lm_model_flag_equals_model_df(spark):
             "text",
             model_df=df,
             model_flag=F.col("lang") == "en",
+        )
+    # constant-per-document flags also pass the opt-in validation
+    validated = sorted(
+        tuple(r)
+        for r in bigram_lm_scores(
+            df,
+            "doc_id",
+            "text",
+            model_flag=F.col("lang") == "en",
+            validate_flag=True,
+        ).collect()
+    )
+    assert validated == df_rows
+
+
+def test_bigram_lm_model_flag_validation_catches_varying_flag(spark):
+    """ADVICE r8: a flag that varies WITHIN a document makes the cell
+    table's any-occurrence-true MAX diverge from model_df=df.filter(flag)
+    — the stated precondition.  validate_flag=True must raise; the
+    default path documents (and keeps) the any-true semantics."""
+    from pyspark.sql import functions as F
+
+    from automated_batch_data_pipeline_nyc_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    # doc 1 appears twice with contradictory flags; doc 2 is constant
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", True),
+            (1, "a very different clause entirely", False),
+            (2, "the dog sat on the log", True),
+        ],
+        ["doc_id", "text", "is_clean"],
+    )
+    with pytest.raises(ValueError, match="constant per"):
+        bigram_lm_scores(
+            df,
+            "doc_id",
+            "text",
+            model_flag=F.col("is_clean"),
+            validate_flag=True,
+        )
+    # default path still scores (documented any-occurrence-true)
+    assert len(
+        bigram_lm_scores(
+            df, "doc_id", "text", model_flag=F.col("is_clean")
+        ).collect()
+    ) == 2
+    # NULL + True within one doc is the same divergence: caught too
+    df2 = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", True),
+            (1, "a very different clause entirely", None),
+            (2, "the dog sat on the log", True),
+        ],
+        ["doc_id", "text", "is_clean"],
+    )
+    with pytest.raises(ValueError, match="constant per"):
+        bigram_lm_scores(
+            df2,
+            "doc_id",
+            "text",
+            model_flag=F.col("is_clean"),
+            validate_flag=True,
         )
 
 
