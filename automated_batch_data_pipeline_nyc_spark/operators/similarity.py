@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -503,6 +505,7 @@ def pca_project(
     vec_col: str,
     k: int = 4,
     id_col: str = "vec_id",
+    components: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """Corpus PCA: project each embedding onto the top-``k`` principal
     components — ``(id, pc1..pck)``.
@@ -519,45 +522,63 @@ def pca_project(
     Eigenvector sign is fixed by forcing the largest-magnitude entry of
     each component positive (numpy's sign is otherwise arbitrary), so
     outputs are deterministic across runs and BLAS builds.
-    """
-    import numpy as np
 
-    d_gram = gram_matrix(df, vec_col)
-    g_rows = d_gram.collect()  # d² scalars — driver-sized by design
-    d = int(max(r.i for r in g_rows))
-    G = np.zeros((d, d))
-    for r in g_rows:
-        G[r.i - 1, r.j - 1] = r.gram
+    ``components`` (optional) pins the projection axes to literal
+    vectors and skips the Gramian + eigh entirely — the DISTRIBUTED
+    path (corpus mean aggregate, broadcast-literal centering, map-only
+    JVM projection) is byte-for-byte the one the eigh path uses, so a
+    fixed-axes run is a cross-engine-verifiable rehearsal of the exact
+    production plan (the eigh step itself is driver-side numpy over d²
+    scalars, pinned separately by pytest against numpy PCA).
+    """
     mean_rows = (
         df.select(F.posexplode(_as_double(F.col(vec_col))).alias("i", "v"))
         .groupBy("i")
         .agg(F.avg("v").alias("m"), F.count("*").alias("n"))
         .collect()
     )
-    n = mean_rows[0].n
-    mu = np.zeros(d)
+    d = len(mean_rows)
+    mu_list = [0.0] * d
     for r in mean_rows:
-        mu[r.i] = r.m
-    cov = G / n - np.outer(mu, mu)
-    vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1][:k]
-    comps = vecs[:, order]  # d x k
-    for c in range(comps.shape[1]):
-        j = int(np.argmax(np.abs(comps[:, c])))
-        if comps[j, c] < 0:
-            comps[:, c] = -comps[:, c]
+        mu_list[r.i] = r.m
+
+    if components is not None:
+        comps_cols = [list(map(float, c)) for c in components]
+        if any(len(c) != d for c in comps_cols):
+            raise ValueError(
+                f"pca_project: components must be length-{d} vectors"
+            )
+    else:
+        import numpy as np
+
+        d_gram = gram_matrix(df, vec_col)
+        g_rows = d_gram.collect()  # d² scalars — driver-sized by design
+        G = np.zeros((d, d))
+        for r in g_rows:
+            G[r.i - 1, r.j - 1] = r.gram
+        n = mean_rows[0].n
+        mu = np.array(mu_list)
+        cov = G / n - np.outer(mu, mu)
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][:k]
+        comps = vecs[:, order]  # d x k
+        for c in range(comps.shape[1]):
+            j = int(np.argmax(np.abs(comps[:, c])))
+            if comps[j, c] < 0:
+                comps[:, c] = -comps[:, c]
+        comps_cols = [list(map(float, comps[:, c])) for c in range(comps.shape[1])]
 
     centered = F.zip_with(
         _as_double(F.col(vec_col)),
-        F.array(*[F.lit(float(x)) for x in mu]),
+        F.array(*[F.lit(float(x)) for x in mu_list]),
         lambda x, m: x - m,
     )
     staged = df.select(F.col(id_col), centered.alias("__c"))
     cols = [
         _dot_raw(
-            F.col("__c"), F.array(*[F.lit(float(x)) for x in comps[:, c]])
+            F.col("__c"), F.array(*[F.lit(float(x)) for x in comp])
         ).alias(f"pc{c + 1}")
-        for c in range(comps.shape[1])
+        for c, comp in enumerate(comps_cols)
     ]
     return staged.select(id_col, *cols)
 

@@ -63,8 +63,9 @@ def _scratch(name: str) -> str:
     processes — shared mutable staging and could race (one rmtree's /
     overwrites the other's live table mid-read; ADVICE r5).  The root
     embeds the PID plus a random token: concurrent processes are fully
-    isolated, while WITHIN a process paths stay stable so memoized
-    staging (``_STAGED_DIRS``) still reuses its dirs across queries.
+    isolated, while WITHIN a process paths stay stable.  IMMUTABLE
+    source fixtures use ``_shared_stage`` instead (machine-wide,
+    content-addressed, write-once).
     """
     import tempfile
 
@@ -78,6 +79,61 @@ _SCRATCH_TOKEN: str = (
     + __import__("uuid").uuid4().hex[:8]
 )
 
+#: Version token for the CROSS-PROCESS fixture stage (_shared_stage).
+#: Bump whenever a staged-fixture synthesizer changes its output bytes
+#: (payload synthesizers, stream-feed derivations) — the key is the
+#: content ADDRESS, so stale bytes under an old recipe must never be
+#: served to new code.
+_STAGE_VERSION = "v1"
+
+_SHARED_STAGED: set[str] = set()  # in-process existence-check fast path
+
+
+def _shared_stage(name: str, build) -> str:
+    """Cross-process content-addressed fixture staging (VERDICT r8
+    item 6).  Immutable SOURCE fixtures (stream feeds, binaryFile
+    payload dirs) are pure functions of (sf_dir, _STAGE_VERSION), so
+    unlike the mutable per-process ``_scratch`` sinks they can be
+    staged ONCE per machine and reused by every later suite / bench /
+    verify process — re-staging per run was several seconds of
+    non-engine time in every bench.
+
+    Publish protocol: ``build(tmp)`` materializes into a
+    pid-unique temp dir (creating it), a ``_STAGED_OK`` marker is
+    written LAST, and the dir is atomically renamed to the final key —
+    readers only ever see complete dirs.  Losing the rename race is
+    fine: the winner's bytes are identical by construction (the key IS
+    the content address), so the loser just deletes its copy.  The
+    marker name starts with ``_`` so Spark's file sources skip it like
+    ``_SUCCESS``.  Published dirs are never mutated; crashed builders'
+    ``*.tmp_{{pid}}_*`` leftovers are reaped by ``_reap_scratch``.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_stage_{_STAGE_VERSION}",
+    )
+    final = os.path.join(root, name)
+    if final in _SHARED_STAGED:
+        return final
+    if os.path.exists(os.path.join(final, "_STAGED_OK")):
+        _SHARED_STAGED.add(final)
+        return final
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{final}.tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
+    build(tmp)
+    with open(os.path.join(tmp, "_STAGED_OK"), "w"):
+        pass
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    _SHARED_STAGED.add(final)
+    return final
+
 
 def _reap_scratch() -> None:
     """Delete this process's scratch root at exit, plus any sibling
@@ -85,10 +141,12 @@ def _reap_scratch() -> None:
 
     The per-process token (ADVICE r5) isolated concurrent runs but
     meant every suite/bench/pytest process accreted a fresh /tmp tree
-    of staged fact-table copies forever (ADVICE r6).  Staging
-    memoization (``_STAGED_DIRS``) is in-process only, so reclaiming at
-    exit is always safe; sibling reaping only touches roots matching
-    our prefix with a provably-dead PID.
+    of staged fact-table copies forever (ADVICE r6).  The per-process
+    root holds only MUTABLE sink staging, so reclaiming at exit is
+    always safe; sibling reaping only touches roots matching our prefix
+    with a provably-dead PID.  The cross-process ``_shared_stage`` root
+    keeps its published (immutable, reusable) dirs and sheds only dead
+    builders' unpublished tmp dirs.
     """
     import shutil
     import tempfile
@@ -112,6 +170,27 @@ def _reap_scratch() -> None:
             shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
         except (PermissionError, OSError):
             continue  # PID exists (another user's) — leave it alone
+    # crashed _shared_stage builders: unpublished *.tmp_{pid}_* dirs
+    # with a dead PID (published dirs are immutable and stay for reuse)
+    stage_root = os.path.join(
+        tmp, f"automated_batch_data_pipeline_nyc_stage_{_STAGE_VERSION}"
+    )
+    try:
+        stage_entries = os.listdir(stage_root)
+    except OSError:
+        return
+    for entry in stage_entries:
+        if ".tmp_" not in entry:
+            continue
+        pid_part = entry.split(".tmp_", 1)[1].split("_", 1)[0]
+        if not pid_part.isdigit():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(stage_root, entry), ignore_errors=True)
+        except (PermissionError, OSError):
+            continue
 
 
 __import__("atexit").register(_reap_scratch)
@@ -1573,23 +1652,57 @@ def _gram(spark, sf_dir):
     return out.select("i", "j", F.round("gram", 6).alias("gram"))
 
 
+#: Fixed orthonormal projection axes for the registered (hash-verified)
+#: pca_project form: entries are ±1/8 = ±0.125, EXACT in binary floats,
+#: so the per-element products carry no representation error in either
+#: engine.  c1 = normalized all-ones (d=64 → 1/√64 = 0.125), c2 =
+#: alternating signs — orthogonal to c1, unit norm.
+_PCA_FIXED_AXES = [
+    [0.125] * 64,
+    [0.125 if i % 2 == 0 else -0.125 for i in range(64)],
+]
+
+_PCA_AXIS_SQL = [
+    "[" + ", ".join(str(v) for v in axis) + "]" for axis in _PCA_FIXED_AXES
+]
+
+
 @_q(
     "embedding_pca_project",
-    None,  # eigendecomposition → rows-only (pytest verifies vs numpy PCA)
-    doc="corpus PCA projection to 4 components — distributed Gramian + mean "
-        "(sufficient statistics) → driver-side d×d eigh → broadcast components "
-        "→ map-only JVM projection; sign convention makes output deterministic.  "
-        "Rows-only: eigendecomposition is not SQL-expressible and eigenvector "
-        "floats are LAPACK-implementation-specific; the algorithm is pinned by "
-        "pytest against numpy PCA, and the Gramian inputs are hash-verified via "
-        "embedding_gram_matrix.",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    g AS (SELECT x, unnest(generate_series(1, 64)) AS i FROM e),
+    m AS (SELECT i, AVG(x[i]) AS mu FROM g GROUP BY i),
+    ml AS (SELECT list(mu ORDER BY i) AS mu FROM m),
+    c AS (SELECT e.vec_id,
+            list_transform(generate_series(1, 64), i -> e.x[i] - ml.mu[i])
+              AS cx
+          FROM e CROSS JOIN ml)
+    SELECT vec_id,
+      CAST(round(list_dot_product(cx, {_PCA_AXIS_SQL[0]}), 6) AS DOUBLE)
+        AS pc1,
+      CAST(round(list_dot_product(cx, {_PCA_AXIS_SQL[1]}), 6) AS DOUBLE)
+        AS pc2
+    FROM c
+    """,
+    doc="distributed PCA projection machinery, HASH-VERIFIED end to end "
+        "(r8 verdict item 5: was rows-only): corpus mean aggregate → "
+        "broadcast-literal centering → map-only JVM dot-product projection — "
+        "byte-for-byte the plan the eigh path runs, exercised here on two "
+        "FIXED orthonormal axes (entries ±0.125, exact in binary floats) so "
+        "DuckDB replays the identical arithmetic.  The driver-side d×d eigh "
+        "that PRODUCES data-driven axes is numpy over the already-verified "
+        "sufficient statistics (embedding_gram_matrix + the same mean) and "
+        "stays pinned by pytest against numpy PCA — the distributed plan is "
+        "identical in both modes, so this form verifies everything that "
+        "scales.  Operator: operators/similarity.py pca_project",
 )
 def _pca(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
-    out = sim.pca_project(emb, "embedding", k=4)
+    out = sim.pca_project(emb, "embedding", components=_PCA_FIXED_AXES)
     return out.select(
         "vec_id",
-        *[F.round(f"pc{c}", 6).alias(f"pc{c}") for c in range(1, 5)],
+        *[F.round(f"pc{c}", 6).alias(f"pc{c}") for c in range(1, 3)],
     )
 
 
@@ -5319,32 +5432,22 @@ def _dinc(spark, sf_dir):
 # stream-static broadcast enrichment, each bit-matched to a batch oracle.
 # ===========================================================================
 
-#: Staging dirs already written by THIS process.  The staged bytes are a
-#: pure function of (sf_dir, tag) — fixtures are immutable — so a second
-#: streaming query (or a bench rerun in the same process) can reuse the
-#: dir instead of re-writing it.  Process-scoped on purpose: a fresh
-#: process always restages, so stale dirs from older fixture sets can't
-#: leak across runs.
-_STAGED_DIRS: set[str] = set()
-
-
 def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
     """Write ``df`` to a per-(sf,tag) staging dir for the file-source
-    stream (memoized per process — see ``_STAGED_DIRS``)."""
+    stream — cross-process content-addressed (``_shared_stage``): the
+    feed is a pure derivation of the fixture tables, so one machine-wide
+    copy serves every suite/bench/verify run."""
     import hashlib
-    import tempfile
 
     # Key on a hash of the FULL normalized sf_dir, not its basename:
-    # two fixture roots sharing a basename (/a/sf0.1 vs /b/sf0.1) in one
-    # process must not silently reuse each other's staged bytes.
+    # two fixture roots sharing a basename (/a/sf0.1 vs /b/sf0.1)
+    # must not silently reuse each other's staged bytes.
     norm = os.path.abspath(os.path.normpath(sf_dir))
     digest = hashlib.md5(norm.encode()).hexdigest()[:12]
-    src = _scratch(f"automated_batch_data_pipeline_nyc_stream_{tag}_"
-        f"{os.path.basename(norm)}_{digest}")
-    if src not in _STAGED_DIRS:
-        df.repartition(4).write.mode("overwrite").parquet(src)
-        _STAGED_DIRS.add(src)
-    return src
+    return _shared_stage(
+        f"stream_{tag}_{os.path.basename(norm)}_{digest}",
+        lambda tmp: df.repartition(4).write.mode("overwrite").parquet(tmp),
+    )
 
 
 def _run_stream_to_table(agg, mode: str) -> str:
@@ -5558,7 +5661,7 @@ def _stream_interval_join(spark, sf_dir):
     )
     # tag "sess" on purpose: this frame is byte-identical to the one
     # streaming_sessionize stages (same user/ts null filter), so the two
-    # queries share one staging write via the _STAGED_DIRS memo.
+    # queries share one staging write via the _shared_stage key.
     src = _stage_stream_src(spark, sf_dir, "sess", base)
     views = (
         read_event_stream(spark, src)
@@ -8912,28 +9015,67 @@ def _semdedup(spark, sf_dir):
     )
 
 
+#: Fixed BPE merge table for the registered (hash-verified) encoder
+#: form — common English digraphs, rank order.  Every pair has left ≠
+#: right: that is the precondition under which the oracle's
+#: double-replace fold is EXACTLY greedy left-to-right BPE (a (x,x)
+#: merge over a run of 5+ identical symbols is the one case where the
+#: space-delimited string rewrite segments differently; property-tested
+#: in tests/test_llm_ops.py over 120k random word×table combinations).
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_fold_sql(expr: str) -> str:
+    """Nest the fixed merge table into a DuckDB expression: one merge =
+    two successive replace() passes over the space-delimited symbol
+    string (pass 1 is greedy left-to-right but consumes the shared
+    delimiter of back-to-back occurrences; pass 2 merges exactly the
+    occurrences greedy BPE would have taken — left≠right makes new
+    matches impossible, so the composition is exact)."""
+    for a, b in _BPE_FIXED_MERGES:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr
+
+
+_BPE_CHARS_SQL = "(' ' || regexp_replace(w, '(.)', '\\1 ', 'g'))"
+
+
 @_q(
     "bpe_encode_tokens",
-    None,
-    doc="tokenizer APPLICATION at corpus scale: the 8 merges learned by "
-        "bpe_train are applied through the dictionary-join encoder — "
-        "merge folds run over the distinct-word VOCABULARY only, the "
-        "corpus joins each word occurrence to its precomputed "
-        "segmentation and reassembles documents in order (the word-"
-        "level cache every production BPE encoder uses, as a join; a "
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents),
+    s AS (SELECT doc_id,
+            {_bpe_fold_sql(_BPE_CHARS_SQL)} AS s
+          FROM w WHERE length(w) >= 1)
+    SELECT doc_id,
+      CAST(SUM(length(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM s GROUP BY doc_id
+    """,
+    doc="tokenizer APPLICATION at corpus scale, HASH-VERIFIED (r8 verdict "
+        "item 5: was rows-only): a FIXED 8-merge table (common English "
+        "digraphs, embedded in both dialects like the "
+        "quality_classifier_bucketed trick) applied through the "
+        "dictionary-join encoder — merge folds run over the distinct-word "
+        "VOCABULARY only, the corpus joins each word occurrence to its "
+        "precomputed segmentation and reassembles documents in order (the "
+        "word-level cache every production BPE encoder uses, as a join; a "
         "per-row fold would nest every merge into the corpus scan).  "
-        "Returns per-doc BPE token counts.  Rows-only (iterative "
-        "training upstream); the encoder itself is pinned by pytest "
-        "against a pure-Python reference.  Operator: operators/text.py "
-        "bpe_encode",
+        "Returns per-doc BPE token counts.  The oracle replays greedy BPE "
+        "as a double-replace fold over space-delimited symbols (exact for "
+        "left≠right merges; property-tested).  The TRAINED-table form "
+        "(learned merges upstream) stays exercised by bpe_train_merges + "
+        "the pytest pure-Python-reference pin.  Operator: "
+        "operators/text.py bpe_encode",
 )
 def _bpeencode(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in tx.bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()
-    ]
-    enc = tx.bpe_encode(docs, "doc_id", "text", merges)
+    enc = tx.bpe_encode(docs, "doc_id", "text", _BPE_FIXED_MERGES)
     return enc.select(
         "doc_id", F.size("bpe_syms").cast("long").alias("n_bpe_tokens")
     )
@@ -9677,11 +9819,12 @@ def _stream_upsert(spark, sf_dir):
     target0.write.saveAsTable(table)
     # keyed staging (NOT _stage_stream_src's round-robin): both versions
     # of a key must share a file so batch splits can't reorder them
-    src = _scratch(f"automated_batch_data_pipeline_nyc_stream_upsertfeed_"
-        f"{os.path.basename(norm)}_{digest}")
-    if src not in _STAGED_DIRS:
-        feed.repartition(4, "o_orderkey").write.mode("overwrite").parquet(src)
-        _STAGED_DIRS.add(src)
+    src = _shared_stage(
+        f"stream_upsertfeed_{os.path.basename(norm)}_{digest}",
+        lambda tmp: feed.repartition(4, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     stream = spark.readStream.schema(feed.schema).parquet(src)
     ckpt = _scratch(f"automated_batch_data_pipeline_nyc_ckpt_upsert_{uuid.uuid4().hex[:8]}")
     q = foreach_batch_upsert(stream, table, ["o_orderkey"], ckpt, "seq")
@@ -12335,9 +12478,9 @@ def _binaryfile_ingest(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     norm = os.path.abspath(os.path.normpath(sf_dir))
     digest = hashlib.md5(norm.encode()).hexdigest()[:12]
-    src = _scratch(f"automated_batch_data_pipeline_nyc_binfiles_{os.path.basename(norm)}_{digest}")
-    if src not in _STAGED_DIRS:
-        os.makedirs(src, exist_ok=True)
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
         # NULL text cannot stage as a file; filter it on BOTH sides
         # (see the oracle's `text IS NOT NULL`) so the query degrades
         # consistently instead of an AttributeError on .encode if
@@ -12350,9 +12493,12 @@ def _binaryfile_ingest(spark, sf_dir):
             .collect()
         )
         for r in rows:
-            with open(os.path.join(src, f"doc_{r['doc_id']}.txt"), "wb") as fh:
+            with open(os.path.join(tmp, f"doc_{r['doc_id']}.txt"), "wb") as fh:
                 fh.write(r["text"].encode("utf-8"))
-        _STAGED_DIRS.add(src)
+
+    src = _shared_stage(
+        f"binfiles_{os.path.basename(norm)}_{digest}", _build
+    )
     files = spark.read.format("binaryFile").load(os.path.join(src, "*.txt"))
     return files.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
@@ -12401,11 +12547,9 @@ def _binaryfile_decode_fused(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
     norm = os.path.abspath(os.path.normpath(sf_dir))
     digest = hashlib.md5(norm.encode()).hexdigest()[:12]
-    src = _scratch(
-        f"automated_batch_data_pipeline_nyc_mediafiles_{os.path.basename(norm)}_{digest}"
-    )
-    if src not in _STAGED_DIRS:
-        os.makedirs(src, exist_ok=True)
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
         ids = docs.filter(F.col("doc_id") < 210).select("doc_id")
         png = {
             r["id"]: bytes(r["payload"])
@@ -12422,9 +12566,12 @@ def _binaryfile_decode_fused(spark, sf_dir):
         for r in ids.collect():
             i = r["doc_id"]
             payload = png.get(i) or wav.get(i) or f"plain text blob {i}".encode()
-            with open(os.path.join(src, f"blob_{i}.bin"), "wb") as fh:
+            with open(os.path.join(tmp, f"blob_{i}.bin"), "wb") as fh:
                 fh.write(payload)
-        _STAGED_DIRS.add(src)
+
+    src = _shared_stage(
+        f"mediafiles_{os.path.basename(norm)}_{digest}", _build
+    )
     files = spark.read.format("binaryFile").load(os.path.join(src, "*.bin"))
     blobs = files.select(
         F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin$", 1)
@@ -12655,7 +12802,13 @@ def _temporal_split(spark, sf_dir):
 #: (clean_pipeline stays in every window so the reference surface is
 #: never more than one round stale); slots 3-50 = stale-first
 #: re-verification, oldest driver-green round first (the full r3-green
-#: bucket, then the r4-green head).
+#: bucket, then the r4-green head).  Two tail slots diverge from the
+#: tool's proposal ON PURPOSE: embedding_pca_project and
+#: bpe_encode_tokens were converted from rows-only to oracle-backed
+#: this round (VERDICT r8 item 5) — their REGISTERED FORMS changed, so
+#: their r7-green records no longer describe them; they are the most
+#: stale queries in the truest sense and take the last two slots (the
+#: displaced r4-era pair heads the r10 stale queue).
 DRIVER_WINDOW: list[str] = [
     # never-driver-verified: round-8 registration
     "binaryfile_decode_fused",
@@ -12708,8 +12861,9 @@ DRIVER_WINDOW: list[str] = [
     "brand_bracket_revenue",
     "market_share_by_year",
     "top_supplier_revenue",
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
+    # re-verification of this round's rows-only -> oracle conversions
+    "embedding_pca_project",
+    "bpe_encode_tokens",
 ]
 
 #: Never-driver-verified queries queued for the NEXT round's window.
@@ -12728,6 +12882,8 @@ _NEXT_WINDOW_QUEUE: list[str] = []
 #: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
 _PREVIOUSLY_VERIFIED: list[str] = [
     # most recent driver-green row: round 4 (CORRECTNESS_r04.json)
+    "dominant_part_suppliers",
+    "sole_supplier_open_orders",
     "idle_rich_customers",
     "small_quantity_revenue",
     "customer_order_distribution",
@@ -12875,7 +13031,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "dp_event_counts",
     "did_revenue_effect",
     "fdr_event_value_tests",
-    "embedding_pca_project",
     "dedup_minhash",
     "dedup_minhash_transitive",
     "dedup_simhash",
@@ -12885,7 +13040,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "approx_quantiles",
     "hll_mergeable_rollup",
     "bpe_train_merges",
-    "bpe_encode_tokens",
     "dedup_graph_kcore",
     "mahalanobis_outliers",
     "hll_audience_overlap",

@@ -68,8 +68,8 @@ EXPECTED_WINDOW = [
     "brand_bracket_revenue",
     "market_share_by_year",
     "top_supplier_revenue",
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
+    "embedding_pca_project",
+    "bpe_encode_tokens",
 ]
 
 
