@@ -1410,6 +1410,12 @@ def bigram_lm_scores(
         raise ValueError(
             "bigram_lm_scores: pass model_df OR model_flag, not both"
         )
+    if validate_flag and model_flag is None:
+        raise ValueError(
+            "bigram_lm_scores: validate_flag validates model_flag's "
+            "constant-per-document precondition — meaningless without "
+            "model_flag; refusing to silently skip the check"
+        )
     if model_flag is not None:
         # Subset-model: carry the (per-document constant) flag through
         # the cell table — grouping by (id, w1, w2) preserves it — so

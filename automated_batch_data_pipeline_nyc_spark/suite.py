@@ -89,40 +89,78 @@ _STAGE_VERSION = "v1"
 _SHARED_STAGED: set[str] = set()  # in-process existence-check fast path
 
 
+def _stage_root() -> str:
+    """The per-user shared stage root.  Keyed by uid (and created 0700)
+    so two users on one machine neither collide on permissions nor can
+    pre-publish bytes into each other's cache; _STAGE_VERSION covers
+    synthesizer-code changes."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"automated_batch_data_pipeline_nyc_stage_{_STAGE_VERSION}_uid{os.getuid()}",
+    )
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Content identity of a fixture root: md5 over the (name, size,
+    mtime_ns) of every parquet under it.  Staged derivations key on
+    this, so REGENERATED fixtures at the same path rebuild instead of
+    silently serving bytes derived from the old tables (the guarantee
+    the old always-restage-per-process scratch gave)."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    h = hashlib.md5(norm.encode())
+    try:
+        entries = sorted(os.listdir(norm))
+    except OSError:
+        entries = []
+    for entry in entries:
+        if not entry.endswith(".parquet"):
+            continue
+        st = os.stat(os.path.join(norm, entry))
+        h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def _shared_stage(name: str, build) -> str:
     """Cross-process content-addressed fixture staging (VERDICT r8
     item 6).  Immutable SOURCE fixtures (stream feeds, binaryFile
-    payload dirs) are pure functions of (sf_dir, _STAGE_VERSION), so
-    unlike the mutable per-process ``_scratch`` sinks they can be
-    staged ONCE per machine and reused by every later suite / bench /
-    verify process — re-staging per run was several seconds of
-    non-engine time in every bench.
+    payload dirs) are pure functions of (fixture content,
+    _STAGE_VERSION), so unlike the mutable per-process ``_scratch``
+    sinks they can be staged ONCE per user+machine and reused by every
+    later suite / bench / verify process — re-staging per run was
+    several seconds of non-engine time in every bench.  Callers embed
+    ``_fixture_fingerprint(sf_dir)`` in ``name`` so the key IS the
+    content address.
 
     Publish protocol: ``build(tmp)`` materializes into a
     pid-unique temp dir (creating it), a ``_STAGED_OK`` marker is
     written LAST, and the dir is atomically renamed to the final key —
     readers only ever see complete dirs.  Losing the rename race is
-    fine: the winner's bytes are identical by construction (the key IS
-    the content address), so the loser just deletes its copy.  The
-    marker name starts with ``_`` so Spark's file sources skip it like
-    ``_SUCCESS``.  Published dirs are never mutated; crashed builders'
+    fine: the winner's bytes are identical by construction, so the
+    loser just deletes its copy; any OTHER rename failure re-raises
+    instead of memoizing a nonexistent path.  The marker name starts
+    with ``_`` so Spark's file sources skip it like ``_SUCCESS``.
+    Published dirs are never mutated; crashed builders'
     ``*.tmp_{{pid}}_*`` leftovers are reaped by ``_reap_scratch``.
+    Superseded content keys (old fingerprints after a fixture regen)
+    are a few MB per sf and are left to the OS's own /tmp aging —
+    deleting a published dir another process may be mid-read is the
+    one race this protocol cannot win, so we never do it.
     """
     import shutil
-    import tempfile
     import uuid
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_stage_{_STAGE_VERSION}",
-    )
+    root = _stage_root()
     final = os.path.join(root, name)
     if final in _SHARED_STAGED:
         return final
     if os.path.exists(os.path.join(final, "_STAGED_OK")):
         _SHARED_STAGED.add(final)
         return final
-    os.makedirs(root, exist_ok=True)
+    os.makedirs(root, mode=0o700, exist_ok=True)
     tmp = f"{final}.tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
     build(tmp)
     with open(os.path.join(tmp, "_STAGED_OK"), "w"):
@@ -130,7 +168,9 @@ def _shared_stage(name: str, build) -> str:
     try:
         os.rename(tmp, final)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final, "_STAGED_OK")):
+            raise  # NOT a lost race — surface the real filesystem error
     _SHARED_STAGED.add(final)
     return final
 
@@ -172,9 +212,7 @@ def _reap_scratch() -> None:
             continue  # PID exists (another user's) — leave it alone
     # crashed _shared_stage builders: unpublished *.tmp_{pid}_* dirs
     # with a dead PID (published dirs are immutable and stay for reuse)
-    stage_root = os.path.join(
-        tmp, f"automated_batch_data_pipeline_nyc_stage_{_STAGE_VERSION}"
-    )
+    stage_root = _stage_root()
     try:
         stage_entries = os.listdir(stage_root)
     except OSError:
@@ -5437,13 +5475,12 @@ def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
     stream — cross-process content-addressed (``_shared_stage``): the
     feed is a pure derivation of the fixture tables, so one machine-wide
     copy serves every suite/bench/verify run."""
-    import hashlib
-
-    # Key on a hash of the FULL normalized sf_dir, not its basename:
-    # two fixture roots sharing a basename (/a/sf0.1 vs /b/sf0.1)
-    # must not silently reuse each other's staged bytes.
+    # Key on the fixture CONTENT fingerprint (path + per-parquet
+    # size/mtime): distinct roots sharing a basename never collide, and
+    # regenerated fixtures at the same path rebuild instead of serving
+    # stale derived bytes.
     norm = os.path.abspath(os.path.normpath(sf_dir))
-    digest = hashlib.md5(norm.encode()).hexdigest()[:12]
+    digest = _fixture_fingerprint(sf_dir)
     return _shared_stage(
         f"stream_{tag}_{os.path.basename(norm)}_{digest}",
         lambda tmp: df.repartition(4).write.mode("overwrite").parquet(tmp),
@@ -9820,7 +9857,7 @@ def _stream_upsert(spark, sf_dir):
     # keyed staging (NOT _stage_stream_src's round-robin): both versions
     # of a key must share a file so batch splits can't reorder them
     src = _shared_stage(
-        f"stream_upsertfeed_{os.path.basename(norm)}_{digest}",
+        f"stream_upsertfeed_{os.path.basename(norm)}_{_fixture_fingerprint(sf_dir)}",
         lambda tmp: feed.repartition(4, "o_orderkey")
         .write.mode("overwrite")
         .parquet(tmp),
@@ -12473,11 +12510,9 @@ def _lm_perplexity(spark, sf_dir):
         "(bounded at 200 tiny files, memoized per process).",
 )
 def _binaryfile_ingest(spark, sf_dir):
-    import hashlib
-
     (docs,) = _load(spark, sf_dir, "documents")
     norm = os.path.abspath(os.path.normpath(sf_dir))
-    digest = hashlib.md5(norm.encode()).hexdigest()[:12]
+    digest = _fixture_fingerprint(sf_dir)
 
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -12540,13 +12575,11 @@ def _binaryfile_ingest(spark, sf_dir):
         "operators/multimodal.py triage_and_decode",
 )
 def _binaryfile_decode_fused(spark, sf_dir):
-    import hashlib
-
     from .operators import multimodal as mm
 
     (docs,) = _load(spark, sf_dir, "documents")
     norm = os.path.abspath(os.path.normpath(sf_dir))
-    digest = hashlib.md5(norm.encode()).hexdigest()[:12]
+    digest = _fixture_fingerprint(sf_dir)
 
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)

@@ -2159,6 +2159,13 @@ def test_bigram_lm_model_flag_equals_model_df(spark):
             model_df=df,
             model_flag=F.col("lang") == "en",
         )
+    # validate_flag without model_flag is meaningless — refuse loudly
+    with pytest.raises(ValueError, match="without"):
+        bigram_lm_scores(df, "doc_id", "text", validate_flag=True)
+    with pytest.raises(ValueError, match="without"):
+        bigram_lm_scores(
+            df, "doc_id", "text", model_df=df, validate_flag=True
+        )
     # constant-per-document flags also pass the opt-in validation
     validated = sorted(
         tuple(r)

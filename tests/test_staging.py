@@ -18,16 +18,17 @@ from __future__ import annotations
 import os
 import shutil
 
+import uuid
+
 from automated_batch_data_pipeline_nyc_spark import suite
+
+#: per-test-run key suffix: two concurrent pytest runs on one machine
+#: must not race each other's fixtures in the shared (per-uid) root
+_RUN = uuid.uuid4().hex[:8]
 
 
 def _stage_root() -> str:
-    import tempfile
-
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"automated_batch_data_pipeline_nyc_stage_{suite._STAGE_VERSION}",
-    )
+    return suite._stage_root()
 
 
 def _clean(name: str) -> None:
@@ -36,7 +37,7 @@ def _clean(name: str) -> None:
 
 
 def test_shared_stage_builds_once_and_reuses():
-    name = "unittest_stage_reuse"
+    name = f"unittest_stage_reuse_{_RUN}"
     _clean(name)
     calls = []
 
@@ -61,51 +62,73 @@ def test_shared_stage_builds_once_and_reuses():
 
 
 def test_shared_stage_race_loser_discards_and_serves_winner():
-    name = "unittest_stage_race"
+    """A concurrent process publishes the key between our marker probe
+    and our rename: the loser's rename fails, its bytes are discarded,
+    and the winner's complete dir is served."""
+    name = f"unittest_stage_race_{_RUN}"
     _clean(name)
-
-    def winner(tmp):
-        os.makedirs(tmp, exist_ok=True)
-        with open(os.path.join(tmp, "data.txt"), "w") as fh:
-            fh.write("winner")
-
-    final = suite._shared_stage(name, winner)
-
-    # a "concurrent" builder that publishes the same key: simulate by
-    # clearing the memo AND the marker check being lost — build runs,
-    # rename fails (final exists), tmp is discarded, winner served.
-    suite._SHARED_STAGED.discard(final)
-    marker = os.path.join(final, "_STAGED_OK")
-    os.remove(marker)  # force the builder path despite existing dir
+    final = os.path.join(_stage_root(), name)
 
     def loser(tmp):
         os.makedirs(tmp, exist_ok=True)
         with open(os.path.join(tmp, "data.txt"), "w") as fh:
             fh.write("loser")
+        # ...meanwhile the CONCURRENT winner publishes the same key
+        wtmp = f"{final}.tmp_winner"
+        os.makedirs(wtmp, exist_ok=True)
+        with open(os.path.join(wtmp, "data.txt"), "w") as fh:
+            fh.write("winner")
+        with open(os.path.join(wtmp, "_STAGED_OK"), "w"):
+            pass
+        os.rename(wtmp, final)
 
     got = suite._shared_stage(name, loser)
     assert got == final
-    # winner's bytes intact; no tmp leftovers
+    # winner's bytes served; loser's tmp discarded
     assert open(os.path.join(final, "data.txt")).read() == "winner"
     leftovers = [
         e for e in os.listdir(_stage_root()) if e.startswith(f"{name}.tmp_")
     ]
     assert leftovers == []
-    with open(marker, "w"):  # restore invariant before cleanup
-        pass
+    _clean(name)
+
+
+def test_shared_stage_rename_failure_without_winner_raises():
+    """A rename failure with NO published winner is a real filesystem
+    error — it must raise, not memoize a nonexistent path (r9
+    self-review finding)."""
+    import pytest
+
+    name = f"unittest_stage_badrename_{_RUN}"
+    _clean(name)
+    final = os.path.join(_stage_root(), name)
+
+    def build_blocking_rename(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data.txt"), "w") as fh:
+            fh.write("x")
+        # make the final path an EXISTING NON-EMPTY dir WITHOUT a
+        # marker: rename fails (ENOTEMPTY) and no winner exists
+        os.makedirs(final, exist_ok=True)
+        with open(os.path.join(final, "junk.txt"), "w") as fh:
+            fh.write("junk")
+
+    with pytest.raises(OSError):
+        suite._shared_stage(name, build_blocking_rename)
+    assert final not in suite._SHARED_STAGED
     _clean(name)
 
 
 def test_reap_scratch_sheds_dead_tmp_keeps_published_and_live():
     root = _stage_root()
     os.makedirs(root, exist_ok=True)
-    published = os.path.join(root, "unittest_reap_published")
-    _clean("unittest_reap_published")
+    published = os.path.join(root, f"unittest_reap_published_{_RUN}")
+    _clean(f"unittest_reap_published_{_RUN}")
     os.makedirs(published, exist_ok=True)
     with open(os.path.join(published, "_STAGED_OK"), "w"):
         pass
-    dead_tmp = os.path.join(root, "unittest_reap.tmp_999999999_abc123")
-    live_tmp = os.path.join(root, f"unittest_reap.tmp_{os.getpid()}_def456")
+    dead_tmp = os.path.join(root, f"unittest_reap_{_RUN}.tmp_999999999_abc123")
+    live_tmp = os.path.join(root, f"unittest_reap_{_RUN}.tmp_{os.getpid()}_def456")
     os.makedirs(dead_tmp, exist_ok=True)
     os.makedirs(live_tmp, exist_ok=True)
     try:
@@ -116,4 +139,26 @@ def test_reap_scratch_sheds_dead_tmp_keeps_published_and_live():
     finally:
         shutil.rmtree(live_tmp, ignore_errors=True)
         shutil.rmtree(dead_tmp, ignore_errors=True)
-        _clean("unittest_reap_published")
+        _clean(f"unittest_reap_published_{_RUN}")
+
+
+def test_fixture_fingerprint_tracks_content_changes(tmp_path):
+    """Regenerated fixtures at the SAME path must produce a different
+    stage key (r9 self-review finding: path-keyed staging served bytes
+    derived from old tables after a fixture regen)."""
+    import time
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"v1-bytes")
+    fp1 = suite._fixture_fingerprint(str(tmp_path))
+    fp1_again = suite._fixture_fingerprint(str(tmp_path))
+    assert fp1 == fp1_again  # stable while untouched
+    # same size, newer mtime (regen with identical size still rebuilds)
+    time.sleep(0.01)
+    f.write_bytes(b"v2-BYTES")
+    assert suite._fixture_fingerprint(str(tmp_path)) != fp1
+    # non-parquet files don't participate
+    (tmp_path / "notes.txt").write_text("ignored")
+    fp3 = suite._fixture_fingerprint(str(tmp_path))
+    (tmp_path / "notes.txt").write_text("still ignored, changed")
+    assert suite._fixture_fingerprint(str(tmp_path)) == fp3

@@ -93,11 +93,21 @@ _ROW_PRESERVING = (
 
 def _iter_plan(node):
     """Yield every node of a SparkPlan tree (py4j), descending into the
-    AQE initial plan and reused-exchange targets."""
+    AQE initial plan, reused-exchange targets, and subquery plans (a
+    BNLJ hiding under a scalar subquery must still be classified —
+    ``audit`` additionally cross-checks the walked BNLJ count against
+    the treeString count so any blind spot fails loudly instead of
+    silently under-covering)."""
     yield node
     cs = node.children()
     for i in range(cs.size()):
         yield from _iter_plan(cs.apply(i))
+    try:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            yield from _iter_plan(sq.apply(i))
+    except Exception:
+        pass
     name = node.nodeName()
     if name == "AdaptiveSparkPlan":
         yield from _iter_plan(node.initialPlan())
@@ -155,6 +165,14 @@ def audit(sf_dir: str, spark=None) -> dict:
             jplan = df._jdf.queryExecution().executedPlan()
             plan = jplan.toString()
             bnlj_builds = _bnlj_builds(jplan)
+            # Blind-spot backstop: if the treeString shows MORE BNLJs
+            # than the walk classified (a traversal gap), pad with a
+            # loud verdict so the gate fails instead of under-covering.
+            # (The walk legitimately sees >= the string when subquery
+            # plans aren't printed — a superset is fine.)
+            gap = plan.count("BroadcastNestedLoopJoin") - len(bnlj_builds)
+            if gap > 0:
+                bnlj_builds = sorted(bnlj_builds + ["opaque:unwalked"] * gap)
         except Exception as exc:  # surface, keep auditing
             report[name] = {"error": repr(exc)[:200]}
             continue
