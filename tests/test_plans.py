@@ -1067,3 +1067,32 @@ def test_temporal_split_one_entity_shuffle(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "PushedFilters: [IsNotNull(ts), IsNotNull(user_id)]" in plan
+
+
+def test_pca_fixed_axes_projection_is_map_only(spark):
+    """embedding_pca_project (round-9 oracle form): the registered
+    projection pass must be scan -> zip_with-center -> dot-project with
+    ZERO Exchange and zero Python — the corpus mean attaches as
+    driver-collected literals, so the distributed plan is pure map-side
+    JVM arithmetic (the shape that scales with input splits alone)."""
+    plan = _plan(spark, "embedding_pca_project")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_bpe_encode_dictionary_join_single_reassembly_shuffle(spark):
+    """bpe_encode_tokens (round-9 oracle form): the dictionary-join
+    encoder's only real shuffle is the per-doc reassembly
+    (hashpartitioning on the doc id); the merge folds live behind the
+    checkpointed vocabulary (ExistingRDD scan), the word->segmentation
+    attach is an equi-join (build side is size-chosen by Catalyst —
+    vocab at scale), and nothing falls back to a nested loop,
+    cartesian, or Python."""
+    plan = _plan(spark, "bpe_encode_tokens")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan  # checkpointed vocab segmentation
