@@ -310,6 +310,32 @@ def test_png_codec_roundtrip_property(h, w, c, seed):
     assert np.array_equal(out, img)
 
 
+@settings(max_examples=200, deadline=None)
+@given(payload=st.one_of(
+    st.binary(max_size=64),
+    # adversarial: valid magic bytes followed by arbitrary header bytes,
+    # covering the PNG-u32 / BMP-i32 hostile-dims class (ADVICE r8)
+    st.binary(max_size=48).map(lambda b: b"\x89PNG\r\n\x1a\n" + b),
+    st.binary(max_size=48).map(lambda b: b"\xff\xd8" + b),
+    st.binary(max_size=48).map(lambda b: b"GIF89a" + b),
+    st.binary(max_size=48).map(lambda b: b"BM" + b),
+))
+def test_image_header_parser_total_and_int32_safe(payload):
+    """The parser is TOTAL over arbitrary bytes: never raises, format is
+    one of the known containers or None, and any returned dimension fits
+    Arrow Int32 — the invariant the mapInPandas kernels materialize."""
+    from automated_batch_data_pipeline_nyc_spark.operators.multimodal import (
+        make_image_header_parser,
+    )
+
+    fmt, w, h = make_image_header_parser()(payload)
+    assert fmt in (None, "png", "jpeg", "gif", "bmp")
+    for v in (w, h):
+        assert v is None or (isinstance(v, int) and 0 <= v < 2**31)
+    if fmt is None:
+        assert w is None and h is None
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     rate=st.sampled_from([8000, 16000, 22050, 44100]),
