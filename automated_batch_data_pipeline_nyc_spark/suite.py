@@ -90,9 +90,10 @@ _SHARED_STAGED: set[str] = set()  # in-process existence-check fast path
 
 
 def _stage_root() -> str:
-    """The per-user shared stage root.  Keyed by uid (and created 0700)
-    so two users on one machine neither collide on permissions nor can
-    pre-publish bytes into each other's cache; _STAGE_VERSION covers
+    """Path of the per-user shared stage root (no filesystem access —
+    ``_secure_stage_root`` is the create-and-verify form every trust
+    decision must go through).  Keyed by uid so two users on one
+    machine don't collide on permissions; _STAGE_VERSION covers
     synthesizer-code changes."""
     import tempfile
 
@@ -102,25 +103,91 @@ def _stage_root() -> str:
     )
 
 
+def _secure_stage_root() -> str:
+    """Create the shared stage root and verify it is actually OURS
+    (ADVICE r9): uid-keyed NAMING alone cannot stop another local user
+    from pre-creating the uid-named path inside world-writable /tmp and
+    publishing attacker-chosen bytes under valid-looking ``_STAGED_OK``
+    markers — ``os.makedirs(..., exist_ok=True)`` happily adopts a
+    pre-existing directory without checking who owns it.  So after
+    makedirs, lstat the root and refuse unless it is a real directory
+    (not a symlink), owned by our uid, with no group/other permission
+    bits — the same check ``tempfile.mkdtemp``-style secure dirs rely
+    on.  A hostile pre-created root therefore fails LOUDLY instead of
+    silently poisoning the staged fixtures that feed the hash-verified
+    streaming/binaryFile queries."""
+    import stat as stat_mod
+
+    root = _stage_root()
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if (
+        not stat_mod.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077) != 0
+    ):
+        raise RuntimeError(
+            f"shared stage root {root!r} is not a private directory owned by "
+            f"uid {os.getuid()} (found uid={st.st_uid}, "
+            f"mode={oct(st.st_mode & 0o777)}): refusing to trust staged "
+            "fixtures under it — remove or chown/chmod it and retry"
+        )
+    return root
+
+
+def _owned_published_dir(final: str) -> bool:
+    """A published stage dir is trusted only if WE own it (ADVICE r9,
+    belt-and-braces over the root check: inside a verified 0700 root
+    only our uid can create entries, but verifying per-dir costs one
+    lstat and makes the trust chain independently checkable)."""
+    try:
+        st = os.lstat(final)
+    except OSError:
+        return False
+    import stat as stat_mod
+
+    return stat_mod.S_ISDIR(st.st_mode) and st.st_uid == os.getuid()
+
+
 def _fixture_fingerprint(sf_dir: str) -> str:
-    """Content identity of a fixture root: md5 over the (name, size,
-    mtime_ns) of every parquet under it.  Staged derivations key on
-    this, so REGENERATED fixtures at the same path rebuild instead of
-    silently serving bytes derived from the old tables (the guarantee
-    the old always-restage-per-process scratch gave)."""
+    """Content identity of a fixture root: md5 over the (relpath, size,
+    mtime_ns) of every file under every top-level ``*.parquet`` entry.
+    Staged derivations key on this, so REGENERATED fixtures at the same
+    path rebuild instead of silently serving bytes derived from the old
+    tables (the guarantee the old always-restage-per-process scratch
+    gave).  Two hardenings (ADVICE r9): a missing/unreadable root or a
+    root with no parquet entries RAISES instead of degrading to a
+    stable-looking path-only key for a fixture that isn't there; and
+    directory-valued parquet tables are recursed so in-place part-file
+    rewrites (which don't touch the dir entry itself) still rotate the
+    key."""
     import hashlib
 
     norm = os.path.abspath(os.path.normpath(sf_dir))
     h = hashlib.md5(norm.encode())
-    try:
-        entries = sorted(os.listdir(norm))
-    except OSError:
-        entries = []
+    entries = sorted(os.listdir(norm))  # missing root -> OSError, on purpose
+    saw_parquet = False
     for entry in entries:
         if not entry.endswith(".parquet"):
             continue
-        st = os.stat(os.path.join(norm, entry))
-        h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns};".encode())
+        saw_parquet = True
+        path = os.path.join(norm, entry)
+        if os.path.isdir(path):
+            for dirpath, dirnames, filenames in os.walk(path):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    fp = os.path.join(dirpath, fn)
+                    st = os.stat(fp)
+                    rel = os.path.relpath(fp, norm)
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+        else:
+            st = os.stat(path)
+            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns};".encode())
+    if not saw_parquet:
+        raise FileNotFoundError(
+            f"fixture root {norm!r} contains no *.parquet tables — refusing "
+            "to mint a stable-looking content key for an absent fixture"
+        )
     return h.hexdigest()[:12]
 
 
@@ -153,14 +220,15 @@ def _shared_stage(name: str, build) -> str:
     import shutil
     import uuid
 
-    root = _stage_root()
+    root = _secure_stage_root()
     final = os.path.join(root, name)
     if final in _SHARED_STAGED:
         return final
-    if os.path.exists(os.path.join(final, "_STAGED_OK")):
+    if os.path.exists(os.path.join(final, "_STAGED_OK")) and _owned_published_dir(
+        final
+    ):
         _SHARED_STAGED.add(final)
         return final
-    os.makedirs(root, mode=0o700, exist_ok=True)
     tmp = f"{final}.tmp_{os.getpid()}_{uuid.uuid4().hex[:6]}"
     build(tmp)
     with open(os.path.join(tmp, "_STAGED_OK"), "w"):
@@ -12507,7 +12575,9 @@ def _lm_perplexity(spark, sf_dir):
         "(maxPartitionBytes), and decode/feature-extract kernels "
         "(operators/multimodal.py) consume the binary column via "
         "mapInPandas.  Driver-side staging here is test plumbing only "
-        "(bounded at 200 tiny files, memoized per process).",
+        "(bounded at 200 tiny files, staged once per user+machine "
+        "through the cross-process content-addressed _shared_stage "
+        "cache, keyed on the fixture fingerprint).",
 )
 def _binaryfile_ingest(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
@@ -12571,7 +12641,9 @@ def _binaryfile_ingest(spark, sf_dir):
         "hash-verified end-to-end.  At 100 TB the same two-node plan "
         "points at an object-store glob and scales with input splits; "
         "driver-side staging here is test plumbing only (bounded at "
-        "210 tiny files, memoized per process).  Operator: "
+        "210 tiny files, staged once per user+machine through the "
+        "cross-process content-addressed _shared_stage cache, keyed "
+        "on the fixture fingerprint).  Operator: "
         "operators/multimodal.py triage_and_decode",
 )
 def _binaryfile_decode_fused(spark, sf_dir):

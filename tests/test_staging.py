@@ -162,3 +162,76 @@ def test_fixture_fingerprint_tracks_content_changes(tmp_path):
     fp3 = suite._fixture_fingerprint(str(tmp_path))
     (tmp_path / "notes.txt").write_text("still ignored, changed")
     assert suite._fixture_fingerprint(str(tmp_path)) == fp3
+
+
+def test_fixture_fingerprint_raises_on_absent_fixture(tmp_path):
+    """ADVICE r9: a missing root or a root with no parquet tables must
+    RAISE, never mint a stable-looking path-only key for a fixture that
+    isn't there."""
+    import pytest
+
+    with pytest.raises(OSError):
+        suite._fixture_fingerprint(str(tmp_path / "does_not_exist"))
+    (tmp_path / "readme.txt").write_text("no tables here")
+    with pytest.raises(FileNotFoundError):
+        suite._fixture_fingerprint(str(tmp_path))
+
+
+def test_fixture_fingerprint_recurses_directory_tables(tmp_path):
+    """ADVICE r9: a directory-valued parquet table (Spark-style
+    part-file dir) must rotate the key when a part file is rewritten
+    IN PLACE — the dir entry's own stat doesn't change, so only
+    recursion catches it."""
+    import time
+
+    tdir = tmp_path / "events.parquet"
+    tdir.mkdir()
+    part = tdir / "part-00000.snappy.parquet"
+    part.write_bytes(b"v1-part-bytes")
+    fp1 = suite._fixture_fingerprint(str(tmp_path))
+    assert fp1 == suite._fixture_fingerprint(str(tmp_path))
+    time.sleep(0.01)
+    part.write_bytes(b"v2-PART-bytes")  # same size, newer mtime
+    os.utime(tdir, ns=(0, 0))  # freeze the DIR stat: only recursion can see it
+    assert suite._fixture_fingerprint(str(tmp_path)) != fp1
+
+
+def test_stage_root_ownership_is_verified(tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a pre-existing stage root that is not a
+    private directory owned by us must be refused loudly — makedirs
+    with exist_ok=True would otherwise adopt a hostile pre-created
+    root in world-writable /tmp."""
+    import pytest
+
+    hostile = tmp_path / "stage_root"
+    hostile.mkdir(mode=0o777)
+    os.chmod(hostile, 0o777)  # mkdir honors umask; force the open mode
+    monkeypatch.setattr(suite, "_stage_root", lambda: str(hostile))
+    with pytest.raises(RuntimeError, match="refusing to trust"):
+        suite._secure_stage_root()
+    # tightening the mode back to private makes the same root acceptable
+    os.chmod(hostile, 0o700)
+    assert suite._secure_stage_root() == str(hostile)
+    # a symlinked root is refused even when its target is private
+    target = tmp_path / "elsewhere"
+    target.mkdir(mode=0o700)
+    link = tmp_path / "stage_link"
+    link.symlink_to(target)
+    monkeypatch.setattr(suite, "_stage_root", lambda: str(link))
+    with pytest.raises(RuntimeError, match="refusing to trust"):
+        suite._secure_stage_root()
+
+
+def test_shared_stage_ignores_marker_in_unowned_dir(tmp_path, monkeypatch):
+    """ADVICE r9: a published dir's ``_STAGED_OK`` marker is only
+    trusted when we own the dir (exercised via the helper — inside a
+    verified 0700 root an unowned dir cannot actually occur, which is
+    the point of the root check)."""
+    d = tmp_path / "pub"
+    d.mkdir()
+    (d / "_STAGED_OK").touch()
+    assert suite._owned_published_dir(str(d)) is True
+    assert suite._owned_published_dir(str(tmp_path / "missing")) is False
+    f = tmp_path / "plainfile"
+    f.write_text("not a dir")
+    assert suite._owned_published_dir(str(f)) is False

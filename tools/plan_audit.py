@@ -75,20 +75,31 @@ def _unpartitioned_specs(plan: str) -> list[str]:
 
 #: Plan nodes that cannot INCREASE the row count of their single child —
 #: safe to look through when proving a BNLJ build side is ≤1 row.
-_ROW_PRESERVING = (
-    "Project",
-    "Filter",
-    "Exchange",
-    "BroadcastExchange",
-    "Sort",
-    "Coalesce",
-    "ColumnarToRow",
-    "InputAdapter",
-    "AQEShuffleRead",
-    "LocalLimit",
-    "GlobalLimit",
-    "WholeStageCodegen",
+#: Exact nodeName membership (ADVICE r9): a prefix match would silently
+#: look through any FUTURE single-child node whose name merely starts
+#: with one of these (a non-row-preserving Sort*/Project* variant);
+#: with exact membership an unknown variant falls to the loud
+#: ``opaque:<node>`` verdict instead.  WholeStageCodegen is the one
+#: name that embeds a counter ("WholeStageCodegen (3)"), so it gets a
+#: precise regex rather than a prefix.
+_ROW_PRESERVING = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Exchange",
+        "BroadcastExchange",
+        "Sort",
+        "Coalesce",
+        "ColumnarToRow",
+        "InputAdapter",
+        "AQEShuffleRead",
+        "LocalLimit",
+        "GlobalLimit",
+        "WholeStageCodegen",
+    }
 )
+
+_WSCG_NAME = re.compile(r"^WholeStageCodegen \(\d+\)$")
 
 
 def _iter_plan(node):
@@ -131,7 +142,7 @@ def _build_kind(node) -> str:
         if name == "ReusedExchange":
             node = node.child()
             continue
-        if name.startswith(_ROW_PRESERVING):
+        if name in _ROW_PRESERVING or _WSCG_NAME.match(name):
             cs = node.children()
             if cs.size() == 1:
                 node = cs.apply(0)
