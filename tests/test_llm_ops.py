@@ -2282,3 +2282,125 @@ def test_temporal_split_audit_rejects_bad_pivot(spark):
     # Python's own ISO parser would reject it (non-zero-padded parts)
     out = sa.temporal_split_audit(df, "ts", "user_id", "2024-6-1").collect()[0]
     assert out.n_train_rows == 1 and out.n_test_rows == 0
+
+
+def _ref_remove_spans(texts: dict, n: int) -> dict:
+    """Plain-Python reference of remove_duplicated_spans (token-level
+    ExactSubstr): gram at 1-based pos p covers [p, min(p+n-1, len)];
+    a gram counts as duplicated when its case-folded form occurs in
+    more than one distinct doc."""
+    grams = {}
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    for i, tk in toks.items():
+        lo = [w.lower() for w in tk]
+        npos = max(len(lo) - n + 1, 1)
+        for p in range(1, npos + 1):
+            grams.setdefault(" ".join(lo[p - 1 : p - 1 + n]), set()).add(i)
+    out = {}
+    for i, tk in toks.items():
+        lo = [w.lower() for w in tk]
+        npos = max(len(lo) - n + 1, 1)
+        covered = set()
+        for p in range(1, npos + 1):
+            gm = " ".join(lo[p - 1 : p - 1 + n])
+            if len(grams[gm]) > 1:
+                covered.update(range(p, min(p + n - 1, len(tk)) + 1))
+        spans = []
+        for pos in sorted(covered):
+            if spans and pos <= spans[-1][1] + 1:
+                spans[-1][1] = pos
+            else:
+                spans.append([pos, pos])
+        kept = [w for k, w in enumerate(tk, start=1) if k not in covered]
+        out[i] = {
+            "n_tokens": len(tk),
+            "n_spans_removed": len(spans),
+            "n_tokens_removed": len(covered),
+            "cleaned_text": " ".join(kept),
+        }
+    return out
+
+
+def test_remove_duplicated_spans_edges(spark):
+    """Span-removal edge battery (VERDICT r9 item 4): overlapping gram
+    hits merge into one span; spans at the doc boundary; whole-doc
+    duplicates empty out; short (<n tokens) exact dupes removed whole;
+    within-doc repetition never cuts; clean docs pass through
+    untouched.  Every case also checked against the Python reference."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    boiler = "all rights reserved do not copy"  # 6 tokens > n=4
+    whole = "this exact document appears twice in the corpus verbatim"
+    texts = {
+        # shared boilerplate mid-doc: grams at several positions merge
+        # into ONE maximal span in each host doc
+        1: f"alpha beta gamma {boiler} unique tail one",
+        2: f"different opening words {boiler} other ending",
+        # clean doc: untouched
+        3: "no shared content in this document at all whatsoever",
+        # within-doc repetition only: not cross-doc, never cut
+        4: "rep rep rep rep rep rep rep rep rep rep",
+        # whole-doc duplicate pair: everything removed
+        5: whole,
+        6: whole,
+        # short (< n tokens) exact dupes: one clamped whole-doc gram
+        7: "tiny dup",
+        8: "tiny dup",
+        # boundary span: shares its OPENING 4 tokens with doc 10
+        9: "shared start of text then diverges completely here",
+        10: "shared start of text but this one continues differently",
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in dd.remove_duplicated_spans(docs, "doc_id", "text", n=4).collect()
+    }
+    ref = _ref_remove_spans(texts, n=4)
+    for i in texts:
+        for k, v in ref[i].items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+    # the boilerplate run merges to ONE span per host doc
+    assert got[1].n_spans_removed == 1 and got[2].n_spans_removed == 1
+    # tokens outside the span survive: doc 1 keeps its own prefix
+    assert got[1].cleaned_text.startswith("alpha beta gamma")
+    # clean + within-doc-rep docs: untouched
+    assert got[3].cleaned_text == texts[3] and got[3].n_spans_removed == 0
+    assert got[4].cleaned_text == texts[4] and got[4].n_tokens_removed == 0
+    # whole-doc duplicates: emptied, all tokens removed in one span
+    for i in (5, 6):
+        assert got[i].cleaned_text == ""
+        assert got[i].n_tokens_removed == got[i].n_tokens
+        assert got[i].n_spans_removed == 1
+    # short dupes: single clamped whole-doc gram removes everything
+    for i in (7, 8):
+        assert got[i].cleaned_text == "" and got[i].n_tokens_removed == 2
+    # boundary span: removal at position 1 keeps the divergent tail
+    assert got[9].cleaned_text.endswith("diverges completely here")
+    assert got[9].n_spans_removed == 1
+
+
+def test_remove_duplicated_spans_case_folding_and_identity(spark):
+    """Gram identity is case-folded (ALL RIGHTS == all rights) but the
+    SURVIVING tokens keep their original case; token-count bookkeeping
+    is exact (kept + removed == total)."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    texts = {
+        1: "Keep My Case all rights reserved do not copy Tail Words",
+        2: "other document ALL RIGHTS RESERVED DO NOT COPY trailing bit",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in dd.remove_duplicated_spans(docs, "doc_id", "text", n=4).collect()
+    }
+    ref = _ref_remove_spans(texts, n=4)
+    for i in texts:
+        assert got[i].cleaned_text == ref[i]["cleaned_text"], i
+        assert got[i].n_tokens_removed > 0  # the folded span fired both sides
+        kept_n = len(got[i].cleaned_text.split()) if got[i].cleaned_text else 0
+        assert kept_n + got[i].n_tokens_removed == got[i].n_tokens
+    assert got[1].cleaned_text.startswith("Keep My Case")  # original case kept

