@@ -11,7 +11,11 @@ Usage: ``python bench.py`` (driver contract)
    "value_calibrated": <total normalized to the anchor host speed>,
    "value_production": <total minus verification-only forms>,
    "unit": "sec", "sf": <sf>, "calib_s": <host calibration>,
-   "n_queries": N, "n_failed": N, "slowest": {...top5}}
+   "n_runs": N, "picked_run": N, "n_queries": N, "n_failed": N,
+   "slowest": {...top5}}
+  When the cold calib probe exceeds 1.15x the anchor the whole suite
+  re-measures in a fresh subprocess (up to 3 runs) and the QUIETEST
+  run is the record — see _RERUN_GATE below (VERDICT r9 item 6).
   The driver keeps only a ~2 KB tail of stdout, which truncated round
   2's single 4 KB line and lost the head "value" field — the short
   LAST line always survives tail capture and parses on its own.
@@ -230,8 +234,73 @@ def _run() -> dict:
     }
 
 
+#: Auto-rerun noise gate (VERDICT r9 item 6): a record whose cold calib
+#: probe came in slower than this multiple of the anchor is presumed
+#: host-load-contaminated and the suite is re-measured (up to
+#: _MAX_BENCH_RUNS total); the QUIETEST run (min calib_s = fastest
+#: observed host) becomes the committed record.  Each run executes in a
+#: FRESH subprocess — reusing one JVM would hand rerun N a warm
+#: JIT/codegen path, making its "cold" calib_s anchor-incomparable and
+#: biasing the pick toward whichever run happened to go last.
+_RERUN_GATE = 1.15
+_MAX_BENCH_RUNS = 3
+
+
+def _run_child() -> dict:
+    """One full suite measurement in a fresh python+JVM."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=None,  # live progress passes through
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench child exited {proc.returncode}")
+    # child stdout is exactly one JSON line
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 if __name__ == "__main__":
-    result = _run()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        print(json.dumps(_run()))
+        sys.exit(0)
+
+    runs = [_run_child()]
+    while (
+        len(runs) < _MAX_BENCH_RUNS
+        and runs[-1]["calib_s"] > _RERUN_GATE * CALIB_ANCHOR_S
+    ):
+        print(
+            f"bench: run {len(runs)} calib_s={runs[-1]['calib_s']} exceeds "
+            f"{_RERUN_GATE}x anchor ({CALIB_ANCHOR_S}) — host looks loaded, "
+            f"re-measuring ({len(runs) + 1}/{_MAX_BENCH_RUNS})",
+            file=sys.stderr,
+        )
+        runs.append(_run_child())
+    picked = min(range(len(runs)), key=lambda i: (runs[i]["calib_s"], runs[i]["value"]))
+    result = runs[picked]
+    # Run metadata IN the record (VERDICT r9 item 6): the committed
+    # numbers carry how many measurements were taken and what every
+    # run's probes saw, so a noise artifact can't masquerade as the
+    # round's truth.
+    result["n_runs"] = len(runs)
+    result["picked_run"] = picked + 1
+    result["rerun_gate"] = _RERUN_GATE
+    result["runs_summary"] = [
+        {
+            "calib_s": r["calib_s"],
+            "calib_steady_s": r["calib_steady_s"],
+            "calib_jobs_s": r["calib_jobs_s"],
+            "value": r["value"],
+            "value_calibrated": r["value_calibrated"],
+            "n_failed": sum(1 for t in r["queries"].values() if t < 0),
+        }
+        for r in runs
+    ]
     full = json.dumps(result)
     # Full detail: stderr (always) + first stdout line (for direct runs).
     print(full, file=sys.stderr)
@@ -265,6 +334,8 @@ if __name__ == "__main__":
         "sf": result["sf"],
         "calib_s": result["calib_s"],
         "calib_jobs_s": result["calib_jobs_s"],
+        "n_runs": result.get("n_runs", 1),
+        "picked_run": result.get("picked_run", 1),
         "n_queries": len(result["queries"]),
         "n_failed": len(failed),
         "failed": failed[:10],
