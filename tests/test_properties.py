@@ -897,3 +897,39 @@ def test_bigram_lm_matches_python_reference_property(spark, docs, model_split):
         ) / len(ps)
         assert got[i].n_bigrams == len(ps)
         assert got[i].nll == pytest.approx(nll, abs=2e-6), (toks, model_rows)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_span_removal_matches_python_reference(spark, data, n):
+    """remove_duplicated_spans vs the pure-Python reference on random
+    small corpora drawn from a 6-word vocabulary (tiny vocab forces
+    heavy cross-doc gram collisions — the regime where span merging,
+    clamping and whole-doc removal all fire together)."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    from .test_llm_ops import _ref_remove_spans
+
+    vocab = ["red", "blue", "Green", "delta", "echo", "Fox"]
+    n_docs = data.draw(st.integers(min_value=2, max_value=5))
+    texts = {}
+    for i in range(n_docs):
+        toks = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=15)
+        )
+        texts[i] = " ".join(toks)
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in dd.remove_duplicated_spans(docs, "doc_id", "text", n=n).collect()
+    }
+    ref = _ref_remove_spans(texts, n=n)
+    assert set(got) == set(ref)
+    for i in texts:
+        for k in ("n_tokens", "n_spans_removed", "n_tokens_removed",
+                  "cleaned_text"):
+            assert got[i][k] == ref[i][k], (i, k, n, texts)
