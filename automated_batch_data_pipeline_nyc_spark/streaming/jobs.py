@@ -13,6 +13,16 @@ Scale notes:
   rather than growing the state store without bound.
 - ``trigger(availableNow=True)`` gives batch-like "process the backlog
   then stop" semantics — used by tests and by incremental backfills.
+- **Size the state layout deliberately**: ``spark.sql.shuffle.
+  partitions`` at a stateful query's FIRST start fixes its state-store
+  partition count for the checkpoint's lifetime, and each store
+  partition pays a fixed snapshot+commit protocol cost per micro-batch
+  regardless of how little state it holds (profiled in SCALING.md
+  round 9: commit waves, not data, dominated small-backlog wall time).
+  Set it to match your cluster/arrival rate BEFORE the first start —
+  the suite's own verification streams scope it per stream
+  (``suite._stream_conf_scope``), which is the pattern to copy for
+  short-lived or bench-sized streams.
 """
 
 from __future__ import annotations
