@@ -953,6 +953,46 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return df.join(doomed, on=id_col, how="left_anti")
 
 
+def _staged_gram_frames(df, id_col: str, text_col: str, n: int):
+    """Shared shingle staging for the two ExactSubstr halves
+    (:func:`duplicated_ngram_spans` profiles,
+    :func:`remove_duplicated_spans` transforms) — one implementation so
+    gram identity can never silently diverge between them (r10 review
+    finding: the pipeline had been duplicated verbatim).
+
+    Returns ``(g, dup)``: ``g`` is a PERSISTED (id, text, __ghs) frame
+    where ``__ghs`` is the rolling case-folded word-``n``-gram xxhash64
+    array — EMPTY (not null) for NULL text, so null docs neither
+    fabricate a whole-doc gram of the empty string nor cross-contaminate
+    genuinely empty-string documents (two NULL docs used to hash to
+    xxhash64('') and mark every ''-text doc a cross-doc duplicate);
+    ``dup`` is the duplicated-gram set (grams held by >1 DISTINCT doc —
+    corpus-vocabulary-bounded shuffle).  The caller owns ``g``'s
+    unpersist.
+    """
+    ltoks = F.split(F.lower(F.col(text_col)), " ")
+    ghs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ltoks) - (n - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ltoks, i, n))),
+    )
+    safe = F.when(F.col(text_col).isNotNull(), ghs).otherwise(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    )
+    g = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.col(text_col), safe.alias("__ghs"))
+        .persist()
+    )
+    dup = (
+        g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
+        .groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("__gh")
+    )
+    return g, dup
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     id_col: str,
@@ -977,24 +1017,14 @@ def duplicated_ngram_spans(
     join of gram occurrences against the duplicated-gram set, one
     per-doc count.  Everything that moves is (hash, id) longs — at 100
     TB the shuffle is corpus-vocabulary-sized, never corpus-squared.
+
+    NULL-text docs carry zero grams (``n_grams = 0``, ``dup_fraction =
+    0.0``) and never join the duplicated-gram set — see
+    :func:`_staged_gram_frames`.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    ghs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-    )
-    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), ghs.alias("__ghs")
-    )
-    g = g.persist()
+    g, dup = _staged_gram_frames(df, id_col, text_col, n)
     try:
         ex = g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
-        dup = (
-            ex.groupBy("__gh")
-            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-            .filter(F.col("__nd") > 1)
-            .select("__gh")
-        )
         per_doc = (
             ex.join(dup, "__gh")
             .groupBy(id_col)
@@ -1009,11 +1039,14 @@ def duplicated_ngram_spans(
                 F.coalesce(F.col("__ndup"), F.lit(0)).cast("bigint").alias(
                     "n_dup_grams"
                 ),
-                F.round(
-                    F.coalesce(F.col("__ndup"), F.lit(0)).cast("double")
-                    / F.col("n_grams").cast("double"),
-                    6,
-                ).alias("dup_fraction"),
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.round(
+                        F.coalesce(F.col("__ndup"), F.lit(0)).cast("double")
+                        / F.col("n_grams").cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)).alias("dup_fraction"),
             )
         )
         return out.localCheckpoint(eager=True)
@@ -1053,25 +1086,17 @@ def remove_duplicated_spans(
     over sorted hits builds the spans; the token filter is
     tokens x spans per doc) — nothing quadratic in the corpus, no
     Python, no collect.
+
+    NULL-text docs pass through untouched as ``(id, n_tokens=0,
+    n_spans_removed=0, n_tokens_removed=0, cleaned_text=NULL)`` — they
+    carry zero grams, so they neither fabricate removals nor mark
+    empty-string docs as duplicates (r10 review finding; see
+    :func:`_staged_gram_frames`).
     """
-    ltoks = F.split(F.lower(F.col(text_col)), " ")
-    ghs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ltoks) - (n - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ltoks, i, n))),
-    )
-    g = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.col(text_col), ghs.alias("__ghs")
-    )
-    g = g.persist()
+    g, dup = _staged_gram_frames(df, id_col, text_col, n)
     try:
         ex = g.select(
             F.col(id_col), F.posexplode("__ghs").alias("__p0", "__gh")
-        )
-        dup = (
-            ex.groupBy("__gh")
-            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-            .filter(F.col("__nd") > 1)
-            .select("__gh")
         )
         hits = (
             ex.join(dup, "__gh")
@@ -1135,7 +1160,10 @@ def remove_duplicated_spans(
         )
         out = staged.select(
             F.col(id_col),
-            F.col("__ntok").cast("bigint").alias("n_tokens"),
+            # NULL text -> NULL token array -> report 0 tokens
+            F.coalesce(F.col("__ntok"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
             F.size("__spans").cast("bigint").alias("n_spans_removed"),
             F.aggregate(
                 F.col("__spans"),

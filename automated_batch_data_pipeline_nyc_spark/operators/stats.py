@@ -578,6 +578,14 @@ def mahalanobis_scores(
     import numpy as np
 
     k = len(cols)
+    if precision is not None:
+        # validate the literals BEFORE the corpus scan — the shape check
+        # is local arithmetic and must not cost a full moment pass
+        inv = np.asarray([[float(v) for v in r_] for r_ in precision])
+        if inv.shape != (k, k):
+            raise ValueError(
+                f"precision must be {k}x{k} for {k} columns; got {inv.shape}"
+            )
     aggs = [F.count("*").alias("n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(_D)).alias(f"s_{c}"))
@@ -601,12 +609,6 @@ def mahalanobis_scores(
                 key = f"sx_{a}_{b}" if j >= i else f"sx_{b}_{a}"
                 cov[i, j] = (float(row[key]) - n * mu[i] * mu[j]) / (n - 1.0)
         inv = np.linalg.inv(cov + reg * np.eye(k))
-    else:
-        inv = np.asarray([[float(v) for v in r_] for r_ in precision])
-        if inv.shape != (k, k):
-            raise ValueError(
-                f"precision must be {k}x{k} for {k} columns; got {inv.shape}"
-            )
 
     centered = [F.col(c).cast("double") - F.lit(float(m)) for c, m in zip(cols, mu)]
     quad: Column = F.lit(0.0)

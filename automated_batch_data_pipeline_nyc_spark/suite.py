@@ -237,7 +237,15 @@ def _shared_stage(name: str, build) -> str:
         os.rename(tmp, final)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(final, "_STAGED_OK")):
+        # A lost race is only benign when the WINNER is trusted: marker
+        # present AND the dir is ours (r10 review finding — without the
+        # ownership re-check here, an unowned marker-bearing dir that
+        # the fast path correctly refused would block our rename and
+        # then get memoized through this branch, defeating the guard).
+        if not (
+            os.path.exists(os.path.join(final, "_STAGED_OK"))
+            and _owned_published_dir(final)
+        ):
             raise  # NOT a lost race — surface the real filesystem error
     _SHARED_STAGED.add(final)
     return final
@@ -1160,8 +1168,6 @@ def _hourly(spark, sf_dir):
         "rows-only check",
 )
 def _stream_hourly(spark, sf_dir):
-    import uuid
-
     from .streaming.jobs import read_event_stream
 
     (events,) = _load(spark, sf_dir, "events")
@@ -1181,19 +1187,11 @@ def _stream_hourly(spark, sf_dir):
             _sum_money(F.col("value"), "total_value"),
         )
     )
-    name = f"shc_{uuid.uuid4().hex[:8]}"
-    with _stream_conf_scope(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
+    # Route through the shared runner (r10 review finding: this inline
+    # copy ignored awaitTermination's boolean, so a timeout would have
+    # silently returned a PARTIAL complete-mode aggregate — the exact
+    # truncated-answer failure _run_stream_to_table exists to forbid).
+    name = _run_stream_to_table(agg, "complete")
     # The stream reads the NTZ parquet through an LTZ schema (watermark
     # compatibility), so w.start's *epoch* micros equal the fixture's
     # wall-clock micros.  Rebuild the NTZ wall clock from that integer —

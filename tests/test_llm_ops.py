@@ -2404,3 +2404,49 @@ def test_remove_duplicated_spans_case_folding_and_identity(spark):
         kept_n = len(got[i].cleaned_text.split()) if got[i].cleaned_text else 0
         assert kept_n + got[i].n_tokens_removed == got[i].n_tokens
     assert got[1].cleaned_text.startswith("Keep My Case")  # original case kept
+
+
+def test_span_ops_null_text_semantics(spark):
+    """NULL-text docs carry ZERO grams in both ExactSubstr halves (r10
+    review finding): they must not fabricate removals from a whole-doc
+    gram of the empty string, and two NULL docs must not mark a
+    genuinely empty-string doc as a cross-document duplicate."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "totally unique words here")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dd.remove_duplicated_spans(docs, "doc_id", "text", n=4).collect()
+    }
+    for i in (1, 2):  # NULL docs: untouched pass-through
+        assert got[i].n_tokens == 0
+        assert got[i].n_spans_removed == 0 and got[i].n_tokens_removed == 0
+        assert got[i].cleaned_text is None
+    # the empty-string doc is NOT contaminated by the NULL pair
+    assert got[3].n_tokens == 1 and got[3].n_tokens_removed == 0
+    assert got[3].cleaned_text == ""
+    assert got[4].cleaned_text == "totally unique words here"
+
+    prof = {
+        r.doc_id: r
+        for r in dd.duplicated_ngram_spans(docs, "doc_id", "text", n=4).collect()
+    }
+    for i in (1, 2):
+        assert prof[i].n_grams == 0 and prof[i].n_dup_grams == 0
+        assert prof[i].dup_fraction == 0.0
+    assert prof[3].n_dup_grams == 0
+
+    # two genuinely IDENTICAL empty-string docs are still duplicates of
+    # each other (that is real content equality, not NULL fabrication)
+    docs2 = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "x y z w")], "doc_id: long, text: string"
+    )
+    got2 = {
+        r.doc_id: r
+        for r in dd.remove_duplicated_spans(docs2, "doc_id", "text", n=4).collect()
+    }
+    assert got2[1].n_tokens_removed == 1 and got2[2].n_tokens_removed == 1
+    assert got2[3].n_tokens_removed == 0

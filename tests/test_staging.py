@@ -235,3 +235,31 @@ def test_shared_stage_ignores_marker_in_unowned_dir(tmp_path, monkeypatch):
     f = tmp_path / "plainfile"
     f.write_text("not a dir")
     assert suite._owned_published_dir(str(f)) is False
+
+
+def test_shared_stage_race_fallback_requires_owned_winner(monkeypatch):
+    """The lost-race fallback only serves a marker-bearing winner WE
+    own (r10 review finding): an unowned dir that blocks our rename
+    must raise, never be memoized."""
+    import pytest
+
+    name = f"unittest_stage_unowned_{_RUN}"
+    _clean(name)
+    final = os.path.join(_stage_root(), name)
+
+    def build_blocking(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data.txt"), "w") as fh:
+            fh.write("mine")
+        # a marker-bearing final dir appears... but pretend it isn't ours
+        os.makedirs(final, exist_ok=True)
+        with open(os.path.join(final, "_STAGED_OK"), "w"):
+            pass
+        with open(os.path.join(final, "junk.txt"), "w") as fh:
+            fh.write("blocks rename")
+
+    monkeypatch.setattr(suite, "_owned_published_dir", lambda p: False)
+    with pytest.raises(OSError):
+        suite._shared_stage(name, build_blocking)
+    assert final not in suite._SHARED_STAGED
+    _clean(name)
