@@ -13,9 +13,12 @@ Usage: ``python bench.py`` (driver contract)
    "unit": "sec", "sf": <sf>, "calib_s": <host calibration>,
    "n_runs": N, "picked_run": N, "n_queries": N, "n_failed": N,
    "slowest": {...top5}}
-  When the cold calib probe exceeds 1.15x the anchor the whole suite
-  re-measures in a fresh subprocess (up to 3 runs) and the QUIETEST
-  run is the record — see _RERUN_GATE below (VERDICT r9 item 6).
+  When the cold calib probe exceeds 1.15x the anchor OR any warm
+  (mid-run/final) probe exceeds the steady gate, the whole suite
+  re-measures in a fresh subprocess (up to 3 runs); the record is the
+  run with the best (clean, min value_calibrated, min calib_steady_s)
+  pick key — see _RERUN_GATE/_pick_key below (VERDICT r9 item 6 +
+  r10 item 1).
   The driver keeps only a ~2 KB tail of stdout, which truncated round
   2's single 4 KB line and lost the head "value" field — the short
   LAST line always survives tail capture and parses on its own.
@@ -246,16 +249,59 @@ def _run() -> dict:
     }
 
 
-#: Auto-rerun noise gate (VERDICT r9 item 6): a record whose cold calib
-#: probe came in slower than this multiple of the anchor is presumed
-#: host-load-contaminated and the suite is re-measured (up to
-#: _MAX_BENCH_RUNS total); the QUIETEST run (min calib_s = fastest
-#: observed host) becomes the committed record.  Each run executes in a
-#: FRESH subprocess — reusing one JVM would hand rerun N a warm
-#: JIT/codegen path, making its "cold" calib_s anchor-incomparable and
-#: biasing the pick toward whichever run happened to go last.
+#: Auto-rerun noise gate (VERDICT r9 item 6; picker rebuilt per VERDICT
+#: r10 item 1): a run is presumed host-load-contaminated — and the suite
+#: re-measured in a fresh subprocess, up to _MAX_BENCH_RUNS total — when
+#: EITHER probe regime shows load:
+#:   - the cold first-shot probe exceeds _RERUN_GATE x CALIB_ANCHOR_S
+#:     (session bring-up on a loaded host), or
+#:   - ANY warm sample (mid-run / final) exceeds _STEADY_RERUN_GATE_S —
+#:     a load burst DURING the run that the cold probe predates.  Warm
+#:     samples are JIT-hot so they live in their own regime: quiet-host
+#:     warm shots measure 0.17-0.31 s (r8-r10 records); the r10 driver
+#:     artifact's loaded run read 0.427/0.376 while its COLD probe
+#:     happened to land quiet (0.5) and slipped the old gate.
+#: Each run executes in a FRESH subprocess — reusing one JVM would hand
+#: rerun N a warm JIT/codegen path, making its "cold" calib_s
+#: anchor-incomparable and biasing the pick toward whichever run went
+#: last.
 _RERUN_GATE = 1.15
+_STEADY_RERUN_GATE_S = 0.35
 _MAX_BENCH_RUNS = 3
+
+
+def _run_looks_loaded(r: dict) -> str | None:
+    """Reason string when a run's probes show host load, else None."""
+    if r["calib_s"] > _RERUN_GATE * CALIB_ANCHOR_S:
+        return (
+            f"cold calib_s={r['calib_s']} exceeds "
+            f"{_RERUN_GATE}x anchor ({CALIB_ANCHOR_S})"
+        )
+    warm = r.get("calib_samples", [])[1:]
+    if warm and max(warm) > _STEADY_RERUN_GATE_S:
+        return (
+            f"warm calib samples {warm} exceed "
+            f"{_STEADY_RERUN_GATE_S}s — mid-run load burst"
+        )
+    return None
+
+
+def _pick_key(r: dict):
+    """Pick order among measured runs (VERDICT r10 item 1 + ADVICE r10):
+    clean runs beat runs with failures (a failed query contributes no
+    time, so a dirty run can LOOK fastest), then min calibrated suite
+    wall — the number the record actually reports — then min steady
+    probe, then raw wall.  NEVER the cold probe alone: a 0.5 s cold
+    shot cannot represent a 7-minute suite (the r10 driver session
+    picked the louder run exactly that way)."""
+    n_failed = sum(1 for t in r["queries"].values() if t < 0)
+    calib = r["value_calibrated"]
+    return (
+        n_failed > 0,
+        calib if calib is not None else float("inf"),
+        r["calib_steady_s"],
+        r["value"],
+    )
 
 
 def _run_child() -> dict:
@@ -282,18 +328,14 @@ if __name__ == "__main__":
         sys.exit(0)
 
     runs = [_run_child()]
-    while (
-        len(runs) < _MAX_BENCH_RUNS
-        and runs[-1]["calib_s"] > _RERUN_GATE * CALIB_ANCHOR_S
-    ):
+    while len(runs) < _MAX_BENCH_RUNS and (reason := _run_looks_loaded(runs[-1])):
         print(
-            f"bench: run {len(runs)} calib_s={runs[-1]['calib_s']} exceeds "
-            f"{_RERUN_GATE}x anchor ({CALIB_ANCHOR_S}) — host looks loaded, "
+            f"bench: run {len(runs)} {reason} — host looks loaded, "
             f"re-measuring ({len(runs) + 1}/{_MAX_BENCH_RUNS})",
             file=sys.stderr,
         )
         runs.append(_run_child())
-    picked = min(range(len(runs)), key=lambda i: (runs[i]["calib_s"], runs[i]["value"]))
+    picked = min(range(len(runs)), key=lambda i: _pick_key(runs[i]))
     result = runs[picked]
     # Run metadata IN the record (VERDICT r9 item 6): the committed
     # numbers carry how many measurements were taken and what every
@@ -302,14 +344,18 @@ if __name__ == "__main__":
     result["n_runs"] = len(runs)
     result["picked_run"] = picked + 1
     result["rerun_gate"] = _RERUN_GATE
+    result["steady_rerun_gate_s"] = _STEADY_RERUN_GATE_S
+    result["pick_key"] = "(n_failed>0, value_calibrated, calib_steady_s, value)"
     result["runs_summary"] = [
         {
             "calib_s": r["calib_s"],
             "calib_steady_s": r["calib_steady_s"],
+            "calib_samples": r.get("calib_samples"),
             "calib_jobs_s": r["calib_jobs_s"],
             "value": r["value"],
             "value_calibrated": r["value_calibrated"],
             "n_failed": sum(1 for t in r["queries"].values() if t < 0),
+            "loaded": _run_looks_loaded(r),
         }
         for r in runs
     ]

@@ -1,0 +1,97 @@
+"""Bench run-picker unit tests (VERDICT r10 item 1 + ADVICE r10).
+
+The r10 driver session exposed the failure mode these pin: among two
+full-suite measurements, ``min(calib_s)`` — the COLD 0.5 s probe —
+picked the run whose steady probes showed the host was loaded, then
+calibration multiplied that run's load-inflated wall by anchor/0.5 > 1
+and manufactured a +51 % phantom regression.  The rebuilt picker
+chooses by ``(n_failed>0, value_calibrated, calib_steady_s, value)``
+and the rerun gate now also fires on warm (mid-run/final) probe
+samples, so a burst DURING a run forces a re-measure instead of
+silently becoming the record.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import (  # noqa: E402
+    CALIB_ANCHOR_S,
+    _STEADY_RERUN_GATE_S,
+    _pick_key,
+    _run_looks_loaded,
+)
+
+
+def _mk(calib_s, steady, samples, value, calibrated, n_failed=0):
+    q = {f"q{i}": 1.0 for i in range(10)}
+    for i in range(n_failed):
+        q[f"q{i}"] = -1.0
+    return {
+        "calib_s": calib_s,
+        "calib_steady_s": steady,
+        "calib_samples": samples,
+        "calib_jobs_s": 4.0,
+        "value": value,
+        "value_calibrated": calibrated,
+        "queries": q,
+    }
+
+
+# The two actual runs of the r10 driver session (BENCH_full_r10_driver).
+# Run 1: cold probe loaded (0.747) but warm samples quiet; run 2: cold
+# probe quiet (0.5 — slipped the old gate) but warm samples loaded.
+R10_RUN1 = _mk(0.747, 0.312, [0.747, 0.330, 0.312], 365.267, 268.938)
+R10_RUN2 = _mk(0.500, 0.376, [0.500, 0.427, 0.376], 424.451, 466.896)
+
+
+def test_r10_regression_picks_the_quiet_run():
+    runs = [R10_RUN1, R10_RUN2]
+    picked = min(range(len(runs)), key=lambda i: _pick_key(runs[i]))
+    # The old key (calib_s, value) picked run 2 — the artifact.
+    assert picked == 0
+
+
+def test_warm_burst_triggers_rerun_gate():
+    # Run 2's cold probe passes the cold gate...
+    assert R10_RUN2["calib_s"] <= 1.15 * CALIB_ANCHOR_S
+    # ...but its warm samples betray the mid-run load burst.
+    assert _run_looks_loaded(R10_RUN2) is not None
+    assert "warm" in _run_looks_loaded(R10_RUN2)
+
+
+def test_quiet_run_passes_both_gates():
+    quiet = _mk(0.55, 0.21, [0.55, 0.23, 0.21], 310.0, 310.0)
+    assert _run_looks_loaded(quiet) is None
+
+
+def test_cold_gate_still_fires():
+    assert _run_looks_loaded(R10_RUN1) is not None
+    assert "cold" in _run_looks_loaded(R10_RUN1)
+
+
+def test_clean_run_beats_faster_dirty_run():
+    # A failed query contributes no time, shrinking value/calibrated —
+    # a dirty run can LOOK fastest (ADVICE r10).  Clean must win.
+    dirty_fast = _mk(0.55, 0.21, [0.55, 0.22, 0.21], 250.0, 250.0, n_failed=2)
+    clean_slow = _mk(0.55, 0.22, [0.55, 0.24, 0.22], 320.0, 320.0)
+    runs = [dirty_fast, clean_slow]
+    picked = min(range(len(runs)), key=lambda i: _pick_key(runs[i]))
+    assert picked == 1
+
+
+def test_none_calibrated_sorts_last():
+    broken = _mk(0.0, 0.21, [0.0, 0.22, 0.21], 300.0, None)
+    ok = _mk(0.55, 0.25, [0.55, 0.26, 0.25], 320.0, 320.0)
+    runs = [broken, ok]
+    picked = min(range(len(runs)), key=lambda i: _pick_key(runs[i]))
+    assert picked == 1
+
+
+def test_steady_gate_sits_between_regimes():
+    # Quiet-host warm probes measured 0.17-0.31 s across r8-r10; the
+    # r10 loaded run read 0.376-0.427.  The gate must split them.
+    assert 0.312 < _STEADY_RERUN_GATE_S < 0.376
