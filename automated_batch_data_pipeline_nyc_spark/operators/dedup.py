@@ -953,22 +953,29 @@ def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return df.join(doomed, on=id_col, how="left_anti")
 
 
-def _staged_gram_frames(df, id_col: str, text_col: str, n: int):
+def _staged_gram_frames(df, id_col: str, text_col: str, n: int,
+                        keep_text: bool = True):
     """Shared shingle staging for the two ExactSubstr halves
     (:func:`duplicated_ngram_spans` profiles,
     :func:`remove_duplicated_spans` transforms) — one implementation so
     gram identity can never silently diverge between them (r10 review
     finding: the pipeline had been duplicated verbatim).
 
-    Returns ``(g, dup)``: ``g`` is a PERSISTED (id, text, __ghs) frame
-    where ``__ghs`` is the rolling case-folded word-``n``-gram xxhash64
-    array — EMPTY (not null) for NULL text, so null docs neither
-    fabricate a whole-doc gram of the empty string nor cross-contaminate
-    genuinely empty-string documents (two NULL docs used to hash to
-    xxhash64('') and mark every ''-text doc a cross-doc duplicate);
-    ``dup`` is the duplicated-gram set (grams held by >1 DISTINCT doc —
-    corpus-vocabulary-bounded shuffle).  The caller owns ``g``'s
-    unpersist.
+    Returns ``(g, dup)``: ``g`` is a PERSISTED (id[, text], __ghs)
+    frame where ``__ghs`` is the rolling case-folded word-``n``-gram
+    xxhash64 array — EMPTY (not null) for NULL text, so null docs
+    neither fabricate a whole-doc gram of the empty string nor
+    cross-contaminate genuinely empty-string documents (two NULL docs
+    used to hash to xxhash64('') and mark every ''-text doc a cross-doc
+    duplicate); ``dup`` is the duplicated-gram set (grams held by >1
+    DISTINCT doc — corpus-vocabulary-bounded shuffle).  The caller owns
+    ``g``'s unpersist.
+
+    ``keep_text=False`` drops the text column from the persisted frame:
+    the PROFILE half never reads text after shingling, and caching the
+    full corpus text alongside the gram arrays would double the
+    cache/spill footprint at the corpus scale this targets (ADVICE
+    r10).  The TRANSFORM half re-tokenizes from text, so it keeps it.
     """
     ltoks = F.split(F.lower(F.col(text_col)), " ")
     ghs = F.transform(
@@ -978,11 +985,12 @@ def _staged_gram_frames(df, id_col: str, text_col: str, n: int):
     safe = F.when(F.col(text_col).isNotNull(), ghs).otherwise(
         F.expr("CAST(array() AS ARRAY<BIGINT>)")
     )
-    g = (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.col(text_col), safe.alias("__ghs"))
-        .persist()
+    cols = (
+        [F.col(id_col), F.col(text_col), safe.alias("__ghs")]
+        if keep_text
+        else [F.col(id_col), safe.alias("__ghs")]
     )
+    g = spread(df.select(F.col(id_col), F.col(text_col))).select(*cols).persist()
     dup = (
         g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
         .groupBy("__gh")
@@ -1022,7 +1030,7 @@ def duplicated_ngram_spans(
     0.0``) and never join the duplicated-gram set — see
     :func:`_staged_gram_frames`.
     """
-    g, dup = _staged_gram_frames(df, id_col, text_col, n)
+    g, dup = _staged_gram_frames(df, id_col, text_col, n, keep_text=False)
     try:
         ex = g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
         per_doc = (

@@ -2115,7 +2115,13 @@ def _stopk(spark, sf_dir):
         "the same math inlined, this pins the OPERATOR itself "
         "cross-engine).  The unrounded raw-mean form stays available on "
         "the operator and pinned by pytest equivalence to the "
-        "applyInPandas/numpy path.",
+        "applyInPandas/numpy path.  KNOWN FLAKE MODE (ADVICE r10): "
+        "unlike the dyadic-rational mahalanobis recipe, 6dp rounding is "
+        "only PROBABILISTIC — a mean landing within an ulp of a "
+        "rounding boundary can flip the 6th digit between Spark's fold "
+        "and DuckDB's avg.  No boundary-adjacent mean exists in the "
+        "fixtures (verified sf0.01+sf0.1), but treat a LONE hash "
+        "mismatch here as re-check-before-alarm, not as a regression.",
 )
 def _centroids(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
@@ -2149,7 +2155,10 @@ def _centroids(spark, sf_dir):
         "means — 6dp rounding absorbs numpy's pairwise-summation vs "
         "sequential-fold float spread, so the Arrow kernel's output is "
         "verified cross-engine, not just against the JVM twin in "
-        "pytest.",
+        "pytest.  Same probabilistic boundary-ulp flake mode as "
+        "embedding_centroids (ADVICE r10) — a lone hash mismatch here "
+        "means re-check the rounding boundary before calling it a "
+        "regression.",
 )
 def _centroids_udaf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
