@@ -709,18 +709,49 @@ def _dcount(spark, sf_dir):
 
 @_q(
     "approx_distinct",
-    None,  # HLL estimate is engine-specific; driver records rows-only
-    doc="§2.4 approx_count_distinct — the 100 TB cardinality path (HLL, no "
-        "exact shuffle).  Rows-only: the estimate is the value of Spark's "
-        "HLL++ sketch itself — DuckDB's approx_count_distinct runs a "
-        "different sketch, so no cross-engine hash can exist; the exact-"
-        "count twin distinct_count is hash-verified.",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      TRUE AS parts_within_tol,
+      TRUE AS orders_within_tol
+    FROM lineitem
+    """,
+    doc="§2.4 approx_count_distinct — the 100 TB cardinality path (HLL++, "
+        "no exact shuffle) — as a BOUND-AUDIT oracle query (VERDICT r10 "
+        "item 4; was rows-only): the registered result is the exact "
+        "distinct counts (hash-exact cross-engine) plus boolean "
+        "|approx-exact| <= 3*rsd*exact verdicts on Spark's HLL++ "
+        "estimates.  DuckDB runs a different sketch, so the ESTIMATE "
+        "can never hash-match — but the verdict frame can: the oracle "
+        "encodes the expectation (TRUE), Spark computes the actual "
+        "verdict, and a sketch drifting past tolerance turns the hash "
+        "check red.  rsd=0.05 (Spark default); 3*rsd=0.15 is the "
+        "3-sigma band, measured rel-err 0.018-0.036 at sf0.01/sf0.1 "
+        "and the estimate is deterministic for fixed data (verified "
+        "across 6 runs at local[8] AND local[32]).  The raw-estimate "
+        "form stays available via the same aggregate; the exact-count "
+        "twin distinct_count is hash-verified separately.",
 )
 def _adcount(spark, sf_dir):
     (li,) = _load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    tol = 3 * 0.05  # 3-sigma band at Spark's default rsd
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("__ap"),
+        F.approx_count_distinct("l_orderkey").alias("__ao"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("__ap") - F.col("exact_parts"))
+            <= F.lit(tol) * F.col("exact_parts")
+        ).alias("parts_within_tol"),
+        (
+            F.abs(F.col("__ao") - F.col("exact_orders"))
+            <= F.lit(tol) * F.col("exact_orders")
+        ).alias("orders_within_tol"),
     )
 
 
@@ -2631,19 +2662,73 @@ def _gsets(spark, sf_dir):
 
 @_q(
     "approx_quantiles",
-    None,  # t-digest/GK sketches are engine-specific → rows-only
-    doc="approximate quantiles (GK sketch; mergeable partials at scale, "
-        "bounded error vs the exact grouped_median path).  Rows-only: the "
-        "estimate is the GK/percentile_approx sketch value itself — DuckDB's "
-        "approx_quantile is a t-digest, a different sketch, so no cross-"
-        "engine hash can exist; the exact twin grouped_median is "
-        "hash-verified.",
+    """
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+      TRUE AS p50_rank_ok,
+      TRUE AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approximate quantiles (GK sketch / percentile_approx; mergeable "
+        "partials at scale) — as a BOUND-AUDIT oracle query (VERDICT r10 "
+        "item 4; was rows-only): the registered result is the exact "
+        "quantiles (percentile == quantile_cont bit-for-bit, the "
+        "grouped_median/equi_depth precedent) plus boolean WITHIN-EPSILON-"
+        "RANK-BOUND verdicts on the GK estimates.  DuckDB's "
+        "approx_quantile is a t-digest, so the ESTIMATE can never "
+        "hash-match — but the rank-bound verdict can: the estimate's "
+        "rank interval [count(<v), count(<=v)] must meet Spark's "
+        "documented guarantee floor((p-eps)*n) <= rank <= "
+        "ceil((p+eps)*n) with one extra rank of slack each side "
+        "(eps = 1/accuracy = 1/1000; measured deviations reach 98%% of "
+        "eps*n at sf0.01, so the slack keeps the flag flake-proof while "
+        "the guarantee itself keeps it honest).  Estimates are "
+        "deterministic for fixed data (verified across 6 runs at "
+        "local[8] AND local[32]).  Plan: one grouped agg computing "
+        "exact+approx together, a broadcast of the 3-row estimate frame "
+        "back onto the scan for the rank counts, one final 3-row join — "
+        "the corpus is scanned twice, shuffled never (both aggs are "
+        "map-side partial on a 3-value key).",
 )
 def _aquant(spark, sf_dir):
     (lineitem,) = _load(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+    acc = 1000
+    eps = 1.0 / acc
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("__p50a"),
+        F.percentile_approx("l_extendedprice", 0.95, acc).alias("__p95a"),
+    )
+    ranks = (
+        lineitem.join(
+            F.broadcast(agg.select("l_returnflag", "__p50a", "__p95a")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("__p50a")).cast("long")).alias("__lt50"),
+            F.sum((F.col("l_extendedprice") <= F.col("__p50a")).cast("long")).alias("__le50"),
+            F.sum((F.col("l_extendedprice") < F.col("__p95a")).cast("long")).alias("__lt95"),
+            F.sum((F.col("l_extendedprice") <= F.col("__p95a")).cast("long")).alias("__le95"),
+        )
+    )
+
+    def _rank_ok(lt: str, le: str, p: float):
+        lo = F.floor((F.lit(p) - F.lit(eps)) * F.col("n")) - 1
+        hi = F.ceil((F.lit(p) + F.lit(eps)) * F.col("n")) + 1
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return agg.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "p50_exact",
+        "p95_exact",
+        _rank_ok("__lt50", "__le50", 0.5).alias("p50_rank_ok"),
+        _rank_ok("__lt95", "__le95", 0.95).alias("p95_rank_ok"),
     )
 
 
@@ -13143,100 +13228,29 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-10 window (VERDICT r9 item 1 — the tools/next_window.py r10
-#: proposal): slot 1 = the sole never-driver-run query (this round's
-#: single capped registration dedup_span_removal — keeps never-verified
-#: at 0); slot 2 = the standing SS2 canary (clean_pipeline stays in
-#: every window so the reference surface is never more than one round
-#: stale); slots 3-47 = stale-first re-verification, oldest
-#: driver-green round first (the full r4-green bucket, then the
-#: r5-green head).  Three tail slots diverge from the tool's proposal
-#: ON PURPOSE, repeating the documented r9 precedent: mahalanobis_outliers,
-#: embedding_centroids and embedding_centroids_udaf were converted from
-#: rows-only to oracle-backed this round (VERDICT r9 item 2) — their
-#: REGISTERED FORMS changed, so their r7-green records no longer
-#: describe them; they are the most stale queries in the truest sense
-#: and take the last three slots (the displaced r5-era four —
-#: containment_pairs_prefix, dedup_minhash_portable,
-#: dedup_simhash_portable, asof_next_purchase — head the r11 stale
-#: queue).
+#: Round-11 window (VERDICT r10 item 2 — the tools/next_window.py r11
+#: proposal): slot 1 = the standing SS2 canary (clean_pipeline re-verifies
+#: every round so the reference surface is never more than one round
+#: stale); slots 2-5 = the four r5-era queries the r10 rotation displaced
+#: (containment_pairs_prefix, dedup_minhash_portable,
+#: dedup_simhash_portable, asof_next_purchase); slots 6-48 = the rest of
+#: the stale-first queue (the remaining r5-green bucket).  The two tail
+#: slots diverge from the tool's proposal ON PURPOSE, repeating the
+#: documented r9/r10 precedent: approx_quantiles and approx_distinct were
+#: converted from rows-only to BOUND-AUDIT oracle forms this round
+#: (VERDICT r10 item 4) — their REGISTERED FORMS changed, so their
+#: r7-green rows-only records no longer describe them; they take the last
+#: two slots (the displaced pair — sql_extract_roundtrip,
+#: window_range_frame_sum — heads the r12 stale queue).
 DRIVER_WINDOW: list[str] = [
-    # never-driver-verified: round-10 registration
-    "dedup_span_removal",
     # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",
-    # stale-first re-verification (last driver-green r4, then r5 head)
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
-    "idle_rich_customers",
-    "small_quantity_revenue",
-    "customer_order_distribution",
-    "quality_classifier_scores",
-    "quality_classifier_bucketed",
-    "bm25_search",
-    "hybrid_retrieval_rrf",
-    "cdc_apply_orders",
-    "cdc_compact_feed",
-    "session_window_native",
-    "line_boilerplate_removal",
-    "html_text_extraction",
-    "inverted_index_postings",
-    "dedup_survivor_by_quality",
-    "dedup_incremental_batch",
-    "null_safe_enrich",
-    "join_full_outer",
-    "window_percentile_ranks_dist",
-    "ewma_by_user",
-    "user_value_drawdown",
-    "corpus_filter_funnel",
-    "rolling_zscore_anomalies",
-    "sink_quarantine_roundtrip",
-    "bigram_logprob_scores",
-    "dedup_graph_triangles",
-    "equi_depth_histogram",
-    "skew_salted_agg",
-    "rolling_hour_window",
-    "sliding_window_counts",
-    "rolling_distinct_users",
-    "first_event_per_user",
-    "event_transition_matrix",
-    "revenue_share_of_total",
-    "topk_with_ties_per_nation",
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    "multimodal_format_sniff",
-    "table_modes_roundtrip",
-    "similarity_lsh_topk",
-    "kmeans_step_verified",
-    "streaming_countmin",
-    # re-verification of this round's rows-only -> oracle conversions
-    "mahalanobis_outliers",
-    "embedding_centroids",
-    "embedding_centroids_udaf",
-]
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: The round-10 rotation put this round's sole registration
-#: (dedup_span_removal) straight into DRIVER_WINDOW slot 1; every new
-#: registration this round must be appended here (it gets a driver
-#: slot in the r11 rotation ahead of stale re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = []
-
-
-#: Driver-green in a past round (hash-stable; guarded by local oracle
-#: parity).  Grouped by the MOST RECENT driver-green round so the
-#: stale-first rotation (tools/next_window.py) is auditable by eye.
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
-    # most recent driver-green row: round 5 (CORRECTNESS_r05.json)
+    # stale-first re-verification (r10 rotation displaced these four)
     "containment_pairs_prefix",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "asof_next_purchase",
+    # stale-first re-verification (last driver-green r5)
     "cheapest_part_supplier_region",
     "late_ship_priority_counts",
     "nation_year_profit",
@@ -13274,13 +13288,34 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "supplier_pareto_share",
     "countmin_heavy_hitters",
     "skew_salted_join",
-    # most recent driver-green row: round 6 (CORRECTNESS_r06.json)
     "window_percentile_ranks",
     "clean_pipeline_dirty",
     "scalar_function_battery",
     "containment_pairs_blocked",
     "schema_contract_enforced",
     "url_ingest_roundtrip",
+    # re-verification of this round's rows-only -> bound-audit conversions
+    "approx_quantiles",
+    "approx_distinct",
+]
+
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: The round-10 rotation put this round's sole registration
+#: (dedup_span_removal) straight into DRIVER_WINDOW slot 1; every new
+#: registration this round must be appended here (it gets a driver
+#: slot in the r11 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
+    # most recent driver-green row: round 6 (CORRECTNESS_r06.json)
     "sql_extract_roundtrip",
     "window_range_frame_sum",
     "set_ops_multiset",
@@ -13340,12 +13375,10 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "dedup_minhash_transitive",
     "dedup_simhash",
     "similarity_ivf_topk",
-    "approx_quantiles",
     "hll_mergeable_rollup",
     "bpe_train_merges",
     "dedup_graph_kcore",
     "hll_audience_overlap",
-    "approx_distinct",
     "similarity_topk",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -13470,7 +13503,58 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "top_supplier_revenue",
     "embedding_pca_project",
     "bpe_encode_tokens",
+    # most recent driver-green row: round 10 (CORRECTNESS_r10.json)
+    "dedup_span_removal",
+    "dominant_part_suppliers",
+    "sole_supplier_open_orders",
+    "idle_rich_customers",
+    "small_quantity_revenue",
+    "customer_order_distribution",
+    "quality_classifier_scores",
+    "quality_classifier_bucketed",
+    "bm25_search",
+    "hybrid_retrieval_rrf",
+    "cdc_apply_orders",
+    "cdc_compact_feed",
+    "session_window_native",
+    "line_boilerplate_removal",
+    "html_text_extraction",
+    "inverted_index_postings",
+    "dedup_survivor_by_quality",
+    "dedup_incremental_batch",
+    "null_safe_enrich",
+    "join_full_outer",
+    "window_percentile_ranks_dist",
+    "ewma_by_user",
+    "user_value_drawdown",
+    "corpus_filter_funnel",
+    "rolling_zscore_anomalies",
+    "sink_quarantine_roundtrip",
+    "bigram_logprob_scores",
+    "dedup_graph_triangles",
+    "equi_depth_histogram",
+    "skew_salted_agg",
+    "rolling_hour_window",
+    "sliding_window_counts",
+    "rolling_distinct_users",
+    "first_event_per_user",
+    "event_transition_matrix",
+    "revenue_share_of_total",
+    "topk_with_ties_per_nation",
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "multimodal_format_sniff",
+    "table_modes_roundtrip",
+    "similarity_lsh_topk",
+    "kmeans_step_verified",
+    "streaming_countmin",
+    "mahalanobis_outliers",
+    "embedding_centroids",
+    "embedding_centroids_udaf",
 ]
+
 
 _rotated = (
     DRIVER_WINDOW + _NEXT_WINDOW_QUEUE + _PREVIOUSLY_VERIFIED

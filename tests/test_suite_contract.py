@@ -16,61 +16,62 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-10 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-11 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
-    "dedup_span_removal",
     "clean_pipeline",
-    "dominant_part_suppliers",
-    "sole_supplier_open_orders",
-    "idle_rich_customers",
-    "small_quantity_revenue",
-    "customer_order_distribution",
-    "quality_classifier_scores",
-    "quality_classifier_bucketed",
-    "bm25_search",
-    "hybrid_retrieval_rrf",
-    "cdc_apply_orders",
-    "cdc_compact_feed",
-    "session_window_native",
-    "line_boilerplate_removal",
-    "html_text_extraction",
-    "inverted_index_postings",
-    "dedup_survivor_by_quality",
-    "dedup_incremental_batch",
-    "null_safe_enrich",
-    "join_full_outer",
-    "window_percentile_ranks_dist",
-    "ewma_by_user",
-    "user_value_drawdown",
-    "corpus_filter_funnel",
-    "rolling_zscore_anomalies",
-    "sink_quarantine_roundtrip",
-    "bigram_logprob_scores",
-    "dedup_graph_triangles",
-    "equi_depth_histogram",
-    "skew_salted_agg",
-    "rolling_hour_window",
-    "sliding_window_counts",
-    "rolling_distinct_users",
-    "first_event_per_user",
-    "event_transition_matrix",
-    "revenue_share_of_total",
-    "topk_with_ties_per_nation",
-    "multimodal_image_decode",
-    "multimodal_image_resize",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    "multimodal_format_sniff",
-    "table_modes_roundtrip",
-    "similarity_lsh_topk",
-    "kmeans_step_verified",
-    "streaming_countmin",
-    "mahalanobis_outliers",
-    "embedding_centroids",
-    "embedding_centroids_udaf",
+    "containment_pairs_prefix",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "asof_next_purchase",
+    "cheapest_part_supplier_region",
+    "late_ship_priority_counts",
+    "nation_year_profit",
+    "important_part_values",
+    "ship_delay_priority_mix",
+    "part_supplier_variety",
+    "string_agg_per_group",
+    "grouping_sets_quantity",
+    "cube_order_counts",
+    "grouped_median",
+    "grouped_mode",
+    "having_filter",
+    "conditional_agg",
+    "robust_spread",
+    "value_histogram",
+    "window_first_last",
+    "window_rank_ntile",
+    "window_cume_nth",
+    "date_arithmetic",
+    "exists_subquery",
+    "unpivot_part_metrics",
+    "fill_defaults",
+    "word_counts",
+    "regexp_extract_supplier",
+    "clip_outliers",
+    "zorder_bucket_stats",
+    "compact_roundtrip",
+    "manifest_partition_counts",
+    "kfold_assign_counts",
+    "embedding_norm_buckets",
+    "events_dow_hour_matrix",
+    "pmi_top_bigrams",
+    "dedup_family_size_hist",
+    "order_lead_time_monthly",
+    "supplier_pareto_share",
+    "countmin_heavy_hitters",
+    "skew_salted_join",
+    "window_percentile_ranks",
+    "clean_pipeline_dirty",
+    "scalar_function_battery",
+    "containment_pairs_blocked",
+    "schema_contract_enforced",
+    "url_ingest_roundtrip",
+    "approx_quantiles",
+    "approx_distinct",
 ]
+
 
 
 
@@ -79,11 +80,12 @@ def test_window_is_first_50():
     assert suite.DRIVER_WINDOW == EXPECTED_WINDOW
 
 
-#: Rows-only slots in the r9 window: NONE — every slot this round is
+#: Rows-only slots in the r11 window: NONE — every slot this round is
 #: oracle-backed, so the driver runs the full rows+schema+hash check on
-#: all 50.  (The rows-only-by-design queries were all driver-executed
-#: in r7 and sit in _PREVIOUSLY_VERIFIED until the stale-first rotation
-#: brings them back.)
+#: all 50 (the two tail slots are this round's rows-only -> bound-audit
+#: conversions, now oracle-backed).  The 7 remaining rows-only-by-design
+#: queries were all driver-executed in r7 and sit in
+#: _PREVIOUSLY_VERIFIED until the stale-first rotation brings them back.
 ROWS_ONLY_SLOTS: set = set()
 
 
