@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import spread
+from ..plans.capture import checkpoint as _ckpt
 
 __all__ = [
     "exact_dedup",
@@ -353,7 +354,7 @@ def minhash_pairs(
         # Materialize while the cached signatures are alive, then
         # release executor storage — a long-lived driver calling this
         # repeatedly must not accumulate cached shingle arrays.
-        return verified.localCheckpoint(eager=True)
+        return _ckpt(verified, label="dedup_result")
     finally:
         with_sig.unpersist()
 
@@ -765,7 +766,7 @@ def containment_prefix_pairs(
                 | (F.col("containment_b_in_a") >= threshold)
             )
         )
-        return pairs.localCheckpoint(eager=True)
+        return _ckpt(pairs, label="dedup_result")
     finally:
         g.unpersist()
 
@@ -939,7 +940,7 @@ def jaccard_prefix_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-        return pairs.localCheckpoint(eager=True)
+        return _ckpt(pairs, label="dedup_result")
     finally:
         g.unpersist()
         if order == "freq" and p is not None:
@@ -1057,7 +1058,7 @@ def duplicated_ngram_spans(
                 ).otherwise(F.lit(0.0)).alias("dup_fraction"),
             )
         )
-        return out.localCheckpoint(eager=True)
+        return _ckpt(out, label="dedup_result")
     finally:
         g.unpersist()
 
@@ -1183,6 +1184,6 @@ def remove_duplicated_spans(
         # materialize before unpersist (same lifecycle as
         # duplicated_ngram_spans): the caller gets a stable frame, not a
         # lazy plan whose cache is already gone
-        return out.localCheckpoint(eager=True)
+        return _ckpt(out, label="dedup_result")
     finally:
         g.unpersist()

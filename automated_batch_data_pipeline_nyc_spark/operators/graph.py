@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.capture import checkpoint as _ckpt
+
 __all__ = [
     "connected_components",
     "assign_components",
@@ -48,17 +50,17 @@ def connected_components(
     hit with labels still moving (a near-dup graph that deep means the
     threshold is catastrophically loose — fail loudly, not wrong).
     """
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        label="cc_edges",
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        label="cc_labels0",
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -66,7 +68,7 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        updated = _ckpt(
             labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
             .select(
                 "node",
@@ -75,8 +77,8 @@ def connected_components(
                 ).alias("component"),
                 (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
                 .alias("__moved"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            label="cc_iter",
         )
         # INTENDED driver action: the convergence probe.  One tiny job
         # per iteration over the just-checkpointed labels (limit(1)
@@ -153,7 +155,7 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    e = _ckpt(e, label="pagerank_edges")
     nodes = e.select(F.col("s").alias("node"))
     if not symmetric:
         nodes = nodes.union(e.select(F.col("d").alias("node")))
@@ -174,7 +176,7 @@ def pagerank(
                 .groupBy(F.col("d").alias("node2"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
             )
-            ranks = (
+            ranks = _ckpt(
                 nodes.join(mass, nodes.node == mass.node2, "left")
                 .select(
                     "node",
@@ -182,8 +184,8 @@ def pagerank(
                         F.lit(base)
                         + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
                     ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                label="pagerank_iter",
             )
         if normalize:
             return ranks.select(
@@ -227,27 +229,27 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        label="kcore_edges",
     )
     for _ in range(max_iterations):
         degrees = edges.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).alias("degree")
         )
-        survivors = degrees.filter(F.col("degree") >= k).localCheckpoint(
-            eager=True
+        survivors = _ckpt(
+            degrees.filter(F.col("degree") >= k), label="kcore_survivors"
         )
         dropped = degrees.filter(F.col("degree") < k).limit(1).count()
         if dropped == 0:
             return survivors
         keep = survivors.select("node")
-        edges = (
+        edges = _ckpt(
             edges.join(keep, edges.a == keep.node, "left_semi")
-            .join(keep, edges.b == keep.node, "left_semi")
-            .localCheckpoint(eager=True)
+            .join(keep, edges.b == keep.node, "left_semi"),
+            label="kcore_peel",
         )
     raise RuntimeError(f"k_core did not converge in {max_iterations} iterations")
 
@@ -315,27 +317,27 @@ def bfs_hops(
             edges.join(deg.filter(F.col("__deg") <= max_degree), "a")
             .select("a", "b")
         )
-    edges = edges.localCheckpoint(eager=True)
-    frontier = (
+    edges = _ckpt(edges, label="bfs_edges")
+    frontier = _ckpt(
         seeds.select(F.col(id_col).alias("node"))
         .distinct()
-        .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .withColumn("hops", F.lit(0).cast("long")),
+        label="bfs_seeds",
     )
     visited = frontier
     for level in range(1, max_hops + 1):
-        nxt = (
+        nxt = _ckpt(
             edges.join(frontier, edges.a == frontier.node)
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(level).cast("long"))
-            .localCheckpoint(eager=True)
+            .withColumn("hops", F.lit(level).cast("long")),
+            label="bfs_level",
         )
         # Pregel-style stop probe (see connected_components): one tiny
         # job over the just-checkpointed frontier.
         if nxt.limit(1).count() == 0:
             return visited
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = _ckpt(visited.unionByName(nxt), label="bfs_visited")
         frontier = nxt
     return visited

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.capture import checkpoint as _ckpt
+
 __all__ = [
     "tokens",
     "token_count",
@@ -1166,7 +1168,8 @@ def bpe_train(
             F.sequence(F.lit(1), F.length("w")),
             lambda i: F.col("w").substr(i, F.lit(1)),
         ),
-    ).localCheckpoint()
+    )
+    vocab = _ckpt(vocab, label="bpe_train_vocab0")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         best = (
@@ -1183,7 +1186,7 @@ def bpe_train(
         merges.append((rank, a, b, n))
         vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
         if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+            vocab = _ckpt(vocab, label="bpe_train_fold")
     return spark.createDataFrame(
         merges, "rank long, left_sym string, right_sym string, pair_count long"
     )
@@ -1233,7 +1236,7 @@ def bpe_encode(
     for rank, (a, b) in enumerate(merges):
         vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
         if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=False)
+            vocab = _ckpt(vocab, eager=False, label="bpe_encode_fold")
     return (
         words.join(vocab.withColumnRenamed("w", "__w"), "__w")
         .groupBy("__id")

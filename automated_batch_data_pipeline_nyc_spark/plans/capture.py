@@ -1,0 +1,60 @@
+"""Checkpoint-boundary plan capture (VERDICT r10 item 3).
+
+``localCheckpoint`` truncates lineage: the frame it returns plans as a
+bare RDD scan, so any physical plan UPSTREAM of a checkpoint — most
+importantly the loop body of the iterative operators (connected
+components, PageRank, BFS, k-core, BPE train), which checkpoint every
+round — is invisible to tools/plan_audit.py's final-plan audit.  A
+cartesian product inside a loop iteration would execute every round
+and still audit as ``exchanges: 0``.
+
+The iterative operators (and the eager result-checkpoint sites in
+dedup) route their checkpoints through :func:`checkpoint`, which —
+only while a :func:`capture_checkpoint_plans` scope is active —
+records the physical plan of the frame being checkpointed, BEFORE the
+truncation hides it.  tools/plan_audit.py opens a scope around each
+query build and audits every captured plan with the same counters it
+runs on the final plan, so the 0-cartesian / bounded-BNLJ gates now
+cover what actually executes per iteration.
+
+Outside a capture scope the wrapper is exactly
+``df.localCheckpoint(eager=eager)`` plus one read of a module global —
+zero planning overhead on the production path.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+__all__ = ["capture_checkpoint_plans", "checkpoint"]
+
+#: Active capture sink: ``None`` outside a scope, else a list of
+#: (label, java SparkPlan) pairs.  Scopes nest by saving/restoring.
+_SINK: list | None = None
+
+
+@contextmanager
+def capture_checkpoint_plans():
+    """Collect ``(label, java_plan)`` for every :func:`checkpoint`
+    taken in scope.  The java plan objects stay valid for the life of
+    the SparkSession; audit them with the same walkers the final plan
+    gets (tools/plan_audit.py)."""
+    global _SINK
+    prev, _SINK = _SINK, []
+    try:
+        yield _SINK
+    finally:
+        _SINK = prev
+
+
+def checkpoint(df: DataFrame, eager: bool = True, label: str = "") -> DataFrame:
+    """``df.localCheckpoint(eager)`` that, inside a capture scope,
+    first records the physical plan the checkpoint is about to hide.
+
+    ``label`` names the call site (e.g. ``"cc_iter"``) so an audit
+    finding points at the right loop."""
+    if _SINK is not None:
+        _SINK.append((label, df._jdf.queryExecution().executedPlan()))
+    return df.localCheckpoint(eager=eager)

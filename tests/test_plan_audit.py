@@ -125,3 +125,74 @@ def test_bnlj_build_sides_are_bounded(plan_report):
         if nonscalar != BNLJ_NONSCALAR_ALLOWED.get(n, []):
             bad[n] = r.get("bnlj_builds")
     assert not bad, f"unreviewed BNLJ build sides in: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-boundary (loop-body) plans — VERDICT r10 item 3
+# ---------------------------------------------------------------------------
+# Eager localCheckpoint truncates lineage, so before r11 the iterative
+# queries audited as 0-exchange unions of checkpoint scans and a
+# cartesian product INSIDE a loop iteration was invisible to the gates
+# above.  plans/capture.py records each plan at the moment the
+# checkpoint hides it; these tests assert the capture actually covers
+# the iterative families and runs the same invariants on what executes
+# per iteration.
+
+#: Queries whose operators loop with per-round checkpoints — the audit
+#: MUST see captured plans for these, or the blind spot is back.
+CHECKPOINTED_ITERATIVE = {
+    "graph_bfs_hops",          # frontier BFS: per-level join + anti-join
+    "dedup_components",        # CC min-label propagation
+    "dedup_pipeline_transitive",
+    "dedup_minhash_transitive",
+    "pagerank_order_part",     # power iteration
+    "dedup_graph_kcore",       # iterative peeling
+    "bpe_train_merges",        # merge-fold truncation every 4 ranks
+    "bpe_encode_tokens",       # vocab fold truncation every 4 merges
+}
+
+
+def test_checkpoint_capture_covers_iterative_families(plan_report):
+    covered = {n for n, r in plan_report.items() if r.get("checkpoints")}
+    missing = CHECKPOINTED_ITERATIVE - covered
+    assert not missing, (
+        f"no checkpoint plans captured for: {sorted(missing)} — "
+        "the loop-body audit blind spot is back"
+    )
+    # and the loop-body plans genuinely show the per-iteration shuffles
+    # the final (post-truncation) plan hides
+    bfs = plan_report["graph_bfs_hops"]["checkpoints"]["labels"]
+    assert bfs["bfs_level"]["exchanges_max"] > 0
+
+
+def test_no_cartesian_in_checkpoint_plans(plan_report):
+    bad = {
+        n: r["checkpoints"]["labels"]
+        for n, r in plan_report.items()
+        if r.get("checkpoints", {}).get("cartesian")
+    }
+    assert not bad, f"CartesianProduct inside a checkpointed loop body: {bad}"
+
+
+def test_no_python_stages_in_checkpoint_plans(plan_report):
+    """Loop bodies and staged pair frames are JVM-only by design — a
+    Python stage executing once per iteration would be the worst place
+    to hide one."""
+    bad = {
+        n: r["checkpoints"]
+        for n, r in plan_report.items()
+        if r.get("checkpoints", {}).get("python_eval")
+    }
+    assert not bad, f"Python eval inside a checkpointed plan: {bad}"
+
+
+def test_checkpoint_bnlj_builds_are_bounded(plan_report):
+    """Same build-side discipline as the final-plan gate: a frame-sized
+    broadcast through a nested loop can't hide behind a checkpoint."""
+    bad = {}
+    for n, r in plan_report.items():
+        builds = r.get("checkpoints", {}).get("bnlj_builds", [])
+        nonscalar = [k for k in builds if k != "scalar_agg"]
+        if nonscalar:
+            bad[n] = builds
+    assert not bad, f"unreviewed BNLJ build sides in checkpointed plans: {bad}"

@@ -35,10 +35,22 @@ the plan features that decide 100 TB behavior:
                        listed here so the claim is auditable, not vibes
 - ``wscg``             WholeStageCodegen span count (JVM-side pipelines)
 
+Checkpoint-boundary plans are audited too (VERDICT r10 item 3): eager
+``localCheckpoint`` truncates lineage, so the loop-body plans of the
+iterative operators (CC / PageRank / BFS / k-core / BPE train) — which
+checkpoint every round — never reach the FINAL plan.  The operators
+route checkpoints through plans/capture.py; the audit opens a capture
+scope per query and runs the same counters on every captured plan,
+recorded per query under ``checkpoints`` (per-label exchange maxima +
+cartesian/BNLJ/python totals).  The 0-cartesian gate therefore covers
+what actually executes per iteration, not just the post-truncation
+union of checkpoint scans.
+
 Usage: ``python tools/plan_audit.py [sf_dir]`` (default
 /root/testdata/sf0.001).  Streaming-backed queries EXECUTE their
 micro-batches during construction, so the audit runs them at the small
-sf; everything else is plan-only (no job runs).
+sf; everything else is plan-only (no job runs) — except the iterative
+queries, whose eager checkpoints run their loops at the small sf.
 """
 
 from __future__ import annotations
@@ -161,7 +173,70 @@ def _bnlj_builds(plan) -> list[str]:
     return sorted(out)
 
 
+def _audit_one(jplan) -> dict:
+    """Counter set for ONE physical plan (final or checkpoint-captured)."""
+    plan = jplan.toString()
+    bnlj_builds = _bnlj_builds(jplan)
+    # Blind-spot backstop: if the treeString shows MORE BNLJs
+    # than the walk classified (a traversal gap), pad with a
+    # loud verdict so the gate fails instead of under-covering.
+    # (The walk legitimately sees >= the string when subquery
+    # plans aren't printed — a superset is fine.)
+    gap = plan.count("BroadcastNestedLoopJoin") - len(bnlj_builds)
+    if gap > 0:
+        bnlj_builds = sorted(bnlj_builds + ["opaque:unwalked"] * gap)
+    unpart = _unpartitioned_specs(plan)
+    return {
+        "exchanges": plan.count("Exchange"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "bnlj_builds": bnlj_builds,
+        "cartesian": plan.count("CartesianProduct"),
+        "python_eval": (
+            plan.count("BatchEvalPython")
+            + plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        ),
+        "unpart_windows": len(unpart),
+        "unpart_window_specs": unpart,
+        "wscg": plan.count("WholeStageCodegen"),
+    }
+
+
+def _audit_checkpoints(captured) -> dict:
+    """Aggregate the counters of every checkpoint-captured plan
+    (VERDICT r10 item 3): iterative operators truncate lineage per
+    round, so their loop-body plans never reach the final-plan audit.
+    The capture scope (plans/capture.py) hands us each plan at the
+    moment it is about to be hidden; counts here are per-DISTINCT-label
+    maxima plus totals, so a cartesian in ANY iteration trips the gate
+    while the record stays iteration-count-independent."""
+    per_label: dict[str, dict] = {}
+    totals = {"cartesian": 0, "bnlj": 0, "python_eval": 0, "unpart_windows": 0}
+    bnlj_builds: list[str] = []
+    for label, jplan in captured:
+        a = _audit_one(jplan)
+        for k in totals:
+            totals[k] += a[k]
+        bnlj_builds += a["bnlj_builds"]
+        cur = per_label.setdefault(
+            label, {"n": 0, "exchanges_max": 0, "cartesian": 0}
+        )
+        cur["n"] += 1
+        cur["exchanges_max"] = max(cur["exchanges_max"], a["exchanges"])
+        cur["cartesian"] += a["cartesian"]
+    return {
+        "n_plans": sum(v["n"] for v in per_label.values()),
+        "labels": {k: per_label[k] for k in sorted(per_label)},
+        "bnlj_builds": sorted(bnlj_builds),
+        **totals,
+    }
+
+
 def audit(sf_dir: str, spark=None) -> dict:
+    from automated_batch_data_pipeline_nyc_spark.plans.capture import (
+        capture_checkpoint_plans,
+    )
     from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
 
     if spark is None:
@@ -172,37 +247,16 @@ def audit(sf_dir: str, spark=None) -> dict:
     report: dict[str, dict] = {}
     for name, q in QUERIES.items():
         try:
-            df = q.spark(spark, sf_dir)
-            jplan = df._jdf.queryExecution().executedPlan()
-            plan = jplan.toString()
-            bnlj_builds = _bnlj_builds(jplan)
-            # Blind-spot backstop: if the treeString shows MORE BNLJs
-            # than the walk classified (a traversal gap), pad with a
-            # loud verdict so the gate fails instead of under-covering.
-            # (The walk legitimately sees >= the string when subquery
-            # plans aren't printed — a superset is fine.)
-            gap = plan.count("BroadcastNestedLoopJoin") - len(bnlj_builds)
-            if gap > 0:
-                bnlj_builds = sorted(bnlj_builds + ["opaque:unwalked"] * gap)
+            with capture_checkpoint_plans() as captured:
+                df = q.spark(spark, sf_dir)
+                jplan = df._jdf.queryExecution().executedPlan()
+                entry = _audit_one(jplan)
+                if captured:
+                    entry["checkpoints"] = _audit_checkpoints(captured)
         except Exception as exc:  # surface, keep auditing
             report[name] = {"error": repr(exc)[:200]}
             continue
-        unpart = _unpartitioned_specs(plan)
-        report[name] = {
-            "exchanges": plan.count("Exchange"),
-            "bnlj": plan.count("BroadcastNestedLoopJoin"),
-            "bnlj_builds": bnlj_builds,
-            "cartesian": plan.count("CartesianProduct"),
-            "python_eval": (
-                plan.count("BatchEvalPython")
-                + plan.count("ArrowEvalPython")
-                + plan.count("MapInPandas")
-                + plan.count("FlatMapGroupsInPandas")
-            ),
-            "unpart_windows": len(unpart),
-            "unpart_window_specs": unpart,
-            "wscg": plan.count("WholeStageCodegen"),
-        }
+        report[name] = entry
     return report
 
 
@@ -212,6 +266,25 @@ def main() -> None:
     errors = {n: r for n, r in report.items() if "error" in r}
     cart = [n for n, r in report.items() if r.get("cartesian")]
     py = [n for n, r in report.items() if r.get("python_eval")]
+    # Checkpoint-boundary coverage (VERDICT r10 item 3): per-iteration /
+    # pre-truncation plans, so e.g. graph_bfs_hops no longer audits as
+    # a 0-exchange union of checkpoint scans.
+    ckpt_cart = [
+        n for n, r in report.items()
+        if r.get("checkpoints", {}).get("cartesian")
+    ]
+    ckpt_py = [
+        n for n, r in report.items()
+        if r.get("checkpoints", {}).get("python_eval")
+    ]
+    ckpt_cover = {
+        n: {
+            lbl: d["exchanges_max"]
+            for lbl, d in r["checkpoints"]["labels"].items()
+        }
+        for n, r in report.items()
+        if r.get("checkpoints")
+    }
     unpart = {
         n: r["unpart_windows"] for n, r in report.items()
         if r.get("unpart_windows")
@@ -231,10 +304,13 @@ def main() -> None:
         "summary": {
             "errors": sorted(errors),
             "cartesian": sorted(cart),
+            "cartesian_in_checkpoints": sorted(ckpt_cart),
             "python_eval": sorted(py),
+            "python_eval_in_checkpoints": sorted(ckpt_py),
             "unpartitioned_windows": dict(sorted(unpart.items())),
             "bnlj_opaque": dict(sorted(bnlj_opaque.items())),
             "bnlj_rdd_scan": bnlj_rdd,
+            "checkpoint_coverage": dict(sorted(ckpt_cover.items())),
         },
         "queries": report,
     }
