@@ -249,6 +249,254 @@ def _run() -> dict:
     }
 
 
+# ===========================================================================
+# Family scale sweep (VERDICT r10 item 5): per-family wall-time scaling
+# exponents across sf0.001 / sf0.01 / sf0.1 / derived sf0.5.
+# ===========================================================================
+
+#: Representative production-path queries per family, with the table
+#: whose row count drives each query's work (exponents are computed
+#: against ROWS, not sf labels — documents holds 500 rows at BOTH
+#: sf0.001 and sf0.01, so a label-based exponent would divide by
+#: log(1)).
+SWEEP_FAMILIES: dict[str, list[tuple[str, str]]] = {
+    "dedup": [
+        ("dedup_exact", "documents"),
+        ("dedup_minhash", "documents"),
+        ("dedup_minhash_transitive", "documents"),
+        ("dedup_simhash", "documents"),
+        ("dedup_ngram_jaccard_prefix", "documents"),
+        ("dedup_ngram_jaccard_freq", "documents"),
+        ("dedup_span_removal", "documents"),
+        ("dedup_incremental_batch", "documents"),
+        ("dedup_pipeline_transitive", "documents"),
+        ("url_canonical_dedup", "documents"),
+    ],
+    "similarity": [
+        ("similarity_topk", "embeddings"),
+        ("similarity_lsh_topk", "embeddings"),
+        ("similarity_ivf_topk", "embeddings"),
+        ("dedup_embedding_cosine_lsh", "embeddings"),
+        ("semdedup_prune", "embeddings"),
+        ("knn_join_batch", "embeddings"),
+        ("embedding_centroids", "embeddings"),
+        ("embedding_pca_project", "embeddings"),
+    ],
+    "graph": [
+        ("dedup_components", "documents"),
+        ("dedup_graph_kcore", "documents"),
+        ("dedup_graph_triangles", "documents"),
+        ("graph_bfs_hops", "documents"),
+        ("pagerank_order_part", "lineitem"),
+    ],
+    "text": [
+        ("text_token_stats", "documents"),
+        ("text_quality_scores", "documents"),
+        ("text_language_id", "documents"),
+        ("quality_classifier_scores", "documents"),
+        ("bm25_search", "documents"),
+        ("bpe_encode_tokens", "documents"),
+        ("lm_perplexity_scores", "documents"),
+        ("text_normalize_nfc", "documents"),
+        ("html_text_extraction", "documents"),
+        ("inverted_index_postings", "documents"),
+    ],
+    "relational": [
+        ("pricing_summary", "lineitem"),
+        ("sql_revenue_by_nation", "lineitem"),
+        ("join_broadcast_dims", "customer"),
+        ("nation_year_profit", "lineitem"),
+        ("window_moving_avg", "events"),
+        ("sessionize_events", "events"),
+        ("cube_order_counts", "orders"),
+    ],
+    "streaming": [
+        ("streaming_hourly_counts", "events"),
+        ("streaming_dedup_counts", "events"),
+        ("streaming_ewma", "events"),
+    ],
+}
+
+#: A family whose steepest per-query exponent (largest leg, rows>=2x)
+#: exceeds this is flagged super-linear.  All swept paths declare
+#: ~linear (at most n log n) complexity; small-scale measurements also
+#: carry fixed per-job overhead that biases exponents DOWN, so a
+#: measured exponent above 1.3 means real super-linear growth.
+SWEEP_SUPERLINEAR_FLAG = 1.3
+
+_SWEEP_MARK_BEGIN = "<!-- SWEEP:BEGIN (generated by bench.py --sweep) -->"
+_SWEEP_MARK_END = "<!-- SWEEP:END -->"
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
+def _sweep(sf_dirs: list[str]) -> dict:
+    """Run every family query at every sf dir, compute per-leg
+    row-scaling exponents, return the full record (also rewrites the
+    marked section of SCALING.md)."""
+    import math
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from automated_batch_data_pipeline_nyc_spark.session import get_session
+    from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
+
+    spark = get_session("automated_batch_data_pipeline_nyc_spark-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    # same warmups as the bench path
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(1_000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    for d in sf_dirs:
+        warm = spark.read.parquet(os.path.join(d, "region.parquet"))
+        warm.persist().count()
+        warm.localCheckpoint(eager=True).count()
+        warm.unpersist()
+
+    times: dict[str, dict[str, float]] = {}
+    rows: dict[str, dict[str, int]] = {}
+    for fam, members in SWEEP_FAMILIES.items():
+        for qname, table in members:
+            times[qname] = {}
+            rows[qname] = {}
+            for d in sf_dirs:
+                rows[qname][d] = _table_rows(d, table)
+    for d in sf_dirs:
+        for fam, members in SWEEP_FAMILIES.items():
+            for qname, _ in members:
+                q = QUERIES[qname]
+                t0 = time.perf_counter()
+                try:
+                    q.spark(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                except Exception as exc:
+                    print(f"sweep: {qname}@{d} FAILED: {exc!r}", file=sys.stderr)
+                    dt = -1.0
+                times[qname][d] = round(dt, 3)
+                print(f"sweep: {qname}@{os.path.basename(d)} {dt:.2f}s",
+                      file=sys.stderr)
+
+    # per-query exponent on each leg with a real row increase
+    exps: dict[str, dict[str, float]] = {}
+    for qname, per_sf in times.items():
+        exps[qname] = {}
+        for d1, d2 in zip(sf_dirs, sf_dirs[1:]):
+            n1, n2 = rows[qname][d1], rows[qname][d2]
+            t1, t2 = per_sf[d1], per_sf[d2]
+            if n2 >= 2 * n1 and t1 > 0 and t2 > 0:
+                leg = f"{os.path.basename(d1)}->{os.path.basename(d2)}"
+                exps[qname][leg] = round(
+                    math.log(t2 / t1) / math.log(n2 / n1), 3
+                )
+
+    fam_summary = {}
+    for fam, members in SWEEP_FAMILIES.items():
+        last_leg_exps = []
+        for qname, _ in members:
+            if exps[qname]:
+                last_leg_exps.append(exps[qname][sorted(exps[qname])[-1]])
+        last_leg_exps.sort()
+        med = last_leg_exps[len(last_leg_exps) // 2] if last_leg_exps else None
+        worst = max(last_leg_exps) if last_leg_exps else None
+        fam_summary[fam] = {
+            "median_exponent": med,
+            "max_exponent": worst,
+            "superlinear": bool(
+                worst is not None and worst > SWEEP_SUPERLINEAR_FLAG
+            ),
+            "totals": {
+                os.path.basename(d): round(
+                    sum(t[d] for q, _ in members if (t := times[q])[d] > 0), 2
+                )
+                for d in sf_dirs
+            },
+        }
+
+    record = {
+        "metric": "family_scale_sweep",
+        "sf_dirs": sf_dirs,
+        "families": fam_summary,
+        "times": times,
+        "rows": rows,
+        "exponents": exps,
+        "superlinear_flag_threshold": SWEEP_SUPERLINEAR_FLAG,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "SWEEP.json"), "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    _write_sweep_md(record)
+    return record
+
+
+def _write_sweep_md(record: dict) -> None:
+    """Rewrite the marked sweep section of SCALING.md."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(repo, "SCALING.md")
+    sf_names = [os.path.basename(d) for d in record["sf_dirs"]]
+    lines = [
+        _SWEEP_MARK_BEGIN,
+        "",
+        "## Family scale sweep (regenerate: `python bench.py --sweep`)",
+        "",
+        "Wall seconds per family at each scale (sum over the family's",
+        "representative production queries; noop sink, warmed session) and",
+        "the per-query wall-time scaling exponent alpha on the largest leg",
+        "(t ~ rows^alpha, computed against the DRIVING TABLE's row counts —",
+        "documents is 500 rows at both sf0.001 and sf0.01, so that leg is",
+        "skipped for document families).  The sf0.5 fixtures are derived",
+        "from sf0.1 by tools/make_sf_scale.py (5 disjoint replicas:",
+        "vocabulary-bijected documents, sign-flipped embeddings, key-shifted",
+        "facts+dims), preserving per-replica workload character so the",
+        "exponent measures the ENGINE, not replication artifacts.  Exponents",
+        f"above {record['superlinear_flag_threshold']} flag super-linear growth;"
+        " fixed per-job overhead biases small-scale exponents DOWN, so",
+        "sub-linear readings mean overhead still dominates, not magic.",
+        "Column-order caveat: scales run smallest-first in one session, so",
+        "each query's FIRST-ever execution (its own codegen/JIT, ~1-5 s on",
+        "the heavy dedup pipelines) lands in the sf0.001 column — that",
+        "column overstates steady-state cost and the headline exponents are",
+        "the all-warm sf0.1->sf0.5 leg.",
+        "",
+        "| family | " + " | ".join(f"{n} (s)" for n in sf_names)
+        + " | median alpha | max alpha | verdict |",
+        "|---|" + "---|" * (len(sf_names) + 3),
+    ]
+    for fam, s in record["families"].items():
+        totals = " | ".join(str(s["totals"][n]) for n in sf_names)
+        verdict = "**SUPER-LINEAR**" if s["superlinear"] else "linear-or-better"
+        lines.append(
+            f"| {fam} | {totals} | {s['median_exponent']} | "
+            f"{s['max_exponent']} | {verdict} |"
+        )
+    lines += [
+        "",
+        "Per-query detail (times, rows, per-leg exponents): `SWEEP.json`.",
+        "",
+        _SWEEP_MARK_END,
+    ]
+    block = "\n".join(lines)
+    md = open(path).read()
+    if _SWEEP_MARK_BEGIN in md:
+        pre = md[: md.index(_SWEEP_MARK_BEGIN)]
+        post = md[md.index(_SWEEP_MARK_END) + len(_SWEEP_MARK_END):]
+        md = pre + block + post
+    else:
+        # insert after the H1 title line
+        nl = md.index("\n", md.index("# ")) + 1
+        md = md[:nl] + "\n" + block + "\n" + md[nl:]
+    with open(path, "w") as fh:
+        fh.write(md)
+
+
 #: Auto-rerun noise gate (VERDICT r9 item 6; picker rebuilt per VERDICT
 #: r10 item 1): a run is presumed host-load-contaminated — and the suite
 #: re-measured in a fresh subprocess, up to _MAX_BENCH_RUNS total — when
@@ -323,6 +571,28 @@ def _run_child() -> dict:
 
 
 if __name__ == "__main__":
+    if "--sweep" in sys.argv or "--families" in sys.argv:
+        _repo = os.path.dirname(os.path.abspath(__file__))
+        dirs = [
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1",
+        ]
+        derived = "/tmp/spark_graft_scale/sf0.5"
+        if not os.path.isdir(derived):
+            import subprocess
+
+            print("sweep: deriving sf0.5 fixtures (tools/make_sf_scale.py)",
+                  file=sys.stderr)
+            subprocess.run(
+                [sys.executable, os.path.join(_repo, "tools", "make_sf_scale.py")],
+                check=True,
+            )
+        record = _sweep(dirs + [derived])
+        print(json.dumps(
+            {"metric": "family_scale_sweep", "families": record["families"]}
+        ))
+        sys.exit(0)
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
         print(json.dumps(_run()))
         sys.exit(0)
