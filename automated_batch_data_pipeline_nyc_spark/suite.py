@@ -4741,12 +4741,31 @@ def _equi_depth(spark, sf_dir):
 
 @_q(
     "hll_mergeable_rollup",
-    None,
+    """
+    SELECT event_type,
+      CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_partial_days,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS union_within_tol
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
     doc="mergeable distinct-count rollup: per-(event_type, day) DataSketches "
         "HLL partials (one corpus shuffle, sketches are ~2^lg_k bytes each), "
         "then per-type union + estimate over the dashboard-sized partials "
-        "table — coarser rollups never rescan the corpus; estimates are "
-        "sketch-engine-specific (rows-only), union==direct pinned by pytest",
+        "table — coarser rollups never rescan the corpus.  BOUND-AUDIT "
+        "oracle form (VERDICT r10 item 4 recipe; was rows-only): the "
+        "registered result is the partial-grain cardinality (n_partial_days "
+        "— hash-exact proof the rollup really aggregated per-day sketches) "
+        "+ exact per-type distinct users + a boolean |union_est - exact| <= "
+        "3*(1.04/sqrt(2^12))*exact verdict on the unioned estimate "
+        "(measured rel-err 0.000/0.008 at sf0.01/sf0.1, deterministic "
+        "across 3 runs; tol 0.049).  The union estimate itself stays "
+        "engine-specific and deliberately out of the hash; note union != "
+        "single-shot direct estimate in dense mode (the union drops the "
+        "HIP accumulator — 1488 vs 1494 at sf0.1), which is why the audit "
+        "bounds it against EXACT, not against the direct sketch.  partials "
+        "feed two consumers (day count + union) so they stage through a "
+        "lazy localCheckpoint (SCALING.md scalar-reuse trap).",
 )
 def _hll_rollup(spark, sf_dir):
     from .operators.stats import hll_partial_sketches, hll_union_estimate
@@ -4754,9 +4773,31 @@ def _hll_rollup(spark, sf_dir):
     (events,) = _load(spark, sf_dir, "events")
     base = events.filter(F.col("user_id").isNotNull())
     partials = hll_partial_sketches(
-        base.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+        base.withColumn("day", F.date_trunc("day", "ts")),
+        ["event_type", "day"],
+        "user_id",
+    ).localCheckpoint(eager=False)
+    union = hll_union_estimate(partials, ["event_type"])
+    counts = partials.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_partial_days")
     )
-    return hll_union_estimate(partials, ["event_type"])
+    exact = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    tol = 3 * 1.04 / 2 ** 6  # 3 sigma at lg_k=12
+    return (
+        counts.join(union, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_partial_days",
+            "exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                <= F.lit(tol) * F.col("exact_users")
+            ).alias("union_within_tol"),
+        )
+    )
 
 
 @_q(
@@ -13293,10 +13334,10 @@ DRIVER_WINDOW: list[str] = [
     "scalar_function_battery",
     "containment_pairs_blocked",
     "schema_contract_enforced",
-    "url_ingest_roundtrip",
     # re-verification of this round's rows-only -> bound-audit conversions
     "approx_quantiles",
     "approx_distinct",
+    "hll_mergeable_rollup",
 ]
 
 
@@ -13316,6 +13357,7 @@ _NEXT_WINDOW_QUEUE: list[str] = []
 #: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
 _PREVIOUSLY_VERIFIED: list[str] = [
     # most recent driver-green row: round 6 (CORRECTNESS_r06.json)
+    "url_ingest_roundtrip",
     "sql_extract_roundtrip",
     "window_range_frame_sum",
     "set_ops_multiset",
@@ -13375,7 +13417,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "dedup_minhash_transitive",
     "dedup_simhash",
     "similarity_ivf_topk",
-    "hll_mergeable_rollup",
     "bpe_train_merges",
     "dedup_graph_kcore",
     "hll_audience_overlap",
