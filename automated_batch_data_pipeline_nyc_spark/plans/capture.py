@@ -28,11 +28,17 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-__all__ = ["capture_checkpoint_plans", "checkpoint"]
+__all__ = ["capture_checkpoint_plans", "capture_all_checkpoints", "checkpoint"]
 
 #: Active capture sink: ``None`` outside a scope, else a list of
 #: (label, java SparkPlan) pairs.  Scopes nest by saving/restoring.
 _SINK: list | None = None
+
+#: True while :func:`checkpoint` is inside its own localCheckpoint call
+#: — lets the catch-all patch below skip plans the routed wrapper
+#: already recorded under their real label (audit runs single-threaded;
+#: streaming micro-batch threads only hit UNROUTED sites).
+_IN_ROUTED = False
 
 
 @contextmanager
@@ -49,12 +55,52 @@ def capture_checkpoint_plans():
         _SINK = prev
 
 
+@contextmanager
+def capture_all_checkpoints():
+    """:func:`capture_checkpoint_plans` plus a temporary
+    ``DataFrame.localCheckpoint`` patch, so call sites NOT routed
+    through :func:`checkpoint` — the suite's lazy staging frames, the
+    streaming merge — are captured too (label ``"unrouted"``).  Audit
+    scopes only; the patch is restored on exit and production code
+    never runs under it.
+
+    The patch targets the CONCRETE class: in Spark 4
+    ``pyspark.sql.DataFrame`` is the dispatch ABC and instances are
+    ``pyspark.sql.classic.dataframe.DataFrame``, whose own method
+    would shadow a patch on the parent."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ConcreteDF
+    except ImportError:  # older Spark: one class
+        _ConcreteDF = DataFrame
+    orig = _ConcreteDF.localCheckpoint
+
+    def patched(self, eager: bool = True):
+        if _SINK is not None and not _IN_ROUTED:
+            _SINK.append(
+                ("unrouted", self._jdf.queryExecution().executedPlan())
+            )
+        return orig(self, eager=eager)
+
+    _ConcreteDF.localCheckpoint = patched
+    try:
+        with capture_checkpoint_plans() as sink:
+            yield sink
+    finally:
+        _ConcreteDF.localCheckpoint = orig
+
+
 def checkpoint(df: DataFrame, eager: bool = True, label: str = "") -> DataFrame:
     """``df.localCheckpoint(eager)`` that, inside a capture scope,
     first records the physical plan the checkpoint is about to hide.
 
     ``label`` names the call site (e.g. ``"cc_iter"``) so an audit
     finding points at the right loop."""
+    global _IN_ROUTED
     if _SINK is not None:
         _SINK.append((label, df._jdf.queryExecution().executedPlan()))
+        _IN_ROUTED = True
+        try:
+            return df.localCheckpoint(eager=eager)
+        finally:
+            _IN_ROUTED = False
     return df.localCheckpoint(eager=eager)

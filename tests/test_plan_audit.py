@@ -186,6 +186,17 @@ def test_no_python_stages_in_checkpoint_plans(plan_report):
     assert not bad, f"Python eval inside a checkpointed plan: {bad}"
 
 
+#: Nonscalar BNLJ build sides inside CHECKPOINTED (staged/loop) plans,
+#: pinned exactly like BNLJ_NONSCALAR_ALLOWED for final plans.
+CHECKPOINT_BNLJ_NONSCALAR_ALLOWED = {
+    # n_buckets-row bucket-offset frames, localCheckpoint'd (the same
+    # bound the final-plan audit notes for gini's rdd_scan build)
+    "gini_revenue_concentration": ["rdd_scan"] * 4,
+    # k-row TakeOrderedAndProject frame (top-k-bounded by construction)
+    "semdedup_prune": ["opaque:TakeOrderedAndProject"],
+}
+
+
 def test_checkpoint_bnlj_builds_are_bounded(plan_report):
     """Same build-side discipline as the final-plan gate: a frame-sized
     broadcast through a nested loop can't hide behind a checkpoint."""
@@ -193,6 +204,6 @@ def test_checkpoint_bnlj_builds_are_bounded(plan_report):
     for n, r in plan_report.items():
         builds = r.get("checkpoints", {}).get("bnlj_builds", [])
         nonscalar = [k for k in builds if k != "scalar_agg"]
-        if nonscalar:
+        if nonscalar != CHECKPOINT_BNLJ_NONSCALAR_ALLOWED.get(n, []):
             bad[n] = builds
     assert not bad, f"unreviewed BNLJ build sides in checkpointed plans: {bad}"

@@ -40,7 +40,10 @@ Checkpoint-boundary plans are audited too (VERDICT r10 item 3): eager
 iterative operators (CC / PageRank / BFS / k-core / BPE train) — which
 checkpoint every round — never reach the FINAL plan.  The operators
 route checkpoints through plans/capture.py; the audit opens a capture
-scope per query and runs the same counters on every captured plan,
+scope per query (which also patches DataFrame.localCheckpoint so
+UN-routed sites — lazy staging frames, the streaming merge — are
+captured as label "unrouted") and runs the same counters on every
+captured plan,
 recorded per query under ``checkpoints`` (per-label exchange maxima +
 cartesian/BNLJ/python totals).  The 0-cartesian gate therefore covers
 what actually executes per iteration, not just the post-truncation
@@ -181,8 +184,16 @@ def _audit_one(jplan) -> dict:
     # than the walk classified (a traversal gap), pad with a
     # loud verdict so the gate fails instead of under-covering.
     # (The walk legitimately sees >= the string when subquery
-    # plans aren't printed — a superset is fine.)
-    gap = plan.count("BroadcastNestedLoopJoin") - len(bnlj_builds)
+    # plans aren't printed — a superset is fine.)  An unexecuted
+    # AdaptiveSparkPlan's toString prints the whole tree TWICE
+    # (Current Plan + Initial Plan sections) while the walk visits
+    # each join once — halve the string count (rounded up) when the
+    # section marker is present, or every captured staged frame
+    # would pad a phantom opaque:unwalked per real join.
+    string_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if "== Initial Plan ==" in plan:
+        string_bnlj = -(-string_bnlj // 2)
+    gap = string_bnlj - len(bnlj_builds)
     if gap > 0:
         bnlj_builds = sorted(bnlj_builds + ["opaque:unwalked"] * gap)
     unpart = _unpartitioned_specs(plan)
@@ -235,7 +246,7 @@ def _audit_checkpoints(captured) -> dict:
 
 def audit(sf_dir: str, spark=None) -> dict:
     from automated_batch_data_pipeline_nyc_spark.plans.capture import (
-        capture_checkpoint_plans,
+        capture_all_checkpoints,
     )
     from automated_batch_data_pipeline_nyc_spark.suite import QUERIES
 
@@ -247,7 +258,7 @@ def audit(sf_dir: str, spark=None) -> dict:
     report: dict[str, dict] = {}
     for name, q in QUERIES.items():
         try:
-            with capture_checkpoint_plans() as captured:
+            with capture_all_checkpoints() as captured:
                 df = q.spark(spark, sf_dir)
                 jplan = df._jdf.queryExecution().executedPlan()
                 entry = _audit_one(jplan)
