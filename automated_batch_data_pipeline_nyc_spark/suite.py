@@ -13275,14 +13275,15 @@ def _temporal_split(spark, sf_dir):
 #: stale); slots 2-5 = the four r5-era queries the r10 rotation displaced
 #: (containment_pairs_prefix, dedup_minhash_portable,
 #: dedup_simhash_portable, asof_next_purchase); slots 6-48 = the rest of
-#: the stale-first queue (the remaining r5-green bucket).  The two tail
-#: slots diverge from the tool's proposal ON PURPOSE, repeating the
-#: documented r9/r10 precedent: approx_quantiles and approx_distinct were
-#: converted from rows-only to BOUND-AUDIT oracle forms this round
-#: (VERDICT r10 item 4) — their REGISTERED FORMS changed, so their
-#: r7-green rows-only records no longer describe them; they take the last
-#: two slots (the displaced pair — sql_extract_roundtrip,
-#: window_range_frame_sum — heads the r12 stale queue).
+#: the stale-first queue (the remaining r5-green bucket).  The three
+#: tail slots diverge from the tool's proposal ON PURPOSE, repeating the
+#: documented r9/r10 precedent: approx_quantiles, approx_distinct and
+#: hll_mergeable_rollup were converted from rows-only to BOUND-AUDIT
+#: oracle forms this round (VERDICT r10 item 4) — their REGISTERED FORMS
+#: changed, so their r7-green rows-only records no longer describe them;
+#: they take the last three slots (the displaced trio —
+#: url_ingest_roundtrip, sql_extract_roundtrip, window_range_frame_sum —
+#: heads the r12 stale queue).
 DRIVER_WINDOW: list[str] = [
     # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",

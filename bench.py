@@ -53,6 +53,39 @@ import time
 CALIB_ANCHOR_S = 0.55
 
 
+def _warm_session(spark, sf_dirs: list[str]) -> None:
+    """One warm-up recipe for BOTH measurement paths (_run and _sweep):
+    the block has been re-tuned three times (r5 added the Arrow pool,
+    r10 the parquet/cache/checkpoint machinery), and a tuning applied
+    to one path but not the other skews whichever column that path
+    measures cold.
+
+    - JVM/codegen path, so the first timed query doesn't absorb
+      session bring-up;
+    - the Python/Arrow worker pool: the first mapInPandas stage
+      otherwise absorbs ~2-3 s of daemon spin-up, charging it to
+      whichever query happens to run first after a window rotation
+      (round 5 measured 3.0 s first run vs 0.7 s steady-state);
+    - the first-REAL-query machinery: parquet reader/footer paths, the
+      cache manager (persist), and the localCheckpoint RDD path each
+      initialize lazily — round 10 measured window slot 1 absorbing
+      ~6 s of these one-time costs at sf0.1 (8.3 s cold vs 1.8 s warm
+      for the same query).  Warmed on each sf dir's 5-row region table
+      so timings compare on query cost, not position.
+    """
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(1_000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    for d in sf_dirs:
+        warm = spark.read.parquet(os.path.join(d, "region.parquet"))
+        warm.persist().count()
+        warm.localCheckpoint(eager=True).count()
+        warm.unpersist()
+
+
 def _run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -66,32 +99,7 @@ def _run() -> dict:
 
     spark = get_session("automated_batch_data_pipeline_nyc_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm the JVM/codegen path once so the first timed query doesn't
-    # absorb session bring-up.
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # ... and the Python/Arrow worker pool: the first mapInPandas stage
-    # otherwise absorbs ~2-3 s of daemon spin-up, charging it to
-    # whichever query happens to run first after a window rotation
-    # (round 5 measured 3.0 s first run vs 0.7 s steady-state on the
-    # same query).
-    spark.range(1_000).mapInPandas(lambda it: it, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # ... and the first-REAL-query machinery: parquet reader/footer
-    # paths, the cache manager (persist), and the localCheckpoint RDD
-    # path each initialize lazily, and round 10 measured whichever
-    # query sits in window slot 1 absorbing ~6 s of these one-time
-    # session costs at sf0.1 (8.3 s cold vs 1.8 s warm for the same
-    # query, both fresh frames).  Warm them on the 5-row region table
-    # so slot-1 timings compare across rounds on query cost, not
-    # rotation position.
-    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
-    warm.persist().count()
-    warm.localCheckpoint(eager=True).count()
-    warm.unpersist()
+    _warm_session(spark, [sf_dir])
 
     # Host-speed calibration anchor: a fixed CPU-bound workload timed on
     # the warmed session.  This host's effective CPU allocation varies
@@ -346,18 +354,7 @@ def _sweep(sf_dirs: list[str]) -> dict:
 
     spark = get_session("automated_batch_data_pipeline_nyc_spark-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    # same warmups as the bench path
-    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    spark.range(1_000).mapInPandas(lambda it: it, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    for d in sf_dirs:
-        warm = spark.read.parquet(os.path.join(d, "region.parquet"))
-        warm.persist().count()
-        warm.localCheckpoint(eager=True).count()
-        warm.unpersist()
+    _warm_session(spark, sf_dirs)
 
     times: dict[str, dict[str, float]] = {}
     rows: dict[str, dict[str, int]] = {}
@@ -485,12 +482,17 @@ def _write_sweep_md(record: dict) -> None:
     ]
     block = "\n".join(lines)
     md = open(path).read()
-    if _SWEEP_MARK_BEGIN in md:
-        pre = md[: md.index(_SWEEP_MARK_BEGIN)]
-        post = md[md.index(_SWEEP_MARK_END) + len(_SWEEP_MARK_END):]
-        md = pre + block + post
+    begin = md.find(_SWEEP_MARK_BEGIN)
+    end = md.find(_SWEEP_MARK_END, begin)
+    if begin != -1 and end != -1:
+        md = md[:begin] + block + md[end + len(_SWEEP_MARK_END):]
     else:
-        # insert after the H1 title line
+        # No (intact) marker pair — a hand edit may have truncated the
+        # block.  Drop an orphan BEGIN line if present, then insert a
+        # fresh block after the H1 title: the ~10-minute measurement
+        # must never die on a doc-formatting wrinkle.
+        if begin != -1:
+            md = md[:begin] + md[md.find("\n", begin) + 1:]
         nl = md.index("\n", md.index("# ")) + 1
         md = md[:nl] + "\n" + block + "\n" + md[nl:]
     with open(path, "w") as fh:
@@ -526,10 +528,17 @@ def _run_looks_loaded(r: dict) -> str | None:
             f"{_RERUN_GATE}x anchor ({CALIB_ANCHOR_S})"
         )
     warm = r.get("calib_samples", [])[1:]
-    if warm and max(warm) > _STEADY_RERUN_GATE_S:
+    # The steady gate scales with the run's own cold probe on hosts
+    # slower than the anchor (allocation swings 2-8x are documented):
+    # an absolute 0.35 s would flag EVERY run on a persistently slow
+    # host and burn all 3 suite runs per bench for nothing.  On a
+    # quiet-or-anchor-speed host the factor is 1 and the gate is the
+    # measured 0.35 s regime split.
+    gate = _STEADY_RERUN_GATE_S * max(1.0, r["calib_s"] / CALIB_ANCHOR_S)
+    if warm and max(warm) > gate:
         return (
             f"warm calib samples {warm} exceed "
-            f"{_STEADY_RERUN_GATE_S}s — mid-run load burst"
+            f"{round(gate, 3)}s — mid-run load burst"
         )
     return None
 
@@ -537,15 +546,19 @@ def _run_looks_loaded(r: dict) -> str | None:
 def _pick_key(r: dict):
     """Pick order among measured runs (VERDICT r10 item 1 + ADVICE r10):
     clean runs beat runs with failures (a failed query contributes no
-    time, so a dirty run can LOOK fastest), then min calibrated suite
-    wall — the number the record actually reports — then min steady
-    probe, then raw wall.  NEVER the cold probe alone: a 0.5 s cold
-    shot cannot represent a 7-minute suite (the r10 driver session
-    picked the louder run exactly that way)."""
+    time, so a dirty run can LOOK fastest), then gate-passing runs beat
+    loaded ones — value_calibrated DIVIDES by the cold probe, so a run
+    whose cold probe caught a load burst gets a systematically DEFLATED
+    calibrated wall and would otherwise beat a genuinely quiet run —
+    then min calibrated suite wall (the number the record reports),
+    then min steady probe, then raw wall.  NEVER the cold probe alone:
+    a 0.5 s cold shot cannot represent a 7-minute suite (the r10 driver
+    session picked the louder run exactly that way)."""
     n_failed = sum(1 for t in r["queries"].values() if t < 0)
     calib = r["value_calibrated"]
     return (
         n_failed > 0,
+        _run_looks_loaded(r) is not None,
         calib if calib is not None else float("inf"),
         r["calib_steady_s"],
         r["value"],

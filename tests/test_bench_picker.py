@@ -91,6 +91,33 @@ def test_none_calibrated_sorts_last():
     assert picked == 1
 
 
+def test_deflated_calibrated_loaded_run_loses_to_clean_quiet_run():
+    # value_calibrated DIVIDES by the cold probe: a run whose cold
+    # probe caught a load burst (r10 run 1: 0.747 -> x0.736 deflation)
+    # reports a calibrated wall BELOW the host-quiet truth.  The pick
+    # must prefer the gate-passing run even when its calibrated wall
+    # reads higher.
+    deflated = _mk(0.747, 0.312, [0.747, 0.330, 0.312], 365.267, 268.938)
+    quiet = _mk(0.619, 0.301, [0.619, 0.301, 0.310], 306.514, 272.347)
+    assert _run_looks_loaded(deflated) is not None
+    assert _run_looks_loaded(quiet) is None
+    runs = [deflated, quiet]
+    picked = min(range(len(runs)), key=lambda i: _pick_key(runs[i]))
+    assert picked == 1
+
+
+def test_steady_gate_scales_on_slower_hosts():
+    # cold 0.60 passes the cold gate (< 1.15x anchor); warm probes at
+    # 0.37 reflect the same modest slowness, not a mid-run burst — the
+    # scaled gate (0.35 * 0.60/0.55 = 0.382) must let the run pass
+    # instead of burning all 3 suite runs on a slightly slow host.
+    slowish = _mk(0.60, 0.37, [0.60, 0.375, 0.37], 330.0, 302.5)
+    assert _run_looks_loaded(slowish) is None
+    # ...but a genuine burst on the same host still trips it
+    burst = _mk(0.60, 0.37, [0.60, 0.55, 0.37], 380.0, 348.3)
+    assert _run_looks_loaded(burst) is not None
+
+
 def test_steady_gate_sits_between_regimes():
     # Quiet-host warm probes measured 0.17-0.31 s across r8-r10; the
     # r10 loaded run read 0.376-0.427.  The gate must split them.

@@ -51,6 +51,25 @@ def typed_hash(rows, columns):
     return hashlib.md5("\x1e".join(lines).encode()).hexdigest()
 
 
+def check_query(name, df, rows, oracles, con) -> str:
+    """The per-query verdict line (shared with tools/parity_subset.py
+    so subset parity can never drift from the full drive's compare):
+    ROWSONLY when no oracle exists, else the row-count / column-set /
+    typed-value-hash mismatch ladder, OK when all three match."""
+    if name not in oracles:
+        return f"ROWSONLY {name}: {len(rows)} rows"
+    cur = con.execute(oracles[name])
+    orows = cur.fetchall()
+    ocols = [d[0] for d in cur.description]
+    if len(rows) != len(orows):
+        return f"MISMATCH {name}: rows {len(rows)} vs {len(orows)}"
+    if sorted(df.columns) != sorted(ocols):
+        return f"MISMATCH {name}: cols {sorted(df.columns)} vs {sorted(ocols)}"
+    if typed_hash(rows, df.columns) != typed_hash(orows, ocols):
+        return f"MISMATCH {name}: value hash"
+    return f"OK {name}: {len(rows)} rows"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
 
@@ -82,33 +101,10 @@ def main() -> int:
         try:
             df = fn(spark, SF_DIR)
             rows = df.collect()
-            if name not in oracles:
-                print(f"ROWSONLY {name}: {len(rows)} rows", flush=True)
-                continue
-            cur = con.execute(oracles[name])
-            orows = cur.fetchall()
-            ocols = [d[0] for d in cur.description]
-            if len(rows) != len(orows):
-                print(
-                    f"MISMATCH {name}: rows {len(rows)} vs {len(orows)}",
-                    flush=True,
-                )
+            line = check_query(name, df, rows, oracles, con)
+            print(line, flush=True)
+            if line.startswith("MISMATCH"):
                 n_fail += 1
-                continue
-            if sorted(df.columns) != sorted(ocols):
-                print(
-                    f"MISMATCH {name}: cols {sorted(df.columns)} vs {sorted(ocols)}",
-                    flush=True,
-                )
-                n_fail += 1
-                continue
-            h1 = typed_hash(rows, df.columns)
-            h2 = typed_hash(orows, ocols)
-            if h1 != h2:
-                print(f"MISMATCH {name}: value hash", flush=True)
-                n_fail += 1
-            else:
-                print(f"OK {name}: {len(rows)} rows", flush=True)
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc!r}"[:500], flush=True)
             n_fail += 1

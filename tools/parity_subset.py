@@ -16,7 +16,7 @@ sys.path.insert(0, "/root/repo/tools")
 import duckdb
 from pyspark.sql import SparkSession
 
-from drive_entry import TABLES, typed_hash
+from drive_entry import TABLES, check_query
 
 
 def main(argv: list[str]) -> int:
@@ -55,25 +55,12 @@ def main(argv: list[str]) -> int:
         try:
             df = queries[name](spark, sf_dir)
             rows = df.collect()
-            if name not in oracles:
-                print(f"ROWSONLY {name}: {len(rows)} rows", flush=True)
-                continue
-            cur = con.execute(oracles[name])
-            orows = cur.fetchall()
-            ocols = [d[0] for d in cur.description]
-            if len(rows) != len(orows):
-                print(f"MISMATCH {name}: rows {len(rows)} vs {len(orows)}")
+            # shared verdict: drive_entry's exact compare, so subset
+            # parity can never drift from the full drive
+            line = check_query(name, df, rows, oracles, con)
+            print(line, flush=True)
+            if line.startswith("MISMATCH"):
                 n_fail += 1
-            elif sorted(df.columns) != sorted(ocols):
-                print(
-                    f"MISMATCH {name}: cols {sorted(df.columns)} vs {sorted(ocols)}"
-                )
-                n_fail += 1
-            elif typed_hash(rows, df.columns) != typed_hash(orows, ocols):
-                print(f"MISMATCH {name}: value hash")
-                n_fail += 1
-            else:
-                print(f"OK {name}: {len(rows)} rows", flush=True)
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc!r}"[:500], flush=True)
             n_fail += 1

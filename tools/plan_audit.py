@@ -178,20 +178,30 @@ def _bnlj_builds(plan) -> list[str]:
 
 def _audit_one(jplan) -> dict:
     """Counter set for ONE physical plan (final or checkpoint-captured)."""
-    plan = jplan.toString()
+    full = jplan.toString()
+    # An AdaptiveSparkPlan's toString can print the tree TWICE (the
+    # current/final plan then an == Initial Plan == section) while the
+    # node walk visits each operator once.  MAGNITUDE metrics
+    # (exchanges / wscg / window specs) count the first section only,
+    # or every recorded number doubles.  GATE counters (cartesian /
+    # python_eval / the BNLJ backstop) stay on the FULL string: a
+    # nested InMemoryRelation printout can embed its own section marker
+    # mid-string, and truncating there would hide anything below it
+    # from the string-based gates — double-counting is harmless for a
+    # greater-than-zero gate, blindness is not.
+    cut = full.find("+- == Initial Plan ==")
+    plan = full[:cut] if cut != -1 else full
     bnlj_builds = _bnlj_builds(jplan)
     # Blind-spot backstop: if the treeString shows MORE BNLJs
     # than the walk classified (a traversal gap), pad with a
     # loud verdict so the gate fails instead of under-covering.
     # (The walk legitimately sees >= the string when subquery
-    # plans aren't printed — a superset is fine.)  An unexecuted
-    # AdaptiveSparkPlan's toString prints the whole tree TWICE
-    # (Current Plan + Initial Plan sections) while the walk visits
-    # each join once — halve the string count (rounded up) when the
-    # section marker is present, or every captured staged frame
-    # would pad a phantom opaque:unwalked per real join.
-    string_bnlj = plan.count("BroadcastNestedLoopJoin")
-    if "== Initial Plan ==" in plan:
+    # plans aren't printed — a superset is fine.)  The full-string
+    # count halves (rounded up) when the section duplication marker
+    # is present, else every captured staged frame pads a phantom
+    # opaque:unwalked per real join.
+    string_bnlj = full.count("BroadcastNestedLoopJoin")
+    if cut != -1:
         string_bnlj = -(-string_bnlj // 2)
     gap = string_bnlj - len(bnlj_builds)
     if gap > 0:
@@ -199,14 +209,14 @@ def _audit_one(jplan) -> dict:
     unpart = _unpartitioned_specs(plan)
     return {
         "exchanges": plan.count("Exchange"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "bnlj": string_bnlj,
         "bnlj_builds": bnlj_builds,
-        "cartesian": plan.count("CartesianProduct"),
+        "cartesian": full.count("CartesianProduct"),
         "python_eval": (
-            plan.count("BatchEvalPython")
-            + plan.count("ArrowEvalPython")
-            + plan.count("MapInPandas")
-            + plan.count("FlatMapGroupsInPandas")
+            full.count("BatchEvalPython")
+            + full.count("ArrowEvalPython")
+            + full.count("MapInPandas")
+            + full.count("FlatMapGroupsInPandas")
         ),
         "unpart_windows": len(unpart),
         "unpart_window_specs": unpart,
