@@ -1552,10 +1552,11 @@ def test_ivf_search_recall_vs_brute_force(spark):
 # ---------------------------------------------------------------------------
 
 def test_percentile_approx_error_vs_exact(spark):
-    """approx_quantiles is rows-only in the driver (GK sketches are
-    engine-specific), so pin its QUALITY here: with accuracy=1000 the
-    rank error bound is 1/1000, i.e. the approximate p50/p95 must land
-    between the exact p49/p51 (resp. p94/p96) of its group."""
+    """The GK sketch VALUES are engine-specific (the r11 registered
+    form audits them via rank-bound verdicts instead of hashing them),
+    so pin the QUALITY here too: with accuracy=1000 the rank error
+    bound is 1/1000, i.e. the approximate p50/p95 must land between
+    the exact p49/p51 (resp. p94/p96) of its group."""
     from automated_batch_data_pipeline_nyc_spark.sources import read_parquet
     from pyspark.sql import functions as F
 
