@@ -721,10 +721,18 @@ def hll_union_estimate(
     partials: DataFrame, keys: Sequence[str], sketch_col: str = "hll_sketch"
 ) -> DataFrame:
     """Roll partial HLL sketches up to a coarser key set and estimate:
-    union is register-wise max, so the estimate over unioned partials
-    equals the estimate over one sketch of the full data (order- and
-    partitioning-insensitive; pinned by pytest).  Input is the partials
-    table — dashboard-sized — so this never touches the corpus.
+    union is register-wise max, so the estimate is invariant to the
+    PARTIAL GRAIN — per-day partials unioned per type give exactly the
+    per-type-partials answer, order- and partitioning-insensitive
+    (pinned by pytest).  It is NOT bit-equal to a union-free
+    ``hll_sketch_estimate`` over one raw sketch in dense mode: the
+    union operator drops the sketch's HIP accumulator, so the two
+    estimators can differ within the error band (measured r11: 1488
+    union-path vs 1494 direct vs 1500 exact at sf0.1) — which is why
+    the hll_mergeable_rollup audit bounds the union estimate against
+    the EXACT count, not against the direct sketch.  Input is the
+    partials table — dashboard-sized — so this never touches the
+    corpus.
     """
     return (
         partials.groupBy(*keys)

@@ -977,11 +977,14 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
         hll_union_estimate,
     )
 
+    from pyspark.sql import functions as F
+
     df = spark.range(20000).selectExpr(
         "id % 4 as g", "id % 13 as day", "id % 3000 as u"
     )
-    # union of fine-grain partials == one sketch over the whole group
-    # (HLL union is register-wise max: order- and partition-insensitive)
+    # union of fine-grain partials == union over one coarse sketch per
+    # group: the estimate is invariant to the PARTIAL GRAIN (HLL union
+    # is register-wise max: order- and partition-insensitive)
     via_partials = {
         r.g: r.approx_distinct
         for r in hll_union_estimate(
@@ -997,6 +1000,25 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
     # u = id % 3000 preserves id % 4 — each g sees exactly 750 distinct u
     for g, est in via_partials.items():
         assert abs(est - 750) / 750 < 0.05
+    # The union-free DIRECT estimator (hll_sketch_estimate on the raw
+    # sketch, no hll_union_agg) is a DIFFERENT estimator: the union op
+    # drops the sketch's HIP accumulator, so the two may diverge within
+    # the error band in dense mode (measured r11 at sf0.1: 1488 union
+    # vs 1494 direct vs 1500 exact).  Pin the honest relationship —
+    # close, not required-equal — so the operator docstring's claim
+    # stays measured, not cited.
+    no_union = {
+        r.g: r.est
+        for r in df.groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(
+                F.expr("hll_sketch_agg(u, 12)")
+            ).alias("est")
+        )
+        .collect()
+    }
+    for g, est in via_partials.items():
+        assert abs(est - no_union[g]) / 750 < 0.05
 
 
 # ---------------------------------------------------------------------------
