@@ -66,10 +66,10 @@ EXPECTED_WINDOW = [
     "clean_pipeline_dirty",
     "scalar_function_battery",
     "containment_pairs_blocked",
-    "schema_contract_enforced",
     "approx_quantiles",
     "approx_distinct",
     "hll_mergeable_rollup",
+    "hll_audience_overlap",
 ]
 
 
@@ -82,8 +82,8 @@ def test_window_is_first_50():
 
 #: Rows-only slots in the r11 window: NONE — every slot this round is
 #: oracle-backed, so the driver runs the full rows+schema+hash check on
-#: all 50 (the three tail slots are this round's rows-only -> bound-audit
-#: conversions, now oracle-backed).  The 6 remaining rows-only-by-design
+#: all 50 (the four tail slots are this round's rows-only -> bound-audit
+#: conversions, now oracle-backed).  The 5 remaining rows-only-by-design
 #: queries were all driver-executed in r7 and sit in
 #: _PREVIOUSLY_VERIFIED until the stale-first rotation brings them back.
 ROWS_ONLY_SLOTS: set = set()

@@ -157,6 +157,19 @@ def _build_kind(node) -> str:
         if name == "ReusedExchange":
             node = node.child()
             continue
+        if name == "BroadcastNestedLoopJoin":
+            # Product rule: a join of two provably ≤1-row sides is
+            # itself ≤1 row (the chained crossJoin-of-scalar-aggregates
+            # shape the bound-audit queries use to assemble one verdict
+            # row).  Anything else stays opaque.
+            cs = node.children()
+            if (
+                cs.size() == 2
+                and _build_kind(cs.apply(0)) == "scalar_agg"
+                and _build_kind(cs.apply(1)) == "scalar_agg"
+            ):
+                return "scalar_agg"
+            return f"opaque:{name}"
         if name in _ROW_PRESERVING or _WSCG_NAME.match(name):
             cs = node.children()
             if cs.size() == 1:
