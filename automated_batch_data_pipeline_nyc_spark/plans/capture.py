@@ -24,6 +24,7 @@ zero planning overhead on the production path.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -36,9 +37,13 @@ _SINK: list | None = None
 
 #: True while :func:`checkpoint` is inside its own localCheckpoint call
 #: — lets the catch-all patch below skip plans the routed wrapper
-#: already recorded under their real label (audit runs single-threaded;
-#: streaming micro-batch threads only hit UNROUTED sites).
-_IN_ROUTED = False
+#: already recorded under their real label.  Thread-LOCAL (ADVICE r11):
+#: a process-wide flag would let an unrouted localCheckpoint on a
+#: streaming micro-batch thread, firing while the audit thread is
+#: inside a routed checkpoint, be silently dropped from capture — the
+#: exact under-coverage direction the gates exist to prevent.  With a
+#: thread-local only the routing thread suppresses the catch-all patch.
+_ROUTED_STATE = threading.local()
 
 
 @contextmanager
@@ -74,12 +79,15 @@ def capture_all_checkpoints():
         _ConcreteDF = DataFrame
     orig = _ConcreteDF.localCheckpoint
 
-    def patched(self, eager: bool = True):
-        if _SINK is not None and not _IN_ROUTED:
+    # Signature mirrors Spark 4's (eager, storageLevel) and forwards any
+    # extras verbatim (ADVICE r11: a call site passing storageLevel
+    # inside a capture scope must not TypeError during audits).
+    def patched(self, eager: bool = True, *args, **kwargs):
+        if _SINK is not None and not getattr(_ROUTED_STATE, "active", False):
             _SINK.append(
                 ("unrouted", self._jdf.queryExecution().executedPlan())
             )
-        return orig(self, eager=eager)
+        return orig(self, eager, *args, **kwargs)
 
     _ConcreteDF.localCheckpoint = patched
     try:
@@ -95,12 +103,11 @@ def checkpoint(df: DataFrame, eager: bool = True, label: str = "") -> DataFrame:
 
     ``label`` names the call site (e.g. ``"cc_iter"``) so an audit
     finding points at the right loop."""
-    global _IN_ROUTED
     if _SINK is not None:
         _SINK.append((label, df._jdf.queryExecution().executedPlan()))
-        _IN_ROUTED = True
+        _ROUTED_STATE.active = True
         try:
             return df.localCheckpoint(eager=eager)
         finally:
-            _IN_ROUTED = False
+            _ROUTED_STATE.active = False
     return df.localCheckpoint(eager=eager)

@@ -160,6 +160,29 @@ def _run() -> dict:
     ]
 
     run_list = [n for n in QUERIES if n not in excluded]
+
+    # Sacrificial slot-1 warmup (VERDICT r11 item 4): whichever query
+    # runs first absorbs ~5-6 s of first-query codegen/JIT bring-up
+    # (janino + whole-stage evaluator compilation) that _warm_session's
+    # generic recipe does NOT remove — r11's window rotation moved
+    # containment_pairs_prefix into slot 1 and its record read 11.1 s
+    # vs 5.9 s out-of-slot, manufacturing the round's apparent worst
+    # regression.  Run the slot-1 query ONCE, unrecorded, so its timed
+    # execution sits in the same JIT-hot regime as every other slot.
+    # Placed AFTER the first-shot calib probes: those are the only
+    # samples comparable to CALIB_ANCHOR_S, and extra work before them
+    # would shift their regime and skew value_calibrated cross-round.
+    if run_list:
+        try:
+            QUERIES[run_list[0]].spark(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:
+            print(
+                f"bench: slot-1 warmup {run_list[0]} FAILED: {exc!r}",
+                file=sys.stderr,
+            )
+
     midpoint = len(run_list) // 2
     timings: dict[str, float] = {}
     total = 0.0
@@ -229,6 +252,10 @@ def _run() -> dict:
         if calib_s > 0
         else None,
         "excluded": excluded,
+        # Slot-1 JIT absorber: this query ran once UNRECORDED before
+        # the timed loop (VERDICT r11 item 4), so its timed entry is
+        # JIT-hot like every other slot.
+        "warmup_query": run_list[0] if run_list else None,
         "sf": sf,
         "calib_s": calib_s,
         "calib_anchor_s": CALIB_ANCHOR_S,
@@ -628,7 +655,9 @@ if __name__ == "__main__":
     result["picked_run"] = picked + 1
     result["rerun_gate"] = _RERUN_GATE
     result["steady_rerun_gate_s"] = _STEADY_RERUN_GATE_S
-    result["pick_key"] = "(n_failed>0, value_calibrated, calib_steady_s, value)"
+    result["pick_key"] = (
+        "(n_failed>0, loaded, value_calibrated, calib_steady_s, value)"
+    )
     result["runs_summary"] = [
         {
             "calib_s": r["calib_s"],

@@ -209,13 +209,19 @@ def _audit_one(jplan) -> dict:
     # than the walk classified (a traversal gap), pad with a
     # loud verdict so the gate fails instead of under-covering.
     # (The walk legitimately sees >= the string when subquery
-    # plans aren't printed — a superset is fine.)  The full-string
-    # count halves (rounded up) when the section duplication marker
-    # is present, else every captured staged frame pads a phantom
-    # opaque:unwalked per real join.
-    string_bnlj = full.count("BroadcastNestedLoopJoin")
+    # plans aren't printed — a superset is fine.)  When the AQE
+    # section-duplication marker is present, count the final and
+    # Initial Plan sections SEPARATELY and take the max (ADVICE r11:
+    # halving the combined count assumes both sections hold equal BNLJ
+    # counts — if AQE swaps join strategy between them, the halved
+    # figure under-counts one direction and pads a phantom the other).
     if cut != -1:
-        string_bnlj = -(-string_bnlj // 2)
+        string_bnlj = max(
+            full[:cut].count("BroadcastNestedLoopJoin"),
+            full[cut:].count("BroadcastNestedLoopJoin"),
+        )
+    else:
+        string_bnlj = full.count("BroadcastNestedLoopJoin")
     gap = string_bnlj - len(bnlj_builds)
     if gap > 0:
         bnlj_builds = sorted(bnlj_builds + ["opaque:unwalked"] * gap)
