@@ -34,6 +34,8 @@ __all__ = [
     "pagerank",
     "k_core",
     "bfs_hops",
+    "orient_by_degree",
+    "count_triangles",
 ]
 
 
@@ -341,3 +343,86 @@ def bfs_hops(
         visited = _ckpt(visited.unionByName(nxt), label="bfs_visited")
         frontier = nxt
     return visited
+
+
+def orient_by_degree(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Re-orient a canonical undirected edge list (``src < dst``) so
+    every edge points from its lower to its higher endpoint under the
+    TOTAL ORDER ``(degree, id)`` — the Schank/Wagner (2005)
+    *forward* orientation that makes node-iterator triangle counting
+    scale on skewed graphs.
+
+    Why it matters at 100 TB: a wedge join fans each vertex out by its
+    OUT-degree squared.  Under id-order a low-id hub keeps all its
+    edges outgoing — a 10^6-degree boilerplate hub in a near-dup graph
+    emits 10^12 wedges from one key.  Under degree-order every
+    out-neighbor of ``v`` has degree >= deg(v), so out-degree is
+    provably <= sqrt(2m): the heaviest hub becomes all-INcoming and
+    emits no wedges at all.  Total wedge work drops from
+    sum(deg^2) (unbounded under skew) to O(m^1.5) worst-case.
+
+    Cost: one degree aggregation (vocabulary-bounded shuffle of
+    ``(vertex, count)``) plus two equi-joins tagging each edge's
+    endpoint degrees — all linear in m.  Output keeps the input
+    column names; the pair (src, dst) is no longer sorted by id but by
+    ``(degree, id)``.
+    """
+    deg = (
+        pairs.select(F.col(src).alias("v"))
+        .unionAll(pairs.select(F.col(dst).alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dega = deg.select(F.col("v").alias("__va"), F.col("d").alias("__da"))
+    degb = deg.select(F.col("v").alias("__vb"), F.col("d").alias("__db"))
+    tagged = pairs.join(dega, F.col(src) == F.col("__va")).join(
+        degb, F.col(dst) == F.col("__vb")
+    )
+    # struct comparison = lexicographic (degree, id): a genuine total
+    # order because ids are unique, so ties in degree cannot leave an
+    # edge unoriented or oriented both ways.
+    a_first = F.struct(F.col("__da"), F.col(src)) < F.struct(
+        F.col("__db"), F.col(dst)
+    )
+    return tagged.select(
+        F.when(a_first, F.col(src)).otherwise(F.col(dst)).alias(src),
+        F.when(a_first, F.col(dst)).otherwise(F.col(src)).alias(dst),
+    )
+
+
+def count_triangles(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact triangle count of an undirected canonical edge list
+    (``src < dst``, no self-loops) — one row ``(n_triangles)``.
+
+    Node-iterator-core on the DEGREE-ORDERED orientation (VERDICT r11
+    item 5; :func:`orient_by_degree`): wedges join at the middle vertex
+    of each oriented 2-path and a third equi-join closes them, so every
+    triangle {a < b < c} under the (degree, id) order is counted
+    exactly once as (a->b, b->c) closed by (a->c).  The triangle count
+    is orientation-invariant, so results match a plain id-order wedge
+    join bit-for-bit — only the fan-out bound changes (sqrt(2m) per
+    vertex instead of max-degree; see :func:`orient_by_degree`).
+
+    The oriented edge list feeds three join sides; ``localCheckpoint``
+    (routed through plans/capture.py so audits see the upstream plan)
+    computes the orientation once instead of three times.
+    """
+    oriented = _ckpt(
+        orient_by_degree(pairs, src, dst), label="triangle_oriented_edges"
+    )
+    e1 = oriented.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e2 = oriented.select(F.col(src).alias("v2"), F.col(dst).alias("w"))
+    e3 = oriented.select(F.col(src).alias("u3"), F.col(dst).alias("w3"))
+    return (
+        e1.join(e2, F.col("v") == F.col("v2"))
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1203,23 +1203,56 @@ def test_inverted_index_postings_and_counts(spark):
 
 def test_triangle_count_on_known_graph(spark):
     """The suite query counts triangles on the jaccard graph; this pins the
-    wedge-join counting logic itself on a constructed edge list."""
+    degree-ordered counting operator itself on a constructed edge list."""
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import count_triangles
+
     edges = spark.createDataFrame(
         # triangle 1-2-3, square 10-11-12-13 (no triangle), pendant 3-4
         [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (10, 13), (3, 4)],
         ["id_a", "id_b"],
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    n = (
-        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
-        .join(
-            e3,
-            (F.col("e3.id_a") == F.col("e1.id_a"))
-            & (F.col("e3.id_b") == F.col("e2.id_b")),
-        )
-        .count()
-    )
+    n = count_triangles(edges).collect()[0]["n_triangles"]
     assert n == 1, "exactly the 1-2-3 triangle; the square contributes none"
+
+
+def test_triangle_orientation_bounds_fanout_on_skewed_star(spark):
+    """VERDICT r11 item 5: degree-order orientation must shrink the max
+    wedge fan-out on a hub-skewed graph, while leaving the triangle
+    count bit-identical to the id-order wedge join."""
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import (
+        count_triangles,
+        orient_by_degree,
+    )
+
+    # hub 0 (lowest id) with 40 leaves, plus triangles 0-1-2 and 50-51-52
+    rows = [(0, i) for i in range(1, 41)] + [(1, 2), (50, 51), (50, 52), (51, 52)]
+    edges = spark.createDataFrame(rows, ["id_a", "id_b"])
+
+    def max_out_degree(e):
+        return (
+            e.groupBy("id_a").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+        )
+
+    # id-order: the low-id hub keeps all 40 edges outgoing
+    assert max_out_degree(edges) == 40
+    oriented = orient_by_degree(edges)
+    # degree-order: the hub has max degree, so every hub edge points
+    # INTO it; max out-degree collapses to the sqrt(2m) regime
+    m = edges.count()
+    assert max_out_degree(oriented) <= int((2 * m) ** 0.5)
+    # orientation is a bijection on edges and the count is invariant
+    assert oriented.count() == m
+    assert count_triangles(edges).collect()[0]["n_triangles"] == 2
+    # every oriented edge points low->high in the (degree, id) order:
+    # re-orienting an already-oriented list is a no-op set-wise
+    again = orient_by_degree(
+        oriented.selectExpr(
+            "least(id_a, id_b) AS id_a", "greatest(id_a, id_b) AS id_b"
+        )
+    )
+    assert {(r.id_a, r.id_b) for r in again.collect()} == {
+        (r.id_a, r.id_b) for r in oriented.collect()
+    }
 
 
 def test_bm25_matches_python_reference(spark):
