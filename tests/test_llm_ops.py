@@ -210,6 +210,44 @@ def test_minhash_transitive_keeps_one_per_chain(spark):
     assert set(kept_transitive) <= set(kept_fast)
 
 
+def test_minhash_pairs_portable_matches_hashed_banding(spark):
+    """The engine-portable MinHash pair pipeline (md5-32 word-2-gram
+    family, string band keys) finds exact/near dups and skips unrelated
+    docs; and `lsh_candidate_pairs(portable=True)` proposes the SAME
+    candidate set as the xxhash64-keyed banding on identical signatures
+    (hashing the band key is a pure size optimization)."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(words[0:20])),
+        (2, " ".join(words[0:20] + ["extra"])),   # J(2-grams) = 19/20
+        (7, " ".join(words[20:40])),              # disjoint gram set
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_pairs_portable(
+            df, "text", "doc_id", jaccard_threshold=0.8
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+    sig = dd.with_minhash_portable(df, "text", out_col="__sig")
+    kw = dict(bands=4, rows_per_band=4)
+    hashed = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(sig, "doc_id", "__sig", **kw).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(
+            sig, "doc_id", "__sig", portable=True, **kw
+        ).collect()
+    }
+    assert portable == hashed
+
+
 def test_minhash_exact_family_pairs_stay_linear(spark):
     """A 1k-identical-doc family (the routine crawl pathology: identical
     signatures -> every band collides -> O(m^2) bucket self-join) must
