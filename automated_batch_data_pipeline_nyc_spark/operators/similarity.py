@@ -42,6 +42,8 @@ __all__ = [
     "lsh_topk",
     "build_ivf_index",
     "ivf_search",
+    "ivf_build_portable",
+    "ivf_search_portable",
     "gram_matrix",
     "pca_project",
     "knn_join",
@@ -446,6 +448,179 @@ def ivf_search(
     probes = sorted(range(len(centroids)), key=lambda i: -_cos(centroids[i], query))[:nprobe]
     pruned = assigned.filter(F.col(assign_col).isin(probes))
     return brute_force_topk(pruned, vec_col, query, k, id_col)
+
+
+def _assign_to_literal_centroids(
+    staged: DataFrame, centroids: list[list[float]], out_col: str
+) -> DataFrame:
+    """Map-only nearest-centroid assignment against DRIVER-SIDE literal
+    centroids: squared L2 expanded as ``|x|^2 - 2 x.c + |c|^2`` (the
+    fold order hash-proven by the kmeans_step_verified suite query),
+    argmin via ``array_min`` over (dist, cid) structs — no join, no
+    shuffle, whole-stage codegen.  Expects ``__x`` (double array) and
+    ``__xx`` (staged |x|^2) columns."""
+    cells = []
+    for j, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        cc = F.aggregate(carr, F.lit(0.0), lambda acc, x: acc + x * x)
+        dist = F.col("__xx") - F.lit(2) * _dot_raw(F.col("__x"), carr) + cc
+        cells.append(F.struct(dist.alias("d"), F.lit(j).alias("cid")))
+    return staged.withColumn(
+        out_col, F.array_min(F.array(*cells)).getField("cid")
+    )
+
+
+def ivf_build_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    iters: int = 2,
+    round_dp: int = 6,
+    assign_col: str = "ivf_list",
+):
+    """Deterministic, cross-engine-replayable IVF quantizer — the
+    hash-verifiable twin of :func:`build_ivf_index` (whose Spark ML
+    KMeans fit is sample/partitioning-dependent: measured recall@10
+    spread 0.5–1.0 across local[8]/local[32], which is why that path
+    is pytest-pinned rather than oracle-hashed).
+
+    Lloyd iterations made portable, stage by stage:
+
+    - seeds = the ``n_lists`` lowest-``id_col`` corpus vectors (an
+      ANSI-SQL engine selects the identical rows);
+    - assignment = the exact squared-L2 expansion + cid-tiebreak argmin
+      that ``kmeans_step_verified`` hash-proves, as a map-only
+      literal-centroid expression (no shuffle — centroids ride the
+      closure, the 100 TB shape for a coarse quantizer);
+    - centroid update = per-(cell, dim) mean ROUNDED to ``round_dp``
+      (the embedding_centroids recipe: rounding absorbs the IEEE
+      partial-agg summation-order spread), collected to the driver —
+      ``n_lists × d`` doubles, driver-bounded by construction; an
+      emptied cell keeps its previous centroid (COALESCE both engines);
+    - after ``iters`` updates, one final assignment against the last
+      centroids labels every vector.
+
+    Returns ``(assigned_df, centroids)`` like :func:`build_ivf_index`,
+    so :func:`ivf_search` / :func:`ivf_search_portable` run unchanged
+    downstream.  The update shuffle carries ``n_lists × d`` per
+    partition (map-side combine), never ``n × d``.
+    """
+    staged = df.withColumn("__x", _as_double(F.col(vec_col))).withColumn(
+        "__xx", _dot_raw(F.col("__x"), F.col("__x"))
+    )
+    seed_rows = (
+        staged.select(id_col, "__x").orderBy(F.col(id_col)).limit(n_lists).collect()
+    )
+    centroids = [[float(v) for v in r["__x"]] for r in seed_rows]
+    from ..plans.capture import record_plan
+
+    for _ in range(iters):
+        assigned = _assign_to_literal_centroids(staged, centroids, "__cell")
+        update = (
+            assigned.select("__cell", F.posexplode("__x").alias("pos", "v"))
+            .groupBy("__cell", "pos")
+            .agg(F.round(F.avg("v"), round_dp).alias("mv"))
+        )
+        # the loop leaves lineage through a driver-bounded collect (not a
+        # checkpoint), so surface each iteration's plan to the audit
+        record_plan(update, label="ivf_lloyd_update")
+        means = update.collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["pos"]] = float(r["mv"])
+        centroids = [
+            [by_cell[j][p] for p in range(len(centroids[j]))]
+            if j in by_cell
+            else centroids[j]
+            for j in range(n_lists)
+        ]
+    assigned = _assign_to_literal_centroids(staged, centroids, assign_col)
+    return assigned.drop("__x", "__xx"), centroids
+
+
+def ivf_search_portable(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    query: list[float],
+    query_id: int | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    assign_col: str = "ivf_list",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe search over a :func:`ivf_build_portable` index with every
+    step deterministic cross-engine: probe cells = the ``nprobe``
+    nearest centroids under the same squared-L2 + cid-tiebreak order
+    as assignment (left-fold driver arithmetic — bit-identical to the
+    engines' sequential folds over the same rounded-centroid doubles),
+    candidates scored by cosine rounded to ``round_dp``, ranked under
+    a (score, id) total order.  Output per rank: ``(rnk, id, cell,
+    cos6, hit_brute)`` where ``hit_brute`` marks membership in the
+    EXACT global top-k — so measured recall@k is itself part of the
+    hash-verified result, not a side claim.  ``query_id`` (if given)
+    is excluded from both rankings.
+
+    Plan: probe filter prunes to ~nprobe/n_lists of the corpus before
+    scoring (with list-partitioned storage the other lists are never
+    read); both top-ks are map + TakeOrderedAndProject; the brute
+    marker joins a k-row broadcast side.
+    """
+
+    def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qq = _fold_dot(query, query)
+    probe_order = sorted(
+        (qq - 2 * _fold_dot(query, c) + _fold_dot(c, c), j)
+        for j, c in enumerate(centroids)
+    )
+    probes = [j for _, j in probe_order[:nprobe]]
+
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    cos6 = F.round(cosine(F.col(vec_col), qarr), round_dp)
+    base = assigned
+    if query_id is not None:
+        base = base.filter(F.col(id_col) != F.lit(query_id))
+    pruned = base.filter(F.col(assign_col).isin(probes))
+    scored = (
+        pruned.select(
+            F.col(id_col),
+            F.col(assign_col).cast("long").alias("cell"),
+            cos6.alias("cos6"),
+        )
+        .orderBy(F.col("cos6").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos6").desc(), F.col(id_col).asc())
+            ).cast("long"),
+        )
+    )
+    brute = (
+        base.select(F.col(id_col), cos6.alias("cos6"))
+        .orderBy(F.col("cos6").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("__brute_id"))
+    )
+    return (
+        scored.join(
+            F.broadcast(brute), scored[id_col] == brute["__brute_id"], "left"
+        )
+        .select(
+            "rnk",
+            id_col,
+            "cell",
+            "cos6",
+            F.col("__brute_id").isNotNull().alias("hit_brute"),
+        )
+    )
 
 
 def gram_matrix(df: DataFrame, vec_col: str) -> DataFrame:

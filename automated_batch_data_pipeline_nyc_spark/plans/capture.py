@@ -29,7 +29,12 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-__all__ = ["capture_checkpoint_plans", "capture_all_checkpoints", "checkpoint"]
+__all__ = [
+    "capture_checkpoint_plans",
+    "capture_all_checkpoints",
+    "checkpoint",
+    "record_plan",
+]
 
 #: Active capture sink: ``None`` outside a scope, else a list of
 #: (label, java SparkPlan) pairs.  Scopes nest by saving/restoring.
@@ -95,6 +100,17 @@ def capture_all_checkpoints():
             yield sink
     finally:
         _ConcreteDF.localCheckpoint = orig
+
+
+def record_plan(df: DataFrame, label: str = "") -> None:
+    """Record ``df``'s physical plan into an active capture scope
+    WITHOUT checkpointing — for loop bodies whose per-iteration work
+    leaves the lineage through an action instead of a checkpoint (e.g.
+    the driver-bounded centroid collect in ``ivf_build_portable``),
+    which the final-plan audit would otherwise never see.  Outside a
+    scope this is one global read — zero production overhead."""
+    if _SINK is not None:
+        _SINK.append((label, df._jdf.queryExecution().executedPlan()))
 
 
 def checkpoint(df: DataFrame, eager: bool = True, label: str = "") -> DataFrame:

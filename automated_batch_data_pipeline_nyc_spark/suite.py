@@ -1977,21 +1977,117 @@ def _dmin(spark, sf_dir):
     )
 
 
+def _minhash_transitive_portable_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> str:
+    """WITH-RECURSIVE replay of the FULL portable MinHash transitive
+    pipeline: md5-32 word-2-gram signatures (the
+    ``_minhash_portable_oracle`` permutation family over the
+    ``_SQL_PREFIX_PAIRS`` gram construction) → band keys as
+    signature-slice strings → candidate equality join → exact hash-set
+    Jaccard verify → transitive closure → survivor census."""
+    from .operators.dedup import _MH_PRIME, _mh_coeffs
+
+    coeffs = ", ".join(
+        f"struct_pack(j := {j}, a := {a}::BIGINT, b := {b}::BIGINT)"
+        for j, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    return f"""
+    WITH RECURSIVE
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+        i -> concat_ws(' ',
+               list_extract(string_split(lower(text),' '), i),
+               list_extract(string_split(lower(text),' '), i + 1)))) AS grams
+      FROM documents),
+    t AS (SELECT doc_id, unnest(grams) AS w FROM g),
+    h AS (SELECT doc_id,
+            ('0x' || substring(md5(w), 1, 8))::BIGINT AS hv FROM t),
+    hs AS (SELECT doc_id, list(DISTINCT hv) AS hvs FROM h GROUP BY doc_id),
+    cf AS (SELECT unnest([{coeffs}]) AS p),
+    sig AS (SELECT h.doc_id, CAST(cf.p.j AS INTEGER) AS perm,
+              MIN((cf.p.a * h.hv + cf.p.b) % {_MH_PRIME}) AS s
+            FROM h, cf GROUP BY 1, 2),
+    bk AS (SELECT doc_id, perm // {rows_per_band} AS band,
+             string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS bkey
+           FROM sig GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN hs ha ON ha.doc_id = c.id_a
+      JOIN hs hb ON hb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(ha.hvs, hb.hvs)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(ha.hvs, hb.hvs))) AS DOUBLE)
+          >= {jaccard_threshold}),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, mn) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node),
+    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node),
+    resolved AS (
+      SELECT d.doc_id, COALESCE(c2.component, d.doc_id) AS survivor_id
+      FROM documents d LEFT JOIN comp c2 ON c2.node = d.doc_id),
+    clusters AS (
+      SELECT survivor_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM resolved GROUP BY survivor_id)
+    SELECT k.survivor_id, k.cluster_size, d.lang, d.source
+    FROM clusters k JOIN documents d ON d.doc_id = k.survivor_id
+    """
+
+
 @_q(
     "dedup_minhash_transitive",
-    None,  # xxhash64-based signatures are engine-specific → rows-only
-    doc="MinHash near-dedup with connected-component survivor resolution: "
-        "exactly one doc (the cluster min) survives per transitive duplicate "
-        "cluster — pairs → min-label CC → anti-join.  Rows-only: same "
-        "xxhash64 signature reason as dedup_minhash (portable twin "
-        "dedup_minhash_portable is hash-verified; CC survivor logic is "
-        "hash-verified separately via dedup_components).",
+    _minhash_transitive_portable_oracle(),
+    doc="MinHash near-dedup with connected-component survivor resolution, "
+        "HASH-VERIFIED end to end (VERDICT r11 item 2; was rows-only): "
+        "the survivor/component CENSUS — one row per transitive duplicate "
+        "cluster with its min-id survivor, size and survivor metadata — "
+        "computed by the full pipeline over the ENGINE-PORTABLE hash "
+        "family (operators/dedup.py minhash_pairs_portable: md5-32 "
+        "word-2-gram signatures — the dedup_minhash_portable permutation "
+        "family over the _SQL_PREFIX_PAIRS gram space — band keys as raw "
+        "signature-slice strings, exact hash-set Jaccard verify at 0.8) "
+        "→ iterative min-label connected components "
+        "(operators/graph.py assign_components) → cluster-min survivor.  "
+        "The oracle replays every stage in DuckDB incl. a WITH-RECURSIVE "
+        "transitive closure, so the LSH banding, the verify AND the "
+        "clustering are all in the hash.  The production corpus path "
+        "keeps xxhash64 shingles (registered rows-only as dedup_minhash; "
+        "transitive survivor logic pinned by pytest "
+        "test_minhash_transitive_keeps_one_per_chain); plan shape here is "
+        "byte-identical to it: map-only signatures, vocabulary-bounded "
+        "band shuffle, candidate-sized verify join, one shuffle per CC "
+        "round.",
 )
 def _dmincc(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    return dd.minhash_dedup(
-        docs, "text", "doc_id", jaccard_threshold=0.5, transitive=True
-    ).select("doc_id", "lang", "source")
+    pairs = dd.minhash_pairs_portable(
+        docs, "text", "doc_id",
+        num_hashes=16, bands=4, rows_per_band=4,
+        shingle_size=2, jaccard_threshold=0.8,
+    )
+    comp = gr.assign_components(
+        docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
+    )
+    clusters = comp.groupBy(F.col("component").alias("survivor_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    surv_meta = docs.select(
+        F.col("doc_id").alias("survivor_id"), "lang", "source"
+    )
+    return clusters.join(surv_meta, "survivor_id").select(
+        "survivor_id", "cluster_size", "lang", "source"
+    )
 
 
 @_q(
@@ -2251,22 +2347,127 @@ def _slsh(spark, sf_dir):
     return sim.lsh_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10, n_planes=4)
 
 
+def _ivf_topk_portable_oracle(
+    n_lists: int = 8, iters: int = 2, nprobe: int = 4, k: int = 10, dp: int = 6
+) -> str:
+    """DuckDB replay of the FULL portable IVF pipeline: seed centroids →
+    ``iters`` unrolled Lloyd rounds (portable argmin assignment +
+    6dp-rounded mean update, empty cells COALESCE to their previous
+    centroid) → final assignment → nprobe probe → exact rounded-cosine
+    top-k with a hash-exact recall marker vs the global brute top-k."""
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, {cent}.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.x, e.x)
+              - 2 * list_dot_product(e.x, {cent}.c)
+              + list_dot_product({cent}.c, {cent}.c), {cent}.cid) AS rn
+        FROM e, {cent}) WHERE rn = 1)"""
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c"
+        f" FROM embeddings WHERE vec_id < {n_lists})",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign(f"a{t}", f"c{t - 1}"))
+        parts.append(
+            f"""m{t} AS (
+      SELECT cid, pos, round(avg(v), {dp}) AS mv
+      FROM (SELECT a{t}.cell AS cid, generate_subscripts(e.x, 1) - 1 AS pos,
+              unnest(e.x) AS v
+            FROM a{t} JOIN e ON e.vec_id = a{t}.vec_id)
+      GROUP BY cid, pos)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+      SELECT p.cid, COALESCE(l.c, p.c) AS c
+      FROM c{t - 1} p LEFT JOIN
+        (SELECT cid, list(mv ORDER BY pos) AS c FROM m{t} GROUP BY cid) l
+        ON l.cid = p.cid)"""
+        )
+    parts.append(assign("af", f"c{iters}"))
+    parts.append("q AS (SELECT x AS qx FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"""pr AS (
+      SELECT cid AS cell FROM (
+        SELECT cf.cid, row_number() OVER (ORDER BY
+          list_dot_product(q.qx, q.qx)
+            - 2 * list_dot_product(q.qx, cf.c)
+            + list_dot_product(cf.c, cf.c), cf.cid) AS rn
+        FROM c{iters} cf, q) WHERE rn <= {nprobe})"""
+    )
+    cos = (
+        f"round(list_dot_product(e.x, q.qx)"
+        f" / (sqrt(list_dot_product(e.x, e.x))"
+        f" * sqrt(list_dot_product(q.qx, q.qx))), {dp})"
+    )
+    parts.append(
+        f"""scored AS (
+      SELECT af.vec_id, af.cell, {cos} AS cos6
+      FROM af JOIN pr ON pr.cell = af.cell
+      JOIN e ON e.vec_id = af.vec_id, q
+      WHERE af.vec_id <> 0)"""
+    )
+    parts.append(
+        f"""brute AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {cos} AS cos6
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY cos6 DESC, e.vec_id ASC LIMIT {k}))"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(s.rnk AS BIGINT) AS rnk, s.vec_id,
+      CAST(s.cell AS BIGINT) AS cell, CAST(s.cos6 AS DOUBLE) AS cos6,
+      (b.vec_id IS NOT NULL) AS hit_brute
+    FROM (SELECT vec_id, cell, cos6,
+            row_number() OVER (ORDER BY cos6 DESC, vec_id ASC) AS rnk
+          FROM scored) s
+    LEFT JOIN brute b ON b.vec_id = s.vec_id
+    WHERE s.rnk <= {k}
+    """
+
+
 @_q(
     "similarity_ivf_topk",
-    None,  # KMeans index → rows-only
-    doc="IVF (KMeans coarse quantizer, nprobe=4) approximate top-k.  "
-        "Rows-only: the KMeans coarse quantizer is an iterative float "
-        "fixpoint with no SQL restatement; the exact Lloyd update it "
-        "iterates is hash-verified as kmeans_step_verified, recall vs "
-        "brute-force is pinned by pytest, and the exact baseline "
-        "similarity_topk is hash-verified.",
+    _ivf_topk_portable_oracle(),
+    doc="IVF approximate top-k, HASH-VERIFIED END TO END (VERDICT r11 "
+        "item 2; was rows-only): the registered form runs the FULL "
+        "index lifecycle over the deterministic portable quantizer — "
+        "operators/similarity.py ivf_build_portable: 8 seed centroids "
+        "(lowest vec_ids) → 2 Lloyd rounds of the exact "
+        "kmeans_step_verified assignment math (squared-L2 expansion, "
+        "identical fold order, cid tiebreak) with 6dp-ROUNDED mean "
+        "updates (the embedding_centroids recipe; empty cells keep "
+        "their previous centroid) → final assignment → nprobe=4 probe "
+        "→ exact rounded-cosine top-10 via ivf_search_portable, with a "
+        "hash-exact hit_brute recall marker vs the global brute-force "
+        "top-10 (measured recall is IN the verified result).  The "
+        "oracle unrolls both Lloyd rounds as CTE blocks, so quantizer "
+        "training, assignment, probing AND ranking are all in the "
+        "hash.  The Spark ML KMeans production path (build_ivf_index — "
+        "sample/partitioning-dependent fit, recall@10 spread 0.5-1.0 "
+        "measured across local[8]/local[32]) stays on the operator, "
+        "pinned by pytest test_ivf_search_recall_vs_brute_force.  "
+        "Plan: assignment is map-only (centroids ride the closure — "
+        "no join, no shuffle), each update shuffles n_lists x dim "
+        "partials, probe filter prunes ~nprobe/n_lists of the corpus "
+        "before scoring, both top-ks are TakeOrderedAndProject, the "
+        "recall marker joins a 10-row broadcast side.",
 )
 def _sivf(spark, sf_dir):
     (emb,) = _load(spark, sf_dir, "embeddings")
-    assigned, centroids = sim.build_ivf_index(
-        emb, "embedding", n_lists=8, fit_fraction=0.25
+    assigned, centroids = sim.ivf_build_portable(
+        emb, "embedding", n_lists=8, iters=2
     )
-    return sim.ivf_search(assigned, centroids, "embedding", _query_vec(spark, sf_dir), k=10)
+    return sim.ivf_search_portable(
+        assigned, centroids, "embedding", _query_vec(spark, sf_dir),
+        query_id=0, k=10, nprobe=4,
+    )
 
 
 # ===========================================================================
@@ -13313,96 +13514,27 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-11 window (VERDICT r10 item 2 — the tools/next_window.py r11
+#: Round-12 window (VERDICT r11 item 1 — the tools/next_window.py r12
 #: proposal): slot 1 = the standing SS2 canary (clean_pipeline re-verifies
 #: every round so the reference surface is never more than one round
-#: stale); slots 2-5 = the four r5-era queries the r10 rotation displaced
-#: (containment_pairs_prefix, dedup_minhash_portable,
-#: dedup_simhash_portable, asof_next_purchase); slots 6-48 = the rest of
-#: the stale-first queue (the remaining r5-green bucket).  The four
-#: tail slots diverge from the tool's proposal ON PURPOSE, repeating the
-#: documented r9/r10 precedent: approx_quantiles, approx_distinct,
-#: hll_mergeable_rollup and hll_audience_overlap were converted from
-#: rows-only to BOUND-AUDIT oracle forms this round (VERDICT r10 item 4)
-#: — their REGISTERED FORMS changed, so their r7-green rows-only records
-#: no longer describe them; they take the last four slots (the displaced
-#: four — schema_contract_enforced, url_ingest_roundtrip,
-#: sql_extract_roundtrip, window_range_frame_sum — head the r12 stale
-#: queue).
+#: stale); slots 2-47 = the stale-first queue (the r6-green bucket:
+#: schema_contract_enforced, url_ingest_roundtrip, sql_extract_roundtrip,
+#: window_range_frame_sum, ... through zipf_vocab_fit; semdedup_prune sits
+#: in this bucket AND changed form this round — n_clusters now scales
+#: with the corpus, VERDICT r11 item 3).  The three tail slots diverge
+#: from the tool's proposal ON PURPOSE, repeating the documented
+#: r9/r10/r11 precedent: dedup_minhash_transitive and similarity_ivf_topk
+#: were converted from rows-only to hash-verified portable-pipeline
+#: oracle forms this round (VERDICT r11 item 2) and dedup_graph_triangles
+#: now runs the degree-ordered Schank/Wagner orientation (VERDICT r11
+#: item 5) — their REGISTERED FORMS changed, so their old green records
+#: no longer describe them; they take the last three slots (the displaced
+#: three — ks_drift_price, bootstrap_revenue_ci, auc_price_basket_size —
+#: head the r13 stale queue in the r7 bucket).
 DRIVER_WINDOW: list[str] = [
     # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",
-    # stale-first re-verification (r10 rotation displaced these four)
-    "containment_pairs_prefix",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "asof_next_purchase",
-    # stale-first re-verification (last driver-green r5)
-    "cheapest_part_supplier_region",
-    "late_ship_priority_counts",
-    "nation_year_profit",
-    "important_part_values",
-    "ship_delay_priority_mix",
-    "part_supplier_variety",
-    "string_agg_per_group",
-    "grouping_sets_quantity",
-    "cube_order_counts",
-    "grouped_median",
-    "grouped_mode",
-    "having_filter",
-    "conditional_agg",
-    "robust_spread",
-    "value_histogram",
-    "window_first_last",
-    "window_rank_ntile",
-    "window_cume_nth",
-    "date_arithmetic",
-    "exists_subquery",
-    "unpivot_part_metrics",
-    "fill_defaults",
-    "word_counts",
-    "regexp_extract_supplier",
-    "clip_outliers",
-    "zorder_bucket_stats",
-    "compact_roundtrip",
-    "manifest_partition_counts",
-    "kfold_assign_counts",
-    "embedding_norm_buckets",
-    "events_dow_hour_matrix",
-    "pmi_top_bigrams",
-    "dedup_family_size_hist",
-    "order_lead_time_monthly",
-    "supplier_pareto_share",
-    "countmin_heavy_hitters",
-    "skew_salted_join",
-    "window_percentile_ranks",
-    "clean_pipeline_dirty",
-    "scalar_function_battery",
-    "containment_pairs_blocked",
-    # re-verification of this round's rows-only -> bound-audit conversions
-    "approx_quantiles",
-    "approx_distinct",
-    "hll_mergeable_rollup",
-    "hll_audience_overlap",
-]
-
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: The round-10 rotation put this round's sole registration
-#: (dedup_span_removal) straight into DRIVER_WINDOW slot 1; every new
-#: registration this round must be appended here (it gets a driver
-#: slot in the r11 rotation ahead of stale re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = []
-
-
-#: Driver-green in a past round (hash-stable; guarded by local oracle
-#: parity).  Grouped by the MOST RECENT driver-green round so the
-#: stale-first rotation (tools/next_window.py) is auditable by eye.
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
-    # most recent driver-green row: round 6 (CORRECTNESS_r06.json)
+    # stale-first re-verification (last driver-green r6)
     "schema_contract_enforced",
     "url_ingest_roundtrip",
     "sql_extract_roundtrip",
@@ -13449,6 +13581,26 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "user_event_entropy",
     "l_diversity_events",
     "zipf_vocab_fit",
+    # re-verification of this round's changed registered forms
+    "dedup_minhash_transitive",
+    "similarity_ivf_topk",
+    "dedup_graph_triangles",
+]
+
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: Every new registration this round must be appended here (it gets a
+#: driver slot in the r13 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
     # most recent driver-green row: round 7 (CORRECTNESS_r07.json)
     "ks_drift_price",
     "bootstrap_revenue_ci",
@@ -13461,9 +13613,7 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "did_revenue_effect",
     "fdr_event_value_tests",
     "dedup_minhash",
-    "dedup_minhash_transitive",
     "dedup_simhash",
-    "similarity_ivf_topk",
     "bpe_train_merges",
     "dedup_graph_kcore",
     "similarity_topk",
@@ -13618,7 +13768,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "rolling_zscore_anomalies",
     "sink_quarantine_roundtrip",
     "bigram_logprob_scores",
-    "dedup_graph_triangles",
     "equi_depth_histogram",
     "skew_salted_agg",
     "rolling_hour_window",
@@ -13640,6 +13789,56 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "mahalanobis_outliers",
     "embedding_centroids",
     "embedding_centroids_udaf",
+    # most recent driver-green row: round 11 (CORRECTNESS_r11.json)
+    "containment_pairs_prefix",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "asof_next_purchase",
+    "cheapest_part_supplier_region",
+    "late_ship_priority_counts",
+    "nation_year_profit",
+    "important_part_values",
+    "ship_delay_priority_mix",
+    "part_supplier_variety",
+    "string_agg_per_group",
+    "grouping_sets_quantity",
+    "cube_order_counts",
+    "grouped_median",
+    "grouped_mode",
+    "having_filter",
+    "conditional_agg",
+    "robust_spread",
+    "value_histogram",
+    "window_first_last",
+    "window_rank_ntile",
+    "window_cume_nth",
+    "date_arithmetic",
+    "exists_subquery",
+    "unpivot_part_metrics",
+    "fill_defaults",
+    "word_counts",
+    "regexp_extract_supplier",
+    "clip_outliers",
+    "zorder_bucket_stats",
+    "compact_roundtrip",
+    "manifest_partition_counts",
+    "kfold_assign_counts",
+    "embedding_norm_buckets",
+    "events_dow_hour_matrix",
+    "pmi_top_bigrams",
+    "dedup_family_size_hist",
+    "order_lead_time_monthly",
+    "supplier_pareto_share",
+    "countmin_heavy_hitters",
+    "skew_salted_join",
+    "window_percentile_ranks",
+    "clean_pipeline_dirty",
+    "scalar_function_battery",
+    "containment_pairs_blocked",
+    "approx_quantiles",
+    "approx_distinct",
+    "hll_mergeable_rollup",
+    "hll_audience_overlap",
 ]
 
 

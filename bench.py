@@ -222,8 +222,15 @@ def _run() -> dict:
         "dedup_minhash_portable",   # md5-32 twin of dedup_minhash
         "dedup_simhash_portable",   # md5-32 twin of dedup_simhash
         "kmeans_step_verified",     # one-step twin of embedding_centroids
-        "ivf_probe_verified",       # hash-verified twin of similarity_ivf_topk
+        "ivf_probe_verified",       # seed-centroid probe shape
         "dedup_incremental_batch",  # between-batch verification shape
+        # r12 conversions: these two registered forms now run the
+        # portable-hash pipelines end to end (md5-32 2-gram MinHash;
+        # rounded-Lloyd quantizer) — the xxhash64 / Spark ML KMeans
+        # production paths stay timed via dedup_minhash and pinned by
+        # pytest respectively.
+        "dedup_minhash_transitive",
+        "similarity_ivf_topk",
     ]
     verification_s = sum(
         t for n, t in timings.items() if n in verification_forms and t > 0

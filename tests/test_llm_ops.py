@@ -1638,6 +1638,49 @@ def test_ivf_search_recall_vs_brute_force(spark):
         assigned.unpersist()
 
 
+def test_ivf_portable_clusters_and_probe(spark):
+    """ivf_build_portable / ivf_search_portable (the hash-verified r12
+    registered form of similarity_ivf_topk): deterministic Lloyd rounds
+    from lowest-id seeds separate an obviously two-cluster corpus, the
+    probe search finds the true neighbors with correct hit_brute
+    markers, and an emptied cell keeps its previous centroid instead of
+    crashing the update."""
+    from automated_batch_data_pipeline_nyc_spark.operators import similarity as sim
+
+    # two tight clusters around (+1, 0) and (0, +1); seeds = ids 0 and 1,
+    # one inside each cluster
+    rows = [
+        (0, [1.0, 0.05]), (2, [0.9, 0.1]), (4, [1.1, -0.05]),
+        (1, [0.05, 1.0]), (3, [0.1, 0.9]), (5, [-0.05, 1.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = sim.ivf_build_portable(
+        df, "embedding", n_lists=2, iters=2
+    )
+    cells = {r.vec_id: r.ivf_list for r in assigned.collect()}
+    assert cells[0] == cells[2] == cells[4]
+    assert cells[1] == cells[3] == cells[5]
+    assert cells[0] != cells[1]
+
+    # probe only the query's own cell: neighbors come from cluster 0,
+    # and every one of them is in the global brute top-k (hit_brute)
+    out = sim.ivf_search_portable(
+        assigned, centroids, "embedding", [1.0, 0.05],
+        query_id=0, k=2, nprobe=1,
+    ).collect()
+    assert [r.vec_id for r in out] == [2, 4]
+    assert [r.rnk for r in out] == [1, 2]
+    assert all(r.hit_brute for r in out)
+
+    # identical corpus -> every vector assigns to cid 0 (tiebreak), cell
+    # 1 empties, its centroid must survive as the seed vector
+    same = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    _, cents = sim.ivf_build_portable(same, "embedding", n_lists=2, iters=2)
+    assert cents[1] == [1.0, 1.0]
+
+
 # ---------------------------------------------------------------------------
 # sketch accuracy bounds (the 'measured, not guessed' companion to the
 # determinism/merge-law tests): each approximate operator's error vs the

@@ -48,6 +48,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "hybrid_retrieval_rrf": 2,       # two top-k rank frames (k rows)
     "ks_drift_price": 2,             # distinct-value CDF frames
     "rolling_corr_daily": 6,         # span-bounded generated day spine
+    "similarity_ivf_topk": 1,        # rnk over the post-limit k-row frame
     "supplier_pareto_share": 1,      # supplier-level aggregate frame
     "survival_kaplan_meier": 2,      # distinct event-time frame
     "user_growth_daily": 1,          # day-level aggregate frame
@@ -149,6 +150,7 @@ CHECKPOINTED_ITERATIVE = {
     "dedup_graph_kcore",       # iterative peeling
     "bpe_train_merges",        # merge-fold truncation every 4 ranks
     "bpe_encode_tokens",       # vocab fold truncation every 4 merges
+    "similarity_ivf_topk",     # Lloyd rounds (collect-boundary record_plan)
 }
 
 

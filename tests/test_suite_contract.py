@@ -21,55 +21,55 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
     "clean_pipeline",
-    "containment_pairs_prefix",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "asof_next_purchase",
-    "cheapest_part_supplier_region",
-    "late_ship_priority_counts",
-    "nation_year_profit",
-    "important_part_values",
-    "ship_delay_priority_mix",
-    "part_supplier_variety",
-    "string_agg_per_group",
-    "grouping_sets_quantity",
-    "cube_order_counts",
-    "grouped_median",
-    "grouped_mode",
-    "having_filter",
-    "conditional_agg",
-    "robust_spread",
-    "value_histogram",
-    "window_first_last",
-    "window_rank_ntile",
-    "window_cume_nth",
-    "date_arithmetic",
-    "exists_subquery",
-    "unpivot_part_metrics",
-    "fill_defaults",
-    "word_counts",
-    "regexp_extract_supplier",
-    "clip_outliers",
-    "zorder_bucket_stats",
-    "compact_roundtrip",
-    "manifest_partition_counts",
-    "kfold_assign_counts",
-    "embedding_norm_buckets",
-    "events_dow_hour_matrix",
-    "pmi_top_bigrams",
-    "dedup_family_size_hist",
-    "order_lead_time_monthly",
-    "supplier_pareto_share",
-    "countmin_heavy_hitters",
-    "skew_salted_join",
-    "window_percentile_ranks",
-    "clean_pipeline_dirty",
-    "scalar_function_battery",
-    "containment_pairs_blocked",
-    "approx_quantiles",
-    "approx_distinct",
-    "hll_mergeable_rollup",
-    "hll_audience_overlap",
+    "schema_contract_enforced",
+    "url_ingest_roundtrip",
+    "sql_extract_roundtrip",
+    "window_range_frame_sum",
+    "set_ops_multiset",
+    "asof_nearest_event",
+    "gopher_quality_rules",
+    "user_activity_streaks",
+    "bloom_prefilter_join",
+    "bloom_fpp_audit",
+    "bpe_pair_counts",
+    "semdedup_prune",
+    "k_anonymity_events",
+    "profile_orders_table",
+    "dsir_importance_weights",
+    "incremental_agg_merge",
+    "psi_drift_orders",
+    "temperature_lang_rates",
+    "gapfill_user_hourly",
+    "corr_matrix_lineitem",
+    "benford_price_audit",
+    "basket_brand_lift",
+    "bucketed_join_roundtrip",
+    "incremental_join_view",
+    "streaming_upsert_apply",
+    "c4_cleaning_rules",
+    "impute_group_mean",
+    "join_size_estimate_cm",
+    "hierarchy_share_rollup",
+    "session_path_trigrams",
+    "rfm_segments",
+    "cusum_changepoint_daily",
+    "rolling_corr_daily",
+    "market_concentration_hhi",
+    "keyness_log_odds",
+    "ab_test_conversion",
+    "cohort_ltv_curve",
+    "neyman_allocation_orders",
+    "txlog_time_travel",
+    "graph_bfs_hops",
+    "survival_kaplan_meier",
+    "gini_revenue_concentration",
+    "seasonal_dow_anomalies",
+    "user_event_entropy",
+    "l_diversity_events",
+    "zipf_vocab_fit",
+    "dedup_minhash_transitive",
+    "similarity_ivf_topk",
+    "dedup_graph_triangles",
 ]
 
 
