@@ -1222,7 +1222,7 @@ def _stream_hourly(spark, sf_dir):
     # copy ignored awaitTermination's boolean, so a timeout would have
     # silently returned a PARTIAL complete-mode aggregate — the exact
     # truncated-answer failure _run_stream_to_table exists to forbid).
-    name = _run_stream_to_table(agg, "complete")
+    name = _run_stream_to_table(agg, "complete", no_data_batches=False)
     # The stream reads the NTZ parquet through an LTZ schema (watermark
     # compatibility), so w.start's *epoch* micros equal the fixture's
     # wall-clock micros.  Rebuild the NTZ wall clock from that integer —
@@ -6047,33 +6047,52 @@ class _stream_conf_scope:
         return False
 
 
-def _run_stream_to_table(agg, mode: str) -> str:
+def _run_stream_to_table(agg, mode: str, no_data_batches: bool = True) -> str:
     """availableNow the streaming frame into a uniquely-named memory
-    sink; return the table name."""
+    sink; return the table name.
+
+    ``no_data_batches=False`` skips the trailing empty micro-batch that
+    availableNow otherwise runs to advance the watermark (VERDICT r11
+    item 7: measured 0.7-0.9 s of pure state-store commit waves, ~40%
+    of the interval join's wall).  ONLY valid for sinks whose every row
+    is emitted by the data batches themselves — inner stream-stream
+    joins (matches emit on arrival) and complete-mode aggs; append-mode
+    windowed/session aggregates NEED that batch to finalize windows, so
+    they keep the default."""
     import uuid
 
     name = f"strm_{uuid.uuid4().hex[:8]}"
-    with _stream_conf_scope(agg.sparkSession):
-        q = (
-            agg.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
+    spark_ = agg.sparkSession
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nd_old = spark_.conf.get(nd_key)
+    with _stream_conf_scope(spark_):
+        # latched at query start, so set before .start() and restore
+        # after the drain completes (a leaked "false" would silently
+        # drop the final-window flush of a LATER append-mode agg)
+        spark_.conf.set(nd_key, "true" if no_data_batches else "false")
         try:
-            # awaitTermination returns False on timeout; stopping a
-            # stream mid-backlog would silently aggregate PARTIAL
-            # results, so a timeout must be an error, never a truncated
-            # answer.  600 s is ~60x the observed sf0.01 drain time —
-            # headroom for the host's measured 2-8x allocation swings
-            # during driver verification.
-            if not q.awaitTermination(600):
-                raise TimeoutError(
-                    f"stream {name} did not drain its backlog within 600s"
-                )
+            q = (
+                agg.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                # awaitTermination returns False on timeout; stopping a
+                # stream mid-backlog would silently aggregate PARTIAL
+                # results, so a timeout must be an error, never a
+                # truncated answer.  600 s is ~60x the observed sf0.01
+                # drain time — headroom for the host's measured 2-8x
+                # allocation swings during driver verification.
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        f"stream {name} did not drain its backlog within 600s"
+                    )
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            spark_.conf.set(nd_key, nd_old)
     return name
 
 
@@ -6174,7 +6193,7 @@ def _stream_dedup(spark, sf_dir):
         read_event_stream(spark, src), ["event_id"], ts_col="ts",
         watermark="1440 hours",
     )
-    name = _run_stream_to_table(deduped, "append")
+    name = _run_stream_to_table(deduped, "append", no_data_batches=False)
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_unique"),
@@ -6219,7 +6238,7 @@ def _stream_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         _sum_money(F.col("value"), "total_value"),
     )
-    name = _run_stream_to_table(agg, "complete")
+    name = _run_stream_to_table(agg, "complete", no_data_batches=False)
     return spark.table(name).select("n_name", "n_events", "total_value")
 
 
@@ -6291,7 +6310,10 @@ def _stream_interval_join(spark, sf_dir):
         # as streaming_dedup_counts)
         watermark="1440 hours",
     )
-    name = _run_stream_to_table(joined, "append")
+    # inner stream-stream join: every match emits in the data batch it
+    # completes in, so the trailing watermark-advancing empty batch is
+    # pure state-store commit cost (VERDICT r11 item 7) — skip it
+    name = _run_stream_to_table(joined, "append", no_data_batches=False)
     return spark.table(name).groupBy(F.col("u").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         _sum_money(F.col("value"), "attributed_value"),
@@ -8744,7 +8766,7 @@ def _scountmin(spark, sf_dir):
     # identical frame to the sessionizer's staging -> shared dir
     src = _stage_stream_src(spark, sf_dir, "sess", base)
     sk = countmin_sketch(read_event_stream(spark, src), "user_id", depth=4, width=256)
-    name = _run_stream_to_table(sk, "complete")
+    name = _run_stream_to_table(sk, "complete", no_data_batches=False)
     return spark.table(name).select(
         "row", "bucket", F.col("cnt").cast("long").alias("cnt")
     )

@@ -366,6 +366,12 @@ SWEEP_FAMILIES: dict[str, list[tuple[str, str]]] = {
 #: measured exponent above 1.3 means real super-linear growth.
 SWEEP_SUPERLINEAR_FLAG = 1.3
 
+#: Families that additionally run the derived-sf1 leg when the sweep is
+#: invoked with ``--sf1`` (VERDICT r11 item 6): the two heaviest
+#: families, whose sf0.5 constants are largest — the 100 TB story
+#: should not extrapolate from the scale where they cost the most.
+SWEEP_SF1_FAMILIES = {"graph", "dedup"}
+
 _SWEEP_MARK_BEGIN = "<!-- SWEEP:BEGIN (generated by bench.py --sweep) -->"
 _SWEEP_MARK_END = "<!-- SWEEP:END -->"
 
@@ -376,10 +382,11 @@ def _table_rows(sf_dir: str, table: str) -> int:
     return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
 
 
-def _sweep(sf_dirs: list[str]) -> dict:
+def _sweep(sf_dirs: list[str], sf1_dir: str | None = None) -> dict:
     """Run every family query at every sf dir, compute per-leg
     row-scaling exponents, return the full record (also rewrites the
-    marked section of SCALING.md)."""
+    marked section of SCALING.md).  ``sf1_dir`` (``--sf1``) extends the
+    curve one more leg for SWEEP_SF1_FAMILIES only."""
     import math
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -390,16 +397,24 @@ def _sweep(sf_dirs: list[str]) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     _warm_session(spark, sf_dirs)
 
+    def fam_dirs(fam: str) -> list[str]:
+        if sf1_dir and fam in SWEEP_SF1_FAMILIES:
+            return sf_dirs + [sf1_dir]
+        return sf_dirs
+
+    all_dirs = sf_dirs + ([sf1_dir] if sf1_dir else [])
     times: dict[str, dict[str, float]] = {}
     rows: dict[str, dict[str, int]] = {}
     for fam, members in SWEEP_FAMILIES.items():
         for qname, table in members:
             times[qname] = {}
             rows[qname] = {}
-            for d in sf_dirs:
+            for d in fam_dirs(fam):
                 rows[qname][d] = _table_rows(d, table)
-    for d in sf_dirs:
+    for d in all_dirs:
         for fam, members in SWEEP_FAMILIES.items():
+            if d not in fam_dirs(fam):
+                continue
             for qname, _ in members:
                 q = QUERIES[qname]
                 t0 = time.perf_counter()
@@ -419,7 +434,8 @@ def _sweep(sf_dirs: list[str]) -> dict:
     exps: dict[str, dict[str, float]] = {}
     for qname, per_sf in times.items():
         exps[qname] = {}
-        for d1, d2 in zip(sf_dirs, sf_dirs[1:]):
+        q_dirs = list(per_sf)
+        for d1, d2 in zip(q_dirs, q_dirs[1:]):
             n1, n2 = rows[qname][d1], rows[qname][d2]
             t1, t2 = per_sf[d1], per_sf[d2]
             if n2 >= 2 * n1 and t1 > 0 and t2 > 0:
@@ -447,13 +463,13 @@ def _sweep(sf_dirs: list[str]) -> dict:
                 os.path.basename(d): round(
                     sum(t[d] for q, _ in members if (t := times[q])[d] > 0), 2
                 )
-                for d in sf_dirs
+                for d in fam_dirs(fam)
             },
         }
 
     record = {
         "metric": "family_scale_sweep",
-        "sf_dirs": sf_dirs,
+        "sf_dirs": all_dirs,
         "families": fam_summary,
         "times": times,
         "rows": rows,
@@ -502,7 +518,8 @@ def _write_sweep_md(record: dict) -> None:
         "|---|" + "---|" * (len(sf_names) + 3),
     ]
     for fam, s in record["families"].items():
-        totals = " | ".join(str(s["totals"][n]) for n in sf_names)
+        # families outside SWEEP_SF1_FAMILIES have no sf1 column
+        totals = " | ".join(str(s["totals"].get(n, "—")) for n in sf_names)
         verdict = "**SUPER-LINEAR**" if s["superlinear"] else "linear-or-better"
         lines.append(
             f"| {fam} | {totals} | {s['median_exponent']} | "
@@ -625,17 +642,29 @@ if __name__ == "__main__":
             "/root/testdata/sf0.01",
             "/root/testdata/sf0.1",
         ]
+        import subprocess
+
         derived = "/tmp/spark_graft_scale/sf0.5"
         if not os.path.isdir(derived):
-            import subprocess
-
             print("sweep: deriving sf0.5 fixtures (tools/make_sf_scale.py)",
                   file=sys.stderr)
             subprocess.run(
                 [sys.executable, os.path.join(_repo, "tools", "make_sf_scale.py")],
                 check=True,
             )
-        record = _sweep(dirs + [derived])
+        sf1_dir = None
+        if "--sf1" in sys.argv:
+            sf1_dir = "/tmp/spark_graft_scale/sf1"
+            if not os.path.isdir(sf1_dir):
+                print("sweep: deriving sf1 fixtures (make_sf_scale.py 10)",
+                      file=sys.stderr)
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(_repo, "tools", "make_sf_scale.py"),
+                     "10", sf1_dir],
+                    check=True,
+                )
+        record = _sweep(dirs + [derived], sf1_dir=sf1_dir)
         print(json.dumps(
             {"metric": "family_scale_sweep", "families": record["families"]}
         ))
