@@ -499,11 +499,16 @@ def _write_sweep_md(record: dict) -> None:
         "the per-query wall-time scaling exponent alpha on the largest leg",
         "(t ~ rows^alpha, computed against the DRIVING TABLE's row counts —",
         "documents is 500 rows at both sf0.001 and sf0.01, so that leg is",
-        "skipped for document families).  The sf0.5 fixtures are derived",
-        "from sf0.1 by tools/make_sf_scale.py (5 disjoint replicas:",
-        "vocabulary-bijected documents, sign-flipped embeddings, key-shifted",
+        "skipped for document families).  The sf0.5/sf1 fixtures are derived",
+        "from sf0.1 by tools/make_sf_scale.py (5/10 disjoint replicas:",
+        "disjoint-vocabulary documents, sign-flipped embeddings, key-shifted",
         "facts+dims), preserving per-replica workload character so the",
-        "exponent measures the ENGINE, not replication artifacts.  Exponents",
+        "exponent measures the ENGINE, not replication artifacts (the r12",
+        "sf1 leg caught the pre-r12 vocab-bijection variant doing exactly",
+        "that: one shared 31-word gram space made cross-replica candidate",
+        "pairs grow ~K^2 and read as alpha~2 — see make_sf_scale.py).",
+        "The sf1 column runs the two heaviest families only (--sf1,",
+        "SWEEP_SF1_FAMILIES).  Exponents",
         f"above {record['superlinear_flag_threshold']} flag super-linear growth;"
         " fixed per-job overhead biases small-scale exponents DOWN, so",
         "sub-linear readings mean overhead still dominates, not magic.",

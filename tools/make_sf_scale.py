@@ -9,13 +9,17 @@ verification scale — so the sweep (bench.py --sweep) extends the curve
 with data derived to preserve each family's per-replica workload
 character while keeping replicas disjoint:
 
-- ``documents``: replica k>0 remaps every whitespace word through a
-  seeded BIJECTION of the sf0.1 vocabulary.  Within a replica all
-  n-gram structure, length distribution, and near-dup pair structure
-  are preserved EXACTLY (a rename cannot change shingle set sizes or
-  Jaccard); across replicas the gram spaces are effectively disjoint,
-  so pair density per row stays that of the original corpus instead of
-  exploding quadratically (what naive replication would do).
+- ``documents``: replica k>0 remaps every whitespace word into a
+  DISJOINT per-replica vocabulary (``w -> w~k``).  Within a replica
+  all n-gram structure, df profile and near-dup pair structure are
+  preserved EXACTLY (a rename cannot change shingle set sizes or
+  Jaccard); across replicas the gram spaces are TRULY disjoint, so
+  pair density per row stays that of the original corpus instead of
+  exploding quadratically (what naive replication does — and what the
+  pre-r12 vocab-bijection variant did too: with a 31-word fixture
+  vocabulary, bijections of the vocab onto itself left every replica
+  in one shared 31x31 gram space, and the sf1 leg measured alpha~2
+  on every gram-pair query purely from cross-replica collisions).
 - ``embeddings``: replica k flips a seeded sign pattern per dimension —
   an orthogonal involution, so norms and within-replica cosine
   structure are exact; across replicas vectors decorrelate.
@@ -103,9 +107,20 @@ def main() -> None:
     vocab = sorted({w for t in texts if t for w in t.split(" ")})
     replicas = [docs]
     for k in range(1, k_total):
-        rng = np.random.default_rng(1000 + k)
-        perm = rng.permutation(len(vocab))
-        mapping = {vocab[i]: vocab[perm[i]] for i in range(len(vocab))}
+        # Replica k speaks a DISJOINT vocabulary: every word gets a
+        # replica suffix ('~' appears in no fixture word, and words are
+        # whitespace-atomic to every gram/shingle operator, so within-
+        # replica n-gram structure, df profile and Jaccard geometry are
+        # preserved EXACTLY).  The r11 sweep used a seeded bijection of
+        # the vocab onto ITSELF here — but the fixture vocabulary is
+        # only 31 words, so all replicas shared one 31x31 gram space
+        # and cross-replica gram collisions grew candidate pairs ~K^2:
+        # the r12 sf1 leg measured alpha~1.8-2.0 across every gram-pair
+        # and dup-graph query, a pure replication artifact (the engine
+        # plans were identical; the DATA quadratically entangled).
+        # Disjoint vocabularies make pair density per row invariant in
+        # K, which is the property the sweep needs the fixture to hold.
+        mapping = {w: f"{w}~{k}" for w in vocab}
         new_texts = _remap_words(texts, mapping)
         rep = _shift(docs, ["doc_id"], k)
         rep = rep.set_column(
