@@ -512,6 +512,8 @@ def minhash_pairs_portable(
     rows_per_band: int = 4,
     shingle_size: int = 2,
     jaccard_threshold: float = 0.8,
+    collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Verified MinHash near-dup pairs (``id_a < id_b``) over the
     ENGINE-PORTABLE hash family — the cross-engine-verifiable twin of
@@ -542,13 +544,40 @@ def minhash_pairs_portable(
     :func:`minhash_pairs` (xxhash64 is ~an order of magnitude cheaper
     than per-token string md5).  Plan shape is identical to the
     production twin: map-only signatures, vocabulary-bounded band
-    shuffle, candidate-sized verify join.
+    shuffle, candidate-sized verify join — INCLUDING ``collapse_exact``
+    (default on, same as production): an m-doc byte-identical family
+    collides in every band, so the uncollapsed self-join would emit
+    m(m-1)/2 candidates; collapsing to one representative per text
+    fingerprint and expanding the family as a star afterwards keeps
+    the pair set linear in family size.  The star reduction is
+    component-equivalent to the full clique (the :func:`minhash_pairs`
+    docstring carries the proof), so a connected-components census
+    over these pairs — the suite's registered form — is unchanged,
+    which is why the DuckDB oracle can stay on the simple uncollapsed
+    restatement.
     """
     base = spread(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col), F.col(text_col)
         )
     )
+    star = None
+    if collapse_exact:
+        # md5 fingerprint, min-id representative, star expansion —
+        # identical reasoning to minhash_pairs (NULL text already
+        # filtered above).
+        fam = base.select(
+            F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp")
+        )
+        reps = fam.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        star = (
+            fam.join(reps, "__fp")
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        base = base.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
     grams = shingle(F.col(text_col), n=shingle_size)
     with_sig = (
         base.withColumn("__h32", F.transform(grams, _md5_hash32))
@@ -558,7 +587,8 @@ def minhash_pairs_portable(
     with_sig = with_sig.persist()
     try:
         pairs = lsh_candidate_pairs(
-            with_sig, id_col, "__sig", bands, rows_per_band, portable=True
+            with_sig, id_col, "__sig", bands, rows_per_band,
+            portable=True, max_bucket_size=max_bucket_size,
         )
         sh = with_sig.select(F.col(id_col), F.col("__h32"))
         verified = (
@@ -576,6 +606,10 @@ def minhash_pairs_portable(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b")
         )
+        if star is not None:
+            # disjoint by construction: star pairs have a non-rep id_b,
+            # verified pairs connect two representatives
+            verified = verified.unionByName(star)
         return _ckpt(verified, label="dedup_portable_pairs")
     finally:
         with_sig.unpersist()

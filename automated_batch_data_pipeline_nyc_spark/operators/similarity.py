@@ -512,6 +512,12 @@ def ivf_build_portable(
     seed_rows = (
         staged.select(id_col, "__x").orderBy(F.col(id_col)).limit(n_lists).collect()
     )
+    if len(seed_rows) < n_lists:
+        # same contract as build_ivf_index (Spark ML KMeans rejects
+        # k > n); failing loudly beats an IndexError mid-Lloyd-update
+        raise ValueError(
+            f"n_lists={n_lists} exceeds corpus size {len(seed_rows)}"
+        )
     centroids = [[float(v) for v in r["__x"]] for r in seed_rows]
     from ..plans.capture import record_plan
 

@@ -1222,7 +1222,7 @@ def _stream_hourly(spark, sf_dir):
     # copy ignored awaitTermination's boolean, so a timeout would have
     # silently returned a PARTIAL complete-mode aggregate — the exact
     # truncated-answer failure _run_stream_to_table exists to forbid).
-    name = _run_stream_to_table(agg, "complete", no_data_batches=False)
+    name = _run_stream_to_table(agg, "complete")
     # The stream reads the NTZ parquet through an LTZ schema (watermark
     # compatibility), so w.start's *epoch* micros equal the fixture's
     # wall-clock micros.  Rebuild the NTZ wall clock from that integer —
@@ -1977,6 +1977,36 @@ def _dmin(spark, sf_dir):
     )
 
 
+#: Shared DuckDB expression for a document's DISTINCT, SORTED word
+#: 2-gram list (whitespace-split, lowercased) — the single source of
+#: the gram convention, consumed by _SQL_PREFIX_PAIRS and the portable
+#: MinHash oracle (sorting is required by the prefix filter and a
+#: harmless set-identity for hashing, so both share the sorted form).
+_SQL_DOC_2GRAMS = """list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+        i -> concat_ws(' ',
+               list_extract(string_split(lower(text),' '), i),
+               list_extract(string_split(lower(text),' '), i + 1)))))"""
+
+#: Shared WITH-RECURSIVE min-label transitive closure over a ``pairs``
+#: CTE (columns id_a, id_b): defines und/reach/comp, where comp maps
+#: every non-singleton node to its component's min id.  Callers LEFT
+#: JOIN their doc spine against comp and COALESCE singletons to
+#: themselves.  (One definition on purpose — this closure used to be
+#: copy-pasted per oracle, so a fix to the closure had four places to
+#: miss.)
+_SQL_CC_CLOSURE = """und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, mn) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node)"""
+
+
 def _minhash_transitive_portable_oracle(
     num_hashes: int = 16,
     bands: int = 4,
@@ -1986,9 +2016,10 @@ def _minhash_transitive_portable_oracle(
     """WITH-RECURSIVE replay of the FULL portable MinHash transitive
     pipeline: md5-32 word-2-gram signatures (the
     ``_minhash_portable_oracle`` permutation family over the
-    ``_SQL_PREFIX_PAIRS`` gram construction) → band keys as
+    ``_SQL_DOC_2GRAMS`` gram construction) → band keys as
     signature-slice strings → candidate equality join → exact hash-set
-    Jaccard verify → transitive closure → survivor census."""
+    Jaccard verify → transitive closure (``_SQL_CC_CLOSURE``) →
+    survivor census."""
     from .operators.dedup import _MH_PRIME, _mh_coeffs
 
     coeffs = ", ".join(
@@ -1998,11 +2029,7 @@ def _minhash_transitive_portable_oracle(
     return f"""
     WITH RECURSIVE
     g AS (
-      SELECT doc_id, list_distinct(list_transform(
-        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
-        i -> concat_ws(' ',
-               list_extract(string_split(lower(text),' '), i),
-               list_extract(string_split(lower(text),' '), i + 1)))) AS grams
+      SELECT doc_id, {_SQL_DOC_2GRAMS} AS grams
       FROM documents),
     t AS (SELECT doc_id, unnest(grams) AS w FROM g),
     h AS (SELECT doc_id,
@@ -2026,14 +2053,7 @@ def _minhash_transitive_portable_oracle(
       WHERE CAST(len(list_intersect(ha.hvs, hb.hvs)) AS DOUBLE)
           / CAST(len(list_distinct(list_concat(ha.hvs, hb.hvs))) AS DOUBLE)
           >= {jaccard_threshold}),
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    reach(node, mn) AS (
-      SELECT a, a FROM und
-      UNION
-      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node),
-    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node),
+    {_SQL_CC_CLOSURE},
     resolved AS (
       SELECT d.doc_id, COALESCE(c2.component, d.doc_id) AS survivor_id
       FROM documents d LEFT JOIN comp c2 ON c2.node = d.doc_id),
@@ -2368,8 +2388,14 @@ def _ivf_topk_portable_oracle(
 
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c"
-        f" FROM embeddings WHERE vec_id < {n_lists})",
+        # seeds = the n_lists LOWEST ids labelled 0..n-1 in id order —
+        # the operator's orderBy(id).limit(n) + enumerate, NOT a
+        # "vec_id < n" predicate (equivalent only while the fixture's
+        # ids are contiguous from 0)
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        embedding::DOUBLE[] AS c
+      FROM embeddings ORDER BY vec_id LIMIT {n_lists})""",
     ]
     for t in range(1, iters + 1):
         parts.append(assign(f"a{t}", f"c{t - 1}"))
@@ -3581,13 +3607,9 @@ def _pack(spark, sf_dir):
 # ===========================================================================
 
 #: gram/prefix CTE shared with dedup_ngram_jaccard_prefix's oracle.
-_SQL_PREFIX_PAIRS = """
+_SQL_PREFIX_PAIRS = f"""
     g AS (
-      SELECT doc_id, list_sort(list_distinct(list_transform(
-        generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
-        i -> concat_ws(' ',
-               list_extract(string_split(lower(text),' '), i),
-               list_extract(string_split(lower(text),' '), i + 1))))) AS grams
+      SELECT doc_id, {_SQL_DOC_2GRAMS} AS grams
       FROM documents
     ),
     p AS (
@@ -3615,16 +3637,7 @@ _SQL_PREFIX_PAIRS = """
     f"""
     WITH RECURSIVE
     {_SQL_PREFIX_PAIRS},
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, mn) AS (
-      SELECT a, a FROM und
-      UNION
-      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node
-    ),
-    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node)
+    {_SQL_CC_CLOSURE}
     SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     """,
@@ -3647,16 +3660,7 @@ def _dcc(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {_SQL_PREFIX_PAIRS},
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, mn) AS (
-      SELECT a, a FROM und
-      UNION
-      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node
-    ),
-    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node),
+    {_SQL_CC_CLOSURE},
     resolved AS (
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor_id
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -6047,7 +6051,9 @@ class _stream_conf_scope:
         return False
 
 
-def _run_stream_to_table(agg, mode: str, no_data_batches: bool = True) -> str:
+def _run_stream_to_table(
+    agg, mode: str, no_data_batches: bool | None = None
+) -> str:
     """availableNow the streaming frame into a uniquely-named memory
     sink; return the table name.
 
@@ -6055,12 +6061,17 @@ def _run_stream_to_table(agg, mode: str, no_data_batches: bool = True) -> str:
     availableNow otherwise runs to advance the watermark (VERDICT r11
     item 7: measured 0.7-0.9 s of pure state-store commit waves, ~40%
     of the interval join's wall).  ONLY valid for sinks whose every row
-    is emitted by the data batches themselves — inner stream-stream
-    joins (matches emit on arrival) and complete-mode aggs; append-mode
-    windowed/session aggregates NEED that batch to finalize windows, so
-    they keep the default."""
+    is emitted by the data batches themselves.  Complete-mode sinks are
+    categorically such (every batch re-emits the full result), so the
+    default (``None``) derives the skip from ``mode`` — no per-site
+    flag to forget; append/update sites must opt in EXPLICITLY because
+    the answer depends on the operator: inner stream-stream joins and
+    pass-through dedup emit on arrival (safe), append/update windowed
+    and session aggregates NEED that batch to flush closed windows."""
     import uuid
 
+    if no_data_batches is None:
+        no_data_batches = mode != "complete"
     name = f"strm_{uuid.uuid4().hex[:8]}"
     spark_ = agg.sparkSession
     nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -6238,7 +6249,7 @@ def _stream_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         _sum_money(F.col("value"), "total_value"),
     )
-    name = _run_stream_to_table(agg, "complete", no_data_batches=False)
+    name = _run_stream_to_table(agg, "complete")
     return spark.table(name).select("n_name", "n_events", "total_value")
 
 
@@ -6536,16 +6547,7 @@ def _inv_index(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {_SQL_PREFIX_PAIRS},
-    und AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, mn) AS (
-      SELECT a, a FROM und
-      UNION
-      SELECT u.b, r.mn FROM reach r JOIN und u ON u.a = r.node
-    ),
-    comp AS (SELECT node, MIN(mn) AS component FROM reach GROUP BY node),
+    {_SQL_CC_CLOSURE},
     assign AS (
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
@@ -8766,7 +8768,7 @@ def _scountmin(spark, sf_dir):
     # identical frame to the sessionizer's staging -> shared dir
     src = _stage_stream_src(spark, sf_dir, "sess", base)
     sk = countmin_sketch(read_event_stream(spark, src), "user_id", depth=4, width=256)
-    name = _run_stream_to_table(sk, "complete", no_data_batches=False)
+    name = _run_stream_to_table(sk, "complete")
     return spark.table(name).select(
         "row", "bucket", F.col("cnt").cast("long").alias("cnt")
     )

@@ -395,7 +395,6 @@ def _sweep(sf_dirs: list[str], sf1_dir: str | None = None) -> dict:
 
     spark = get_session("automated_batch_data_pipeline_nyc_spark-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    _warm_session(spark, sf_dirs)
 
     def fam_dirs(fam: str) -> list[str]:
         if sf1_dir and fam in SWEEP_SF1_FAMILIES:
@@ -403,6 +402,10 @@ def _sweep(sf_dirs: list[str], sf1_dir: str | None = None) -> dict:
         return sf_dirs
 
     all_dirs = sf_dirs + ([sf1_dir] if sf1_dir else [])
+    # warm EVERY measured dir incl. the sf1 leg — a cold per-dir init
+    # inside the timed window would inflate exactly the largest-leg
+    # exponent the sweep exists to measure
+    _warm_session(spark, all_dirs)
     times: dict[str, dict[str, float]] = {}
     rows: dict[str, dict[str, int]] = {}
     for fam, members in SWEEP_FAMILIES.items():

@@ -248,6 +248,57 @@ def test_minhash_pairs_portable_matches_hashed_banding(spark):
     assert portable == hashed
 
 
+def test_minhash_pairs_portable_collapses_exact_families(spark):
+    """The portable twin carries the same exact-family star reduction
+    as production minhash_pairs (code-review r12): an m-identical-doc
+    family emits m-1 star pairs, not m(m-1)/2 — and the star induces
+    the SAME connected components as the uncollapsed clique, which is
+    why the suite's CC-census oracle needs no collapse restatement."""
+    from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
+    from automated_batch_data_pipeline_nyc_spark.operators.graph import (
+        assign_components,
+    )
+
+    fam = [(i, "the exact same boilerplate licence text") for i in range(50)]
+    other = [(999, "completely different words about unrelated things")]
+    df = spark.createDataFrame(fam + other, ["doc_id", "text"])
+    star = dd.minhash_pairs_portable(df, "text", "doc_id").collect()
+    assert len(star) == 49
+    assert all(r.id_a == 0 for r in star)
+
+    clique = dd.minhash_pairs_portable(
+        df, "text", "doc_id", collapse_exact=False
+    ).collect()
+    assert len(clique) == 49 * 50 // 2
+
+    def comps(pairs):
+        edges = spark.createDataFrame(
+            [(r.id_a, r.id_b) for r in pairs], ["id_a", "id_b"]
+        )
+        return {
+            (r.doc_id, r.component)
+            for r in assign_components(
+                df.select("doc_id"), "doc_id", edges
+            ).collect()
+        }
+
+    assert comps(star) == comps(clique)
+
+
+def test_ivf_portable_rejects_small_corpus(spark):
+    """n_lists > corpus size must fail loudly (same contract as the
+    Spark ML path), not IndexError mid-Lloyd-update."""
+    import pytest as _pytest
+
+    from automated_batch_data_pipeline_nyc_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="n_lists"):
+        sim.ivf_build_portable(df, "embedding", n_lists=8)
+
+
 def test_minhash_exact_family_pairs_stay_linear(spark):
     """A 1k-identical-doc family (the routine crawl pathology: identical
     signatures -> every band collides -> O(m^2) bucket self-join) must
