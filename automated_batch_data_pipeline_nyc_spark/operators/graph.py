@@ -48,9 +48,19 @@ def connected_components(
     """Resolve an undirected edge list to (node, component) where
     ``component`` is the minimum node id reachable from ``node``.
 
-    Converges in O(diameter) rounds; raises if ``max_iterations`` is
-    hit with labels still moving (a near-dup graph that deep means the
-    threshold is catastrophically loose — fail loudly, not wrong).
+    Rounds 0-1 are plain neighbor-min propagation; from round 2 on —
+    i.e. only once the graph has PROVEN itself deeper than the typical
+    near-dup blob — each round adds a pointer jump (Hash-to-Min /
+    pointer-doubling flavor: after pulling the neighborhood minimum,
+    every node also adopts its current label's OWN label, read from the
+    previous round's checkpointed frame).  Label paths then compound
+    instead of shrinking one hop per round, so convergence is
+    O(log diameter) rounds rather than O(diameter) — a 64-node chain
+    converges in 7 rounds, not 63 (measured by pytest) — while shallow
+    graphs (the common near-dup case: tiny dense clusters) never pay
+    the jump's extra equi-join at all.  Raises if ``max_iterations``
+    is hit with labels still moving (a near-dup graph that deep means
+    the threshold is catastrophically loose — fail loudly, not wrong).
     """
     edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -64,24 +74,47 @@ def connected_components(
         .withColumn("component", F.col("node")),
         label="cc_labels0",
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.a == labels.node)
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = _ckpt(
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
-                .alias("__moved"),
-            ),
-            label="cc_iter",
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.node2, "left"
+        ).select(
+            "node",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("__c1"),
         )
+        if it >= 2:
+            # pointer jump: labels monotonically decrease, so my
+            # label's label (from the PREVIOUS round's checkpoint — a
+            # cheap rescan, not a recompute) is a reachable, no-larger
+            # label for me too
+            lookup = labels.select(
+                F.col("node").alias("__ln"), F.col("component").alias("__lc")
+            )
+            final_c = F.least(
+                F.col("__c1"), F.coalesce(F.col("__lc"), F.col("__c1"))
+            )
+            out = stepped.join(
+                lookup, F.col("__c1") == F.col("__ln"), "left"
+            ).select(
+                "node",
+                final_c.alias("component"),
+                (final_c < F.col("__old")).alias("__moved"),
+            )
+        else:
+            out = stepped.select(
+                "node",
+                F.col("__c1").alias("component"),
+                (F.col("__c1") < F.col("__old")).alias("__moved"),
+            )
+        updated = _ckpt(out, label="cc_iter")
         # INTENDED driver action: the convergence probe.  One tiny job
         # per iteration over the just-checkpointed labels (limit(1)
         # short-circuits as soon as any partition yields a moved row);

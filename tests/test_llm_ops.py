@@ -124,6 +124,18 @@ def test_connected_components_empty_pairs(spark):
     assert gr.connected_components(pairs).count() == 0
 
 
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """Adaptive pointer-jumping (r12): a 64-node path graph — worst
+    case for 1-hop min-label propagation, which needs 63 rounds —
+    converges within 8 rounds once the jump kicks in at round 2, and
+    still resolves to the single min-id component."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    out = gr.connected_components(chain, max_iterations=8)
+    assert {r.component for r in out.collect()} == {0}
+
+
 # ---------------------------------------------------------------------------
 # PII / text
 # ---------------------------------------------------------------------------
