@@ -13538,94 +13538,24 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-12 window (VERDICT r11 item 1 — the tools/next_window.py r12
-#: proposal): slot 1 = the standing SS2 canary (clean_pipeline re-verifies
-#: every round so the reference surface is never more than one round
-#: stale); slots 2-47 = the stale-first queue (the r6-green bucket:
-#: schema_contract_enforced, url_ingest_roundtrip, sql_extract_roundtrip,
-#: window_range_frame_sum, ... through zipf_vocab_fit; semdedup_prune sits
-#: in this bucket AND changed form this round — n_clusters now scales
-#: with the corpus, VERDICT r11 item 3).  The three tail slots diverge
-#: from the tool's proposal ON PURPOSE, repeating the documented
-#: r9/r10/r11 precedent: dedup_minhash_transitive and similarity_ivf_topk
-#: were converted from rows-only to hash-verified portable-pipeline
-#: oracle forms this round (VERDICT r11 item 2) and dedup_graph_triangles
-#: now runs the degree-ordered Schank/Wagner orientation (VERDICT r11
-#: item 5) — their REGISTERED FORMS changed, so their old green records
-#: no longer describe them; they take the last three slots (the displaced
-#: three — ks_drift_price, bootstrap_revenue_ci, auc_price_basket_size —
-#: head the r13 stale queue in the r7 bucket).
+#: Round-13 window (VERDICT r12 item 2 — the tools/next_window.py r13
+#: proposal, taken verbatim): slot 1 = the standing SS2 canary
+#: (clean_pipeline re-verifies every round so the reference surface is
+#: never more than one round stale); slots 2-11 = the r7-era stats/drift
+#: bucket (ks_drift_price, bootstrap_revenue_ci, auc_price_basket_size,
+#: chi2_event_dow, acf_daily_revenue, ...); slots 12-14 put the three
+#: remaining rows-only queries (dedup_minhash, dedup_simhash,
+#: bpe_train_merges) back under driver execution — dedup_minhash and
+#: dedup_simhash additionally changed REGISTERED FORM this round
+#: (bound-audit conversion, VERDICT r12 item 4), and dedup_graph_kcore
+#: (slot 15) changed form too (delta-peeling, VERDICT r12 item 7), so
+#: their window membership doubles as re-verification of the new forms;
+#: the rest of the window is the r7/r8 stale tail in proposal order.
 DRIVER_WINDOW: list[str] = [
     # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",
-    # stale-first re-verification (last driver-green r6)
-    "schema_contract_enforced",
-    "url_ingest_roundtrip",
-    "sql_extract_roundtrip",
-    "window_range_frame_sum",
-    "set_ops_multiset",
-    "asof_nearest_event",
-    "gopher_quality_rules",
-    "user_activity_streaks",
-    "bloom_prefilter_join",
-    "bloom_fpp_audit",
-    "bpe_pair_counts",
-    "semdedup_prune",
-    "k_anonymity_events",
-    "profile_orders_table",
-    "dsir_importance_weights",
-    "incremental_agg_merge",
-    "psi_drift_orders",
-    "temperature_lang_rates",
-    "gapfill_user_hourly",
-    "corr_matrix_lineitem",
-    "benford_price_audit",
-    "basket_brand_lift",
-    "bucketed_join_roundtrip",
-    "incremental_join_view",
-    "streaming_upsert_apply",
-    "c4_cleaning_rules",
-    "impute_group_mean",
-    "join_size_estimate_cm",
-    "hierarchy_share_rollup",
-    "session_path_trigrams",
-    "rfm_segments",
-    "cusum_changepoint_daily",
-    "rolling_corr_daily",
-    "market_concentration_hhi",
-    "keyness_log_odds",
-    "ab_test_conversion",
-    "cohort_ltv_curve",
-    "neyman_allocation_orders",
-    "txlog_time_travel",
-    "graph_bfs_hops",
-    "survival_kaplan_meier",
-    "gini_revenue_concentration",
-    "seasonal_dow_anomalies",
-    "user_event_entropy",
-    "l_diversity_events",
-    "zipf_vocab_fit",
-    # re-verification of this round's changed registered forms
-    "dedup_minhash_transitive",
-    "similarity_ivf_topk",
-    "dedup_graph_triangles",
-]
-
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: Every new registration this round must be appended here (it gets a
-#: driver slot in the r13 rotation ahead of stale re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = []
-
-
-#: Driver-green in a past round (hash-stable; guarded by local oracle
-#: parity).  Grouped by the MOST RECENT driver-green round so the
-#: stale-first rotation (tools/next_window.py) is auditable by eye.
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
-    # most recent driver-green row: round 7 (CORRECTNESS_r07.json)
+    # stale-first re-verification (last driver-green r7) + the three
+    # rows-only queries and this round's changed registered forms
     "ks_drift_price",
     "bootstrap_revenue_ci",
     "auc_price_basket_size",
@@ -13664,7 +13594,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "join_broadcast_dims",
     "join_left_enrich",
     "join_semi",
-    # most recent driver-green row: round 8 (CORRECTNESS_r08.json)
     "lm_perplexity_scores",
     "binaryfile_ingest_roundtrip",
     "ivf_probe_verified",
@@ -13676,6 +13605,23 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "top_k_customers",
     "ordered_limit",
     "set_union",
+]
+
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: Every new registration this round must be appended here (it gets a
+#: driver slot in the r13 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
+    # most recent driver-green row: round 8 (CORRECTNESS_r08.json)
     "set_intersect",
     "set_except",
     "window_topk_per_group",
@@ -13863,6 +13809,56 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "approx_distinct",
     "hll_mergeable_rollup",
     "hll_audience_overlap",
+    # most recent driver-green row: round 12 (CORRECTNESS_r12.json)
+    "schema_contract_enforced",
+    "url_ingest_roundtrip",
+    "sql_extract_roundtrip",
+    "window_range_frame_sum",
+    "set_ops_multiset",
+    "asof_nearest_event",
+    "gopher_quality_rules",
+    "user_activity_streaks",
+    "bloom_prefilter_join",
+    "bloom_fpp_audit",
+    "bpe_pair_counts",
+    "semdedup_prune",
+    "k_anonymity_events",
+    "profile_orders_table",
+    "dsir_importance_weights",
+    "incremental_agg_merge",
+    "psi_drift_orders",
+    "temperature_lang_rates",
+    "gapfill_user_hourly",
+    "corr_matrix_lineitem",
+    "benford_price_audit",
+    "basket_brand_lift",
+    "bucketed_join_roundtrip",
+    "incremental_join_view",
+    "streaming_upsert_apply",
+    "c4_cleaning_rules",
+    "impute_group_mean",
+    "join_size_estimate_cm",
+    "hierarchy_share_rollup",
+    "session_path_trigrams",
+    "rfm_segments",
+    "cusum_changepoint_daily",
+    "rolling_corr_daily",
+    "market_concentration_hhi",
+    "keyness_log_odds",
+    "ab_test_conversion",
+    "cohort_ltv_curve",
+    "neyman_allocation_orders",
+    "txlog_time_travel",
+    "graph_bfs_hops",
+    "survival_kaplan_meier",
+    "gini_revenue_concentration",
+    "seasonal_dow_anomalies",
+    "user_event_entropy",
+    "l_diversity_events",
+    "zipf_vocab_fit",
+    "dedup_minhash_transitive",
+    "similarity_ivf_topk",
+    "dedup_graph_triangles",
 ]
 
 

@@ -21,55 +21,55 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
     "clean_pipeline",
-    "schema_contract_enforced",
-    "url_ingest_roundtrip",
-    "sql_extract_roundtrip",
-    "window_range_frame_sum",
-    "set_ops_multiset",
-    "asof_nearest_event",
-    "gopher_quality_rules",
-    "user_activity_streaks",
-    "bloom_prefilter_join",
-    "bloom_fpp_audit",
-    "bpe_pair_counts",
-    "semdedup_prune",
-    "k_anonymity_events",
-    "profile_orders_table",
-    "dsir_importance_weights",
-    "incremental_agg_merge",
-    "psi_drift_orders",
-    "temperature_lang_rates",
-    "gapfill_user_hourly",
-    "corr_matrix_lineitem",
-    "benford_price_audit",
-    "basket_brand_lift",
-    "bucketed_join_roundtrip",
-    "incremental_join_view",
-    "streaming_upsert_apply",
-    "c4_cleaning_rules",
-    "impute_group_mean",
-    "join_size_estimate_cm",
-    "hierarchy_share_rollup",
-    "session_path_trigrams",
-    "rfm_segments",
-    "cusum_changepoint_daily",
-    "rolling_corr_daily",
-    "market_concentration_hhi",
-    "keyness_log_odds",
-    "ab_test_conversion",
-    "cohort_ltv_curve",
-    "neyman_allocation_orders",
-    "txlog_time_travel",
-    "graph_bfs_hops",
-    "survival_kaplan_meier",
-    "gini_revenue_concentration",
-    "seasonal_dow_anomalies",
-    "user_event_entropy",
-    "l_diversity_events",
-    "zipf_vocab_fit",
-    "dedup_minhash_transitive",
-    "similarity_ivf_topk",
-    "dedup_graph_triangles",
+    "ks_drift_price",
+    "bootstrap_revenue_ci",
+    "auc_price_basket_size",
+    "chi2_event_dow",
+    "acf_daily_revenue",
+    "trimmed_mean_prices",
+    "kmv_distinct_users",
+    "dp_event_counts",
+    "did_revenue_effect",
+    "fdr_event_value_tests",
+    "dedup_minhash",
+    "dedup_simhash",
+    "bpe_train_merges",
+    "dedup_graph_kcore",
+    "similarity_topk",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "filter_equality",
+    "filter_null_disjunction",
+    "filter_hour_range",
+    "projection_rename_drop",
+    "constant_column_stamp",
+    "string_filter_generic",
+    "time_bucket_enrich",
+    "datetime_parts",
+    "datetime_coerce",
+    "string_trim",
+    "json_extract_props",
+    "row_count",
+    "filtered_count",
+    "null_matrix",
+    "group_agg_stats",
+    "time_bucket_rollup",
+    "distinct_count",
+    "pricing_summary",
+    "join_broadcast_dims",
+    "join_left_enrich",
+    "join_semi",
+    "lm_perplexity_scores",
+    "binaryfile_ingest_roundtrip",
+    "ivf_probe_verified",
+    "temporal_split_audit",
+    "join_anti",
+    "join_range_buckets",
+    "sql_revenue_by_nation",
+    "shipping_priority_topk",
+    "top_k_customers",
+    "ordered_limit",
+    "set_union",
 ]
 
 
@@ -80,13 +80,15 @@ def test_window_is_first_50():
     assert suite.DRIVER_WINDOW == EXPECTED_WINDOW
 
 
-#: Rows-only slots in the r11 window: NONE — every slot this round is
-#: oracle-backed, so the driver runs the full rows+schema+hash check on
-#: all 50 (the four tail slots are this round's rows-only -> bound-audit
-#: conversions, now oracle-backed).  The 5 remaining rows-only-by-design
-#: queries were all driver-executed in r7 and sit in
-#: _PREVIOUSLY_VERIFIED until the stale-first rotation brings them back.
-ROWS_ONLY_SLOTS: set = set()
+#: Rows-only slots in the r13 window: the stale-first rotation brings
+#: the three remaining rows-only-by-design queries (last driver-executed
+#: r7) back under driver execution at slots 12-14.  dedup_minhash and
+#: dedup_simhash are scheduled for bound-audit conversion this round
+#: (VERDICT r12 item 4) — remove them from this set when their
+#: registered forms gain oracles; bpe_train_merges (iterative
+#: data-driven argmax, pytest-pinned vs the Sennrich reference)
+#: stays rows-only by design.
+ROWS_ONLY_SLOTS: set = {"dedup_minhash", "dedup_simhash", "bpe_train_merges"}
 
 
 def test_window_oracle_coverage():
