@@ -45,6 +45,8 @@ __all__ = [
     "with_simhash",
     "with_minhash_portable",
     "simhash_candidate_pairs",
+    "minhash_audit",
+    "simhash_audit",
     "ngram_jaccard_pairs",
     "containment_pairs",
     "containment_prefix_pairs",
@@ -631,16 +633,22 @@ def simhash_candidate_pairs(
     id_col: str,
     simhash_col: str = "simhash",
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs under Hamming distance.
 
-    Blocking: split the 64-bit signature into ``max_hamming + 1``
+    Blocking: split the ``bits``-bit signature into ``max_hamming + 1``
     chunks; by pigeonhole any pair within the Hamming budget agrees on
     >= 1 chunk, so joining on (chunk_idx, chunk_value) finds *all*
     qualifying pairs while shuffling only (id, a few small keys) per
     doc.  Verification computes the exact Hamming distance via
     bit_count(xor) and filters *before* the pair-dedup so far pairs
     never enter the distinct's exchange.
+
+    ``bits`` MUST match the signature width (``with_simhash``'s
+    ``bits``): chunking a 32-bit signature as 64 would put the all-zero
+    upper half in its own chunk, colliding every document into one
+    O(n^2) bucket.
     """
     n_chunks = max_hamming + 1
     if n_chunks > 16:
@@ -648,7 +656,7 @@ def simhash_candidate_pairs(
             f"max_hamming={max_hamming} needs {n_chunks} chunks; >16 chunks of a "
             "64-bit signature over-fragments the blocking — use MinHash instead"
         )
-    base, extra = divmod(64, n_chunks)
+    base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(*[
@@ -673,6 +681,244 @@ def simhash_candidate_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bound audits for the engine-hash pipelines (VERDICT r12 item 4)
+# ---------------------------------------------------------------------------
+
+def minhash_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    shingle_size: int = 5,
+    jaccard_threshold: float = 0.5,
+    pair_recall_floor: float = 0.0,
+    component_recall_floor: float = 0.0,
+) -> DataFrame:
+    """One-row bound audit of the PRODUCTION xxhash64 MinHash+LSH
+    pipeline (:func:`minhash_pairs` + the default smaller-id survivor
+    rule) against the exact same-threshold census.
+
+    The xxhash64 signatures themselves are engine-specific (no other
+    engine reproduces them), so the emitted PAIR LIST can never
+    hash-match a SQL oracle.  What CAN: exact values any engine
+    recomputes from the raw text, plus boolean verdicts over the
+    production output that are provably or measurably TRUE:
+
+    - ``n_docs`` / ``census_pairs`` / ``census_dup_docs`` — the corpus
+      size and the EXACT gram-set-Jaccard >= t pair census, computed
+      engine-side with the lossless prefix-filter join
+      (:func:`jaccard_prefix_pairs`, hash-verified machinery) and
+      replayed by the oracle as the O(n^2) restatement;
+    - ``emitted_subset_ok`` — every production pair is in the exact
+      census (TRUE by construction: LSH only PROPOSES candidates, the
+      exact-Jaccard verify gates emission; exact-dup star pairs are
+      Jaccard 1.0).  This is the "no false positives" half;
+    - ``pair_recall_ok`` / ``component_recall_ok`` — the measured-floor
+      "recall" half: the fraction of census pairs production emits
+      (resp. merges into one connected component — the level the
+      dedup outcome actually lives at, and the one the exact-family
+      star reduction provably preserves) is >= the given floors.  The
+      floors are set from measurements with margin (see the suite
+      registration); determinism of the production pair set for fixed
+      data makes the flags flake-proof.
+
+    Gram convention: :func:`jaccard_prefix_pairs` splits on a single
+    space while production :func:`shingle` splits on ``\\s+`` — gram
+    sets coincide under the fixture single-space invariant
+    (tests/test_suite_contract.py pins it).
+
+    Plan: the two pair pipelines (candidate-bounded, never O(n^2)),
+    two component-label joins, then 1-row scalar aggregates cross-
+    joined (the <=1-row BNLJ product shape plan_audit whitelists).
+    """
+    from .graph import assign_components
+
+    emitted = minhash_pairs(
+        df, text_col, id_col, num_hashes, bands, rows_per_band,
+        shingle_size, jaccard_threshold,
+    )
+    census = jaccard_prefix_pairs(
+        df, id_col, text_col, n=shingle_size, threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+    census = _ckpt(census, label="minhash_audit_census")
+
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    n_census = census.agg(F.count(F.lit(1)).alias("census_pairs"))
+    census_docs = (
+        census.select(F.col("id_a").alias("d"))
+        .unionByName(census.select(F.col("id_b").alias("d")))
+        .agg(F.count_distinct("d").alias("census_dup_docs"))
+    )
+    subset_viol = emitted.join(census, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__viol")
+    )
+    pair_hits = census.join(emitted, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__pair_hits")
+    )
+    comp = assign_components(
+        df.select(F.col(id_col)), id_col, emitted.select("id_a", "id_b")
+    )
+    merged = (
+        census.join(
+            comp.select(F.col(id_col).alias("id_a"), F.col("component").alias("__ca")),
+            "id_a",
+        )
+        .join(
+            comp.select(F.col(id_col).alias("id_b"), F.col("component").alias("__cb")),
+            "id_b",
+        )
+        .filter(F.col("__ca") == F.col("__cb"))
+        .agg(F.count(F.lit(1)).alias("__merged"))
+    )
+    return (
+        n_docs.crossJoin(n_census).crossJoin(census_docs)
+        .crossJoin(subset_viol).crossJoin(pair_hits).crossJoin(merged)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("census_pairs").cast("bigint").alias("census_pairs"),
+            F.col("census_dup_docs").cast("bigint").alias("census_dup_docs"),
+            (F.col("__viol") == 0).alias("emitted_subset_ok"),
+            (
+                F.col("__pair_hits")
+                >= F.lit(pair_recall_floor) * F.col("census_pairs")
+            ).alias("pair_recall_ok"),
+            (
+                F.col("__merged")
+                >= F.lit(component_recall_floor) * F.col("census_pairs")
+            ).alias("component_recall_ok"),
+        )
+    )
+
+
+def simhash_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    portable_bits: int = 32,
+    portable_max_hamming: int = 1,
+    min_jaccard_floor: float = 0.0,
+    portable_recall_floor: float = 0.0,
+) -> DataFrame:
+    """One-row bound audit of the PRODUCTION 64-bit xxhash64 SimHash
+    pipeline (:func:`with_simhash` + :func:`simhash_candidate_pairs`).
+
+    SimHash has no sharp Jaccard-threshold semantics, so the audit
+    anchors on what IS exact:
+
+    - ``tokset_dup_pairs`` — pairs with IDENTICAL distinct-token sets
+      (oracle: O(n^2) sorted-list equality).  Identical token sets
+      give identical bit votes, hence Hamming 0, hence pigeonhole
+      guarantees emission: ``tokset_dups_found_ok`` is TRUE by
+      construction, a hard completeness guarantee;
+    - ``portable_pairs`` — the pair count of the PORTABLE md5-32
+      twin signature (:func:`with_simhash` ``portable=True``, the
+      machinery dedup_simhash_portable already hash-verifies
+      bit-for-bit) under ``portable_max_hamming``; the oracle replays
+      the signatures and the O(n^2) ``bit_count(xor)`` join exactly,
+      so this VALUE is cross-engine exact — the portable twin's pair
+      census;
+    - ``min_jaccard_ok`` — every production pair's exact distinct-
+      token-set Jaccard (recomputed from raw text, the quantity any
+      engine can replay per pair) >= the measured floor: the
+      precision proxy;
+    - ``portable_recall_ok`` — production finds >= floor of the
+      portable twin's (tighter-budget) pair set: the recall proxy
+      the portable twin anchors.
+
+    Both floors come from measurement with margin (suite
+    registration); production and portable pair sets are
+    deterministic for fixed data, so the flags cannot flake.
+    """
+    base = spread(df.select(F.col(id_col), F.col(text_col)))
+    sigs = with_simhash(base, text_col).select(id_col, "simhash")
+    emitted = simhash_candidate_pairs(
+        sigs, id_col, "simhash", max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    emitted = _ckpt(emitted, label="simhash_audit_emitted")
+
+    psigs = with_simhash(
+        base, text_col, out_col="__psig", bits=portable_bits, portable=True
+    ).select(id_col, "__psig")
+    portable = simhash_candidate_pairs(
+        psigs, id_col, "__psig",
+        max_hamming=portable_max_hamming, bits=portable_bits,
+    ).select("id_a", "id_b")
+    portable = _ckpt(portable, label="simhash_audit_portable")
+
+    toksets = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+"))
+        ).alias("__ts"),
+    )
+    # identical-token-set census: family-bucket self-join on the md5 of
+    # the sorted token list (equi-join, family-bounded — at crawl scale
+    # the same census would be taken star-wise per family, the
+    # minhash_pairs collapse argument)
+    fams = toksets.select(
+        F.col(id_col), F.md5(F.to_json("__ts")).alias("__tk")
+    )
+    a, b = fams.alias("a"), fams.alias("b")
+    tokdups = (
+        a.join(
+            b,
+            (F.col("a.__tk") == F.col("b.__tk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    tokdups = _ckpt(tokdups, label="simhash_audit_tokdups")
+
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    n_tokdups = tokdups.agg(F.count(F.lit(1)).alias("tokset_dup_pairs"))
+    n_portable = portable.agg(F.count(F.lit(1)).alias("portable_pairs"))
+    tokdup_missed = tokdups.join(emitted, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__td_miss")
+    )
+    min_j = (
+        emitted.join(
+            toksets.select(F.col(id_col).alias("id_a"), F.col("__ts").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            toksets.select(F.col(id_col).alias("id_b"), F.col("__ts").alias("__tb")),
+            "id_b",
+        )
+        .select(
+            (
+                F.size(F.array_intersect("__ta", "__tb"))
+                / F.size(F.array_union("__ta", "__tb"))
+            ).alias("__j")
+        )
+        .agg(F.min("__j").alias("__min_j"))
+    )
+    port_hits = portable.join(emitted, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__port_hits")
+    )
+    return (
+        n_docs.crossJoin(n_tokdups).crossJoin(n_portable)
+        .crossJoin(tokdup_missed).crossJoin(min_j).crossJoin(port_hits)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tokset_dup_pairs").cast("bigint").alias("tokset_dup_pairs"),
+            F.col("portable_pairs").cast("bigint").alias("portable_pairs"),
+            (F.col("__td_miss") == 0).alias("tokset_dups_found_ok"),
+            (F.col("__min_j") >= F.lit(min_jaccard_floor)).alias("min_jaccard_ok"),
+            (
+                F.col("__port_hits")
+                >= F.lit(portable_recall_floor) * F.col("portable_pairs")
+            ).alias("portable_recall_ok"),
+        )
     )
 
 

@@ -1982,6 +1982,10 @@ def _dmin(spark, sf_dir):
 #: the gram convention, consumed by _SQL_PREFIX_PAIRS and the portable
 #: MinHash oracle (sorting is required by the prefix filter and a
 #: harmless set-identity for hashing, so both share the sorted form).
+#: Splits on a SINGLE SPACE while the Spark side's shingle() splits on
+#: \s+ — identical gram sets only because fixture texts are single-
+#: space normalized, an invariant pinned by tests/test_suite_contract
+#: ::test_fixture_texts_are_single_space_normalized (ADVICE r12).
 _SQL_DOC_2GRAMS = """list_sort(list_distinct(list_transform(
         generate_series(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
         i -> concat_ws(' ',

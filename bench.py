@@ -367,10 +367,12 @@ SWEEP_FAMILIES: dict[str, list[tuple[str, str]]] = {
 SWEEP_SUPERLINEAR_FLAG = 1.3
 
 #: Families that additionally run the derived-sf1 leg when the sweep is
-#: invoked with ``--sf1`` (VERDICT r11 item 6): the two heaviest
-#: families, whose sf0.5 constants are largest — the 100 TB story
-#: should not extrapolate from the scale where they cost the most.
-SWEEP_SF1_FAMILIES = {"graph", "dedup"}
+#: invoked with ``--sf1`` (VERDICT r11 item 6, widened r13 per VERDICT
+#: r12 item 5): graph+dedup carry the largest constants; text and
+#: similarity carry the steepest sf0.5 exponents (0.77-0.83 — sublinear
+#: but measured thinnest exactly where constants grow fastest), so the
+#: extrapolation gets a real sf1 data point for all four.
+SWEEP_SF1_FAMILIES = {"graph", "dedup", "text", "similarity"}
 
 _SWEEP_MARK_BEGIN = "<!-- SWEEP:BEGIN (generated by bench.py --sweep) -->"
 _SWEEP_MARK_END = "<!-- SWEEP:END -->"
@@ -652,26 +654,46 @@ if __name__ == "__main__":
         ]
         import subprocess
 
-        derived = "/tmp/spark_graft_scale/sf0.5"
-        if not os.path.isdir(derived):
-            print("sweep: deriving sf0.5 fixtures (tools/make_sf_scale.py)",
-                  file=sys.stderr)
+        # Derived fixtures carry a generator-version marker (hash of
+        # make_sf_scale.py): keying regeneration on isdir() alone let a
+        # host with pre-r12 fixtures silently sweep the entangled-vocab
+        # artifact the r12 generator change was made to eliminate
+        # (ADVICE r12).  On marker mismatch the stale dir is rebuilt.
+        import hashlib
+        import shutil
+
+        _gen_path = os.path.join(_repo, "tools", "make_sf_scale.py")
+        _gen_ver = hashlib.sha256(open(_gen_path, "rb").read()).hexdigest()
+
+        def _ensure_derived(path: str, label: str, *gen_args: str) -> None:
+            marker = os.path.join(path, ".generator_version")
+            if os.path.isdir(path):
+                have = None
+                if os.path.isfile(marker):
+                    have = open(marker).read().strip()
+                if have == _gen_ver:
+                    return
+                print(
+                    f"sweep: {label} fixtures stale "
+                    f"(generator {str(have)[:12]} != {_gen_ver[:12]}) — "
+                    "regenerating", file=sys.stderr,
+                )
+                shutil.rmtree(path)
+            else:
+                print(f"sweep: deriving {label} fixtures "
+                      "(tools/make_sf_scale.py)", file=sys.stderr)
             subprocess.run(
-                [sys.executable, os.path.join(_repo, "tools", "make_sf_scale.py")],
-                check=True,
+                [sys.executable, _gen_path, *gen_args], check=True
             )
+            with open(marker, "w") as fh:
+                fh.write(_gen_ver + "\n")
+
+        derived = "/tmp/spark_graft_scale/sf0.5"
+        _ensure_derived(derived, "sf0.5")
         sf1_dir = None
         if "--sf1" in sys.argv:
             sf1_dir = "/tmp/spark_graft_scale/sf1"
-            if not os.path.isdir(sf1_dir):
-                print("sweep: deriving sf1 fixtures (make_sf_scale.py 10)",
-                      file=sys.stderr)
-                subprocess.run(
-                    [sys.executable,
-                     os.path.join(_repo, "tools", "make_sf_scale.py"),
-                     "10", sf1_dir],
-                    check=True,
-                )
+            _ensure_derived(sf1_dir, "sf1", "10", sf1_dir)
         record = _sweep(dirs + [derived], sf1_dir=sf1_dir)
         print(json.dumps(
             {"metric": "family_scale_sweep", "families": record["families"]}

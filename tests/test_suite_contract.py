@@ -16,7 +16,7 @@ from automated_batch_data_pipeline_nyc_spark import suite
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The round-11 window, frozen.  Changing the window is LEGAL — it is the
+#: The round-13 window, frozen.  Changing the window is LEGAL — it is the
 #: per-round verification budget and MUST rotate — but has to be done by
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
@@ -195,3 +195,30 @@ def test_queries_md_is_current():
     assert f"**{len(suite.QUERIES)} registered**" in content
     for name in suite.DRIVER_WINDOW:
         assert f"`{name}`" in content
+
+
+def test_fixture_texts_are_single_space_normalized():
+    """The shared gram convention (suite._SQL_DOC_2GRAMS splits on a
+    single space; operators/dedup.shingle splits on \\s+) produces
+    identical gram sets only when fixture texts contain no tabs,
+    newlines, runs of spaces, or leading/trailing whitespace (ADVICE
+    r12).  The driver-generated documents fixtures satisfy this; pin
+    it so a regenerated fixture that breaks the invariant fails HERE
+    instead of silently diverging the two engines' gram sets."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = os.path.join("/root/testdata", sf, "documents.parquet")
+        if not os.path.isdir(path) and not os.path.isfile(path):
+            continue
+        texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+        assert texts, path
+        for t in texts:
+            if t is None:
+                continue
+            assert not re.search(r"[\t\n\r\f\v]|  |^ | $", t), (
+                f"{path}: fixture text violates the single-space "
+                f"invariant the shared gram convention relies on: {t!r}"
+            )

@@ -210,16 +210,16 @@ def _audit_one(jplan) -> dict:
     # loud verdict so the gate fails instead of under-covering.
     # (The walk legitimately sees >= the string when subquery
     # plans aren't printed — a superset is fine.)  When the AQE
-    # section-duplication marker is present, count the final and
-    # Initial Plan sections SEPARATELY and take the max (ADVICE r11:
-    # halving the combined count assumes both sections hold equal BNLJ
-    # counts — if AQE swaps join strategy between them, the halved
-    # figure under-counts one direction and pads a phantom the other).
+    # section-duplication marker is present, count ONLY the final
+    # section — the one the node walk actually traverses (ADVICE r12:
+    # max() over both sections pads a phantom "opaque:unwalked" when
+    # AQE replaces an Initial-Plan BNLJ with a hash join, hard-failing
+    # a plan that is clean at execution time).  An Initial-Plan-only
+    # BNLJ is never executed, and the embedded-marker blindness case
+    # is covered by the walk itself: nodes below a mid-string marker
+    # are still visited, which only makes bnlj_builds a superset.
     if cut != -1:
-        string_bnlj = max(
-            full[:cut].count("BroadcastNestedLoopJoin"),
-            full[cut:].count("BroadcastNestedLoopJoin"),
-        )
+        string_bnlj = full[:cut].count("BroadcastNestedLoopJoin")
     else:
         string_bnlj = full.count("BroadcastNestedLoopJoin")
     gap = string_bnlj - len(bnlj_builds)
