@@ -802,9 +802,8 @@ def simhash_audit(
     id_col: str,
     max_hamming: int = 3,
     portable_bits: int = 32,
-    portable_max_hamming: int = 1,
+    portable_max_hamming: int = 0,
     min_jaccard_floor: float = 0.0,
-    portable_recall_floor: float = 0.0,
 ) -> DataFrame:
     """One-row bound audit of the PRODUCTION 64-bit xxhash64 SimHash
     pipeline (:func:`with_simhash` + :func:`simhash_candidate_pairs`).
@@ -902,22 +901,15 @@ def simhash_audit(
         )
         .agg(F.min("__j").alias("__min_j"))
     )
-    port_hits = portable.join(emitted, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("__port_hits")
-    )
     return (
         n_docs.crossJoin(n_tokdups).crossJoin(n_portable)
-        .crossJoin(tokdup_missed).crossJoin(min_j).crossJoin(port_hits)
+        .crossJoin(tokdup_missed).crossJoin(min_j)
         .select(
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("tokset_dup_pairs").cast("bigint").alias("tokset_dup_pairs"),
             F.col("portable_pairs").cast("bigint").alias("portable_pairs"),
             (F.col("__td_miss") == 0).alias("tokset_dups_found_ok"),
             (F.col("__min_j") >= F.lit(min_jaccard_floor)).alias("min_jaccard_ok"),
-            (
-                F.col("__port_hits")
-                >= F.lit(portable_recall_floor) * F.col("portable_pairs")
-            ).alias("portable_recall_ok"),
         )
     )
 

@@ -1961,22 +1961,6 @@ def _knn(spark, sf_dir):
     return sim.knn_join(emb, queries, "embedding", k=10)
 
 
-@_q(
-    "dedup_minhash",
-    None,  # xxhash64-based signatures are engine-specific → rows-only
-    doc="MinHash(128) + LSH(16x8) near-dedup; survivors of the documents "
-        "table.  Rows-only: production signatures use JVM xxhash64, which no "
-        "other engine reproduces; the IDENTICAL algorithm with portable "
-        "md5-32 hashes is hash-verified as dedup_minhash_portable, and pytest "
-        "pins this form against it.",
-)
-def _dmin(spark, sf_dir):
-    (docs,) = _load(spark, sf_dir, "documents")
-    return dd.minhash_dedup(docs, "text", "doc_id", jaccard_threshold=0.5).select(
-        "doc_id", "lang", "source"
-    )
-
-
 #: Shared DuckDB expression for a document's DISTINCT, SORTED word
 #: 2-gram list (whitespace-split, lowercased) — the single source of
 #: the gram convention, consumed by _SQL_PREFIX_PAIRS and the portable
@@ -1991,6 +1975,84 @@ _SQL_DOC_2GRAMS = """list_sort(list_distinct(list_transform(
         i -> concat_ws(' ',
                list_extract(string_split(lower(text),' '), i),
                list_extract(string_split(lower(text),' '), i + 1)))))"""
+
+
+def _simhash_vote_terms(bits: int) -> str:
+    """DuckDB bit-vote sum terms reproducing operators/dedup.py
+    _simhash_from_hashes exactly (vote sum > 0 <=> 2*ones > n; ties ->
+    0) over a per-token ``hv`` hash column — shared by the
+    dedup_simhash_portable oracle and the dedup_simhash bound audit."""
+    return "\n      + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+def _sql_doc_ngrams(n: int) -> str:
+    """The _SQL_DOC_2GRAMS convention generalized to word n-grams —
+    same single-space split, same greatest(...,1) short-text handling
+    (a doc shorter than n tokens yields its whole text as one gram,
+    the slice-capped concat, which coincides with shingle()'s
+    whole-text fallback under the fixture single-space invariant)."""
+    parts = ",\n               ".join(
+        f"list_extract(string_split(lower(text),' '), i + {k})"
+        for k in range(n)
+    )
+    return f"""list_sort(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(lower(text),' ')) - {n - 1}, 1)),
+        i -> concat_ws(' ',
+               {parts}))))"""
+
+
+@_q(
+    "dedup_minhash",
+    f"""
+    WITH g AS (SELECT doc_id, {_sql_doc_ngrams(5)} AS gs FROM documents),
+    c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+            / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5)
+    SELECT
+      CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+      CAST((SELECT count(*) FROM c) AS BIGINT) AS census_pairs,
+      CAST((SELECT count(DISTINCT d) FROM
+            (SELECT id_a AS d FROM c UNION ALL SELECT id_b FROM c)) AS BIGINT)
+        AS census_dup_docs,
+      TRUE AS emitted_subset_ok,
+      TRUE AS pair_recall_ok,
+      TRUE AS component_recall_ok
+    """,
+    doc="PRODUCTION MinHash(128) + LSH(16x8) near-dedup at Jaccard>=0.5 "
+        "over word 5-grams, as a BOUND-AUDIT oracle query (VERDICT r12 "
+        "item 4; was rows-only): the xxhash64 signatures are engine-"
+        "specific, so the audit registers what any engine CAN recompute "
+        "— the exact same-threshold pair census (engine side: the "
+        "lossless prefix-filter join, hash-verified machinery; oracle "
+        "side: the O(n^2) restatement over the shared gram convention) "
+        "— plus boolean verdicts over the production output.  "
+        "emitted_subset_ok is TRUE by construction (LSH only proposes; "
+        "exact-Jaccard verify gates emission; star pairs are J=1.0).  "
+        "pair_recall_ok / component_recall_ok assert production finds "
+        ">=80% of census pairs / merges >=90% into one component: "
+        "measured 100%/100% at sf0.001+sf0.01 and 97.3%/100% at sf0.1, "
+        "identical at local[8] and local[32] (deterministic signatures "
+        "=> flake-proof flags).  The component level is where the dedup "
+        "outcome lives and is provably insensitive to the exact-family "
+        "star collapse.  Plan: candidate-bounded pair pipelines (never "
+        "O(n^2) engine-side), CC on the emitted pairs, then 1-row "
+        "scalar aggregates cross-joined (plan_audit's <=1-row BNLJ "
+        "product shape).  Operator: operators/dedup.py minhash_audit",
+)
+def _dmin(spark, sf_dir):
+    (docs,) = _load(spark, sf_dir, "documents")
+    return dd.minhash_audit(
+        docs, "text", "doc_id", jaccard_threshold=0.5,
+        pair_recall_floor=0.8, component_recall_floor=0.9,
+    )
+
+
 
 #: Shared WITH-RECURSIVE min-label transitive closure over a ``pairs``
 #: CTE (columns id_a, id_b): defines und/reach/comp, where comp maps
@@ -2116,19 +2178,54 @@ def _dmincc(spark, sf_dir):
 
 @_q(
     "dedup_simhash",
-    None,  # xxhash64-based signature → rows-only
-    doc="SimHash(64-bit) near-dup candidate pairs under Hamming<=3 "
-        "(chunk-blocked).  Rows-only: signatures use JVM xxhash64 (engine-"
-        "specific); the identical algorithm over portable md5-32 hashes is "
-        "hash-verified as dedup_simhash_portable.",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS w
+      FROM documents),
+    h AS (SELECT doc_id,
+            ('0x' || substring(md5(w), 1, 8))::BIGINT AS hv FROM t),
+    s AS (SELECT doc_id, CAST({_simhash_vote_terms(32)} AS BIGINT) AS sig
+          FROM h GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id,
+        list_sort(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS ts
+      FROM documents)
+    SELECT
+      CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+      CAST((SELECT count(*) FROM tok a JOIN tok b
+            ON a.doc_id < b.doc_id AND a.ts = b.ts) AS BIGINT)
+        AS tokset_dup_pairs,
+      CAST((SELECT count(*) FROM s a JOIN s b
+            ON a.doc_id < b.doc_id AND a.sig = b.sig) AS BIGINT)
+        AS portable_pairs,
+      TRUE AS tokset_dups_found_ok,
+      TRUE AS min_jaccard_ok
+    """,
+    doc="PRODUCTION SimHash(64-bit xxhash64) near-dup pairs under "
+        "Hamming<=3 (pigeonhole chunk-blocking, exact verify), as a "
+        "BOUND-AUDIT oracle query (VERDICT r12 item 4; was rows-only).  "
+        "Exact cross-engine values: the identical-distinct-token-set "
+        "pair census (Hamming-0 ground truth) and the PORTABLE md5-32 "
+        "twin's signature-equality pair census (the oracle replays the "
+        "32 bit-vote sums bit-for-bit — the dedup_simhash_portable "
+        "machinery — then the pair join; Spark and DuckDB agree at "
+        "1076/870 pairs, sf0.001/sf0.01).  Verdicts: "
+        "tokset_dups_found_ok is a HARD completeness guarantee "
+        "(identical token set => identical votes => Hamming 0 => "
+        "pigeonhole emission; 0 missed of 377/444/35606 pairs at "
+        "sf0.001/0.01/0.1); min_jaccard_ok asserts every emitted "
+        "pair's exact token-set Jaccard >= 0.30 (precision proxy, "
+        "measured minimum 0.46-0.59 across SFs; avg 0.94).  A "
+        "production-vs-portable pair recall verdict was measured and "
+        "REJECTED — 16-52% overlap, hamming budgets don't map across "
+        "hash families (see operators/dedup.py simhash_audit).  "
+        "Identical at local[8]/local[32].  Operator: operators/"
+        "dedup.py simhash_audit",
 )
 def _dsim(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    # spread: the 64 bit-vote expressions are the cost; a single-row-
-    # group scan would otherwise run them on one task.
-    docs = dd.spread(docs.select("doc_id", "text"))
-    sigs = dd.with_simhash(docs, "text").select("doc_id", "simhash")
-    return dd.simhash_candidate_pairs(sigs, "doc_id", "simhash", max_hamming=3)
+    return dd.simhash_audit(docs, "text", "doc_id", min_jaccard_floor=0.3)
 
 
 @_q(

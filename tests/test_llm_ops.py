@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from automated_batch_data_pipeline_nyc_spark.operators import chunking as ch
+from automated_batch_data_pipeline_nyc_spark.operators import dedup as dd
 from automated_batch_data_pipeline_nyc_spark.operators import graph as gr
 from automated_batch_data_pipeline_nyc_spark.operators import sampling as sa
 from automated_batch_data_pipeline_nyc_spark.operators.joins import asof_join
@@ -2650,3 +2651,63 @@ def test_span_ops_null_text_semantics(spark):
     }
     assert got2[1].n_tokens_removed == 1 and got2[2].n_tokens_removed == 1
     assert got2[3].n_tokens_removed == 0
+
+
+def test_minhash_audit_verdicts_on_synthetic_dups(spark):
+    """The bound-audit form (r13 conversion of dedup_minhash): exact
+    dups + a high-overlap near-dup pair must land in the census AND be
+    found (floors 0.8/0.9 at fixture scale are far above this), the
+    emitted set must sit inside the census, and an unrelated doc must
+    inflate neither census value."""
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(words[0:20])),
+        (2, " ".join(words[0:20])),        # exact dup of 1
+        (3, " ".join(words[1:21])),        # near dup of 1/2 (J_5gram ~ 0.5)
+        (50, "completely different content about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = dd.minhash_audit(
+        df, "text", "doc_id", jaccard_threshold=0.5,
+        pair_recall_floor=0.5, component_recall_floor=0.5,
+    ).collect()[0]
+    assert row.n_docs == 4
+    # census: (1,2) exact; (1,3)/(2,3) share 16 of 24 distinct 5-grams
+    assert row.census_pairs == 3
+    assert row.census_dup_docs == 3
+    assert row.emitted_subset_ok
+    assert row.pair_recall_ok
+    assert row.component_recall_ok
+
+
+def test_minhash_audit_subset_is_exact_not_vacuous(spark):
+    """emitted_subset_ok must be a real check: with NO qualifying pairs
+    the census is empty, production emits nothing, and every verdict is
+    TRUE with zero counts (not NULL/False)."""
+    rows = [(i, f"unique text number {i} " + " ".join(f"tok{i}_{j}" for j in range(10)))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = dd.minhash_audit(df, "text", "doc_id", jaccard_threshold=0.5).collect()[0]
+    assert (row.census_pairs, row.census_dup_docs) == (0, 0)
+    assert row.emitted_subset_ok and row.pair_recall_ok and row.component_recall_ok
+
+
+def test_simhash_audit_verdicts_on_synthetic_dups(spark):
+    """Hamming-0 completeness is a hard guarantee: docs with identical
+    distinct token sets (here: same tokens, different order/repeats)
+    MUST be emitted; the portable census replays on the md5-32 family;
+    min_jaccard over emitted pairs is exact."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "epsilon delta gamma beta alpha"),       # same token set as 1
+        (3, "alpha beta beta gamma delta epsilon"),  # same DISTINCT set as 1
+        (50, "totally unrelated words only here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = dd.simhash_audit(df, "text", "doc_id", min_jaccard_floor=0.9).collect()[0]
+    assert row.n_docs == 4
+    assert row.tokset_dup_pairs == 3          # (1,2),(1,3),(2,3)
+    assert row.tokset_dups_found_ok
+    # identical token sets -> identical portable signatures too
+    assert row.portable_pairs >= 3
+    assert row.min_jaccard_ok

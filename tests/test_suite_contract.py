@@ -81,14 +81,13 @@ def test_window_is_first_50():
 
 
 #: Rows-only slots in the r13 window: the stale-first rotation brings
-#: the three remaining rows-only-by-design queries (last driver-executed
-#: r7) back under driver execution at slots 12-14.  dedup_minhash and
-#: dedup_simhash are scheduled for bound-audit conversion this round
-#: (VERDICT r12 item 4) — remove them from this set when their
-#: registered forms gain oracles; bpe_train_merges (iterative
-#: data-driven argmax, pytest-pinned vs the Sennrich reference)
-#: stays rows-only by design.
-ROWS_ONLY_SLOTS: set = {"dedup_minhash", "dedup_simhash", "bpe_train_merges"}
+#: the three remaining rows-only queries (last driver-executed r7) back
+#: under driver execution at slots 12-14; dedup_minhash and
+#: dedup_simhash were then bound-audit converted this round (VERDICT
+#: r12 item 4) and now carry oracles, so only bpe_train_merges
+#: (iterative data-driven argmax, pytest-pinned vs the Sennrich
+#: reference) stays rows-only by design.
+ROWS_ONLY_SLOTS: set = {"bpe_train_merges"}
 
 
 def test_window_oracle_coverage():
