@@ -2148,7 +2148,7 @@ def _minhash_transitive_portable_oracle(
         "The oracle replays every stage in DuckDB incl. a WITH-RECURSIVE "
         "transitive closure, so the LSH banding, the verify AND the "
         "clustering are all in the hash.  The production corpus path "
-        "keeps xxhash64 shingles (registered rows-only as dedup_minhash; "
+        "keeps xxhash64 shingles (bound-audited as dedup_minhash since r13; "
         "transitive survivor logic pinned by pytest "
         "test_minhash_transitive_keeps_one_per_chain); plan shape here is "
         "byte-identical to it: map-only signatures, vocabulary-bounded "
@@ -3778,8 +3778,8 @@ def _dcc(spark, sf_dir):
         "iterative min-label connected components (operators/graph.py "
         "assign_components) -> cluster-min survivor + cluster size, survivor "
         "metadata joined back.  Same pairs->CC->survivor shape as the "
-        "production dedup_minhash_transitive path (rows-only there because "
-        "xxhash64 signatures are engine-specific); here every stage is "
+        "production xxhash64 MinHash path (bound-audited as dedup_minhash "
+        "since r13 — its signatures stay engine-specific); here every stage is "
         "deterministic and re-stated in the oracle as WITH RECURSIVE, so the "
         "transitive-closure *pipeline*, not just its stages, gets a "
         "hash-green row.  Scale: candidate join bounded by prefix-gram "
@@ -8904,8 +8904,7 @@ def _simhash_portable_oracle(bits: int = 32) -> str:
         "over the engine-portable md5-32 hash family on both engines — "
         "every one of 500 32-bit signatures must match bit-for-bit, so "
         "the signature math itself is hash-verified, not just executed.  "
-        "Production SimHash keeps xxhash64 (registered rows-only as "
-        "dedup_simhash); same staged-array plan, map-only.  Operator: "
+        "Production SimHash keeps xxhash64 (bound-audited as dedup_simhash since r13); same staged-array plan, map-only.  Operator: "
         "operators/dedup.py with_simhash(portable=True)",
 )
 def _simhash_portable(spark, sf_dir):
@@ -8948,7 +8947,7 @@ def _minhash_portable_oracle(num_hashes: int = 16) -> str:
         "both engines — all 16 signature components of all 500 docs "
         "must match exactly, so the universal-hash minima themselves "
         "are verified cross-engine.  Production MinHash keeps xxhash64 "
-        "shingles (rows-only as dedup_minhash).  Operator: "
+        "shingles (bound-audited as dedup_minhash since r13).  Operator: "
         "operators/dedup.py with_minhash_portable",
 )
 def _minhash_portable(spark, sf_dir):
