@@ -826,12 +826,18 @@ def simhash_audit(
     - ``min_jaccard_ok`` — every production pair's exact distinct-
       token-set Jaccard (recomputed from raw text, the quantity any
       engine can replay per pair) >= the measured floor: the
-      precision proxy;
-    - ``portable_recall_ok`` — production finds >= floor of the
-      portable twin's (tighter-budget) pair set: the recall proxy
-      the portable twin anchors.
+      precision proxy.  Vacuously TRUE when production emits no pairs
+      (coalesced — min over an empty set is NULL, and the oracle
+      hard-codes TRUE).
 
-    Both floors come from measurement with margin (suite
+    A production-vs-portable pair RECALL verdict was measured and
+    REJECTED: the two hash families' pair sets overlap only 16-52%
+    across SFs (hamming budgets don't map between 64- and 32-bit
+    signatures), so any floor would either flake or assert nothing.
+    The recall guarantee the audit does carry is exact and hard:
+    recall is 1.0 on the Hamming-0 (identical token set) subset.
+
+    ``min_jaccard_floor`` comes from measurement with margin (suite
     registration); production and portable pair sets are
     deterministic for fixed data, so the flags cannot flake.
     """
@@ -909,7 +915,12 @@ def simhash_audit(
             F.col("tokset_dup_pairs").cast("bigint").alias("tokset_dup_pairs"),
             F.col("portable_pairs").cast("bigint").alias("portable_pairs"),
             (F.col("__td_miss") == 0).alias("tokset_dups_found_ok"),
-            (F.col("__min_j") >= F.lit(min_jaccard_floor)).alias("min_jaccard_ok"),
+            # vacuous truth on an empty emitted set: min() over zero
+            # rows is NULL, and NULL >= floor would propagate NULL
+            # where the oracle hard-codes TRUE
+            F.coalesce(
+                F.col("__min_j") >= F.lit(min_jaccard_floor), F.lit(True)
+            ).alias("min_jaccard_ok"),
         )
     )
 

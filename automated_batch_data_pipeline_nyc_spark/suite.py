@@ -8876,14 +8876,12 @@ def _scountmin(spark, sf_dir):
 
 
 def _simhash_portable_oracle(bits: int = 32) -> str:
-    """32 conditional bit-vote sums over the portable md5-32 token hash
+    """Conditional bit-vote sums over the portable md5-32 token hash
     — reproduces operators/dedup.py _simhash_from_hashes exactly
-    (vote sum > 0 <=> 2*ones > n; ties -> 0)."""
-    terms = "\n      + ".join(
-        f"(CASE WHEN SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
+    (vote sum > 0 <=> 2*ones > n; ties -> 0).  The vote terms come
+    from _simhash_vote_terms, the SAME helper the dedup_simhash bound
+    audit's oracle uses — one source for the vote convention."""
+    terms = _simhash_vote_terms(bits)
     return f"""
     WITH t AS (
       SELECT doc_id,

@@ -662,8 +662,17 @@ if __name__ == "__main__":
         import hashlib
         import shutil
 
+        import glob as _glob
+
         _gen_path = os.path.join(_repo, "tools", "make_sf_scale.py")
-        _gen_ver = hashlib.sha256(open(_gen_path, "rb").read()).hexdigest()
+        _h = hashlib.sha256(open(_gen_path, "rb").read())
+        # fold the SOURCE fixtures into the marker too: regenerated
+        # /root/testdata/sf0.1 parquet with an untouched generator is
+        # the same stale-derived-data class (round-close review r13)
+        for _src in sorted(_glob.glob("/root/testdata/sf0.1/*.parquet")):
+            st = os.stat(_src)
+            _h.update(f"{_src}:{st.st_size}:{int(st.st_mtime)}".encode())
+        _gen_ver = _h.hexdigest()
 
         def _ensure_derived(path: str, label: str, *gen_args: str) -> None:
             marker = os.path.join(path, ".generator_version")
