@@ -66,29 +66,39 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct(),
+        eager=False,
         label="cc_edges",
     )
     labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node")),
+        eager=False,
         label="cc_labels0",
     )
+    # Self-loop fusion (r13): appending a (v, v) edge per node makes
+    # min-over-neighborhood INCLUDE the node's own label, so each round
+    # is ONE join + ONE aggregate — the old shape needed a second
+    # left-join to fold the node's own label back in (least/coalesce),
+    # a whole extra exchange-or-broadcast stage per round.  Derived
+    # lazily from the two checkpointed frames; bounded two-scan plan.
+    edges2 = edges.unionByName(
+        labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    )
+    # Convergence probe: labels are elementwise monotone non-increasing,
+    # so the label multiset changes iff its SUM changes — one exact
+    # DECIMAL(38,0) aggregate per round over the just-checkpointed
+    # frame replaces the old __moved column + filter/limit probe (same
+    # job count, but no per-row moved bookkeeping in the round plan,
+    # and the round itself drops the left-join stage).  Same
+    # round-count as the old probe: the fixpoint is detected in the
+    # first round that changes nothing.
+    prev_sum: object = object()
     for it in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.node == neighbor_min.node2, "left"
-        ).select(
-            "node",
-            F.col("component").alias("__old"),
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_min"), F.col("component")),
-            ).alias("__c1"),
+        nxt = (
+            edges2.join(labels, edges2.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("component"))
         )
         if it >= 2:
             # pointer jump: labels monotonically decrease, so my
@@ -98,34 +108,33 @@ def connected_components(
             lookup = labels.select(
                 F.col("node").alias("__ln"), F.col("component").alias("__lc")
             )
-            final_c = F.least(
-                F.col("__c1"), F.coalesce(F.col("__lc"), F.col("__c1"))
-            )
-            out = stepped.join(
-                lookup, F.col("__c1") == F.col("__ln"), "left"
+            nxt = nxt.join(
+                lookup, nxt.component == F.col("__ln"), "left"
             ).select(
                 "node",
-                final_c.alias("component"),
-                (final_c < F.col("__old")).alias("__moved"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__lc"), F.col("component")),
+                ).alias("component"),
             )
-        else:
-            out = stepped.select(
-                "node",
-                F.col("__c1").alias("component"),
-                (F.col("__c1") < F.col("__old")).alias("__moved"),
-            )
-        updated = _ckpt(out, label="cc_iter")
-        # INTENDED driver action: the convergence probe.  One tiny job
-        # per iteration over the just-checkpointed labels (limit(1)
-        # short-circuits as soon as any partition yields a moved row);
-        # the alternative — a fixed iteration count with no probe —
-        # either wastes whole passes after convergence or exits early
-        # with wrong labels.  This is the standard Pregel-style stop
-        # check, not a collect-and-loop smell.
-        moved = updated.filter(F.col("__moved")).limit(1).count()
-        labels = updated.drop("__moved")
-        if moved == 0:
+        # lazy checkpoint (r13): the probe aggregate below is a FULL
+        # scan, so it materializes + truncates the round frame inside
+        # its own job — one job per round instead of checkpoint-job +
+        # probe-job (the bpe_encode fold uses the same pattern).
+        updated = _ckpt(nxt, eager=False, label="cc_iter")
+        # INTENDED driver action: the Pregel-style stop check (one tiny
+        # job per iteration over the checkpointed labels); the
+        # alternative — a fixed iteration count with no probe — either
+        # wastes whole passes after convergence or exits early with
+        # wrong labels.
+        cur_sum = updated.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = updated
+        if cur_sum is None or cur_sum == prev_sum:
+            # None = empty graph (no labels to move); equality = fixpoint
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
@@ -190,7 +199,7 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not assume_distinct:
         e = e.distinct()
-    e = _ckpt(e, label="pagerank_edges")
+    e = _ckpt(e, eager=False, label="pagerank_edges")
     nodes = e.select(F.col("s").alias("node"))
     if not symmetric:
         nodes = nodes.union(e.select(F.col("d").alias("node")))
@@ -205,6 +214,12 @@ def pagerank(
     try:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         base = (1.0 - damping) / n
+        # NOTE (r13): a zero-union fusion of the mass aggregate and the
+        # node left-join (one exchange per power step instead of
+        # exchange + join) was measured and REVERTED: 3.6→4.2 s at
+        # sf0.1 — the left-join side is the cached pre-partitioned node
+        # set, already cheaper than widening the mass exchange — and
+        # the fusion changes the float summation order for no win.
         for _ in range(iterations):
             mass = (
                 ed.join(ranks, ed.s == ranks.node)
@@ -220,6 +235,7 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
                     ).alias("rank"),
                 ),
+                eager=False,
                 label="pagerank_iter",
             )
         if normalize:
@@ -279,20 +295,29 @@ def k_core(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct(),
+        eager=False,
         label="kcore_edges",
     )
     degrees = _ckpt(
         edges.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).alias("degree")
         ),
+        eager=False,
         label="kcore_degrees",
     )
     for _ in range(max_iterations):
-        doomed = _ckpt(
-            degrees.filter(F.col("degree") < k).select("node"),
-            label="kcore_doomed",
-        )
-        if doomed.limit(1).count() == 0:
+        # doomed is a plain filter over the just-checkpointed degrees —
+        # every use below is a cached-RDD rescan with no shuffle, so
+        # checkpointing it bought nothing but one extra job per round
+        # (r13 optimization; lineage stays bounded because degrees
+        # itself is checkpointed every round).
+        doomed = degrees.filter(F.col("degree") < k).select("node")
+        # full count, not limit(1): with the r13 lazy round checkpoints
+        # this probe is the job that computes and caches the round's
+        # degrees frame — a short-circuited limit would leave missing
+        # partitions for an automatic completion job, giving back the
+        # job the laziness saved.
+        if doomed.count() == 0:
             return degrees
         # per-survivor decrement = its edge count into the doomed set
         dec = (
@@ -313,11 +338,13 @@ def k_core(
             # isolated-by-peel nodes (degree 0) leave immediately, as
             # they would from a recount; k >= 1 keeps this lossless
             .filter(F.col("degree") > 0),
+            eager=False,
             label="kcore_degrees",
         )
         edges = _ckpt(
             edges.join(doomed.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(doomed.withColumnRenamed("node", "b"), "b", "left_anti"),
+            eager=False,
             label="kcore_peel",
         )
     raise RuntimeError(f"k_core did not converge in {max_iterations} iterations")
@@ -386,11 +413,12 @@ def bfs_hops(
             edges.join(deg.filter(F.col("__deg") <= max_degree), "a")
             .select("a", "b")
         )
-    edges = _ckpt(edges, label="bfs_edges")
+    edges = _ckpt(edges, eager=False, label="bfs_edges")
     frontier = _ckpt(
         seeds.select(F.col(id_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("long")),
+        eager=False,
         label="bfs_seeds",
     )
     visited = frontier
@@ -401,13 +429,19 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(level).cast("long")),
+            eager=False,
             label="bfs_level",
         )
-        # Pregel-style stop probe (see connected_components): one tiny
-        # job over the just-checkpointed frontier.
-        if nxt.limit(1).count() == 0:
+        # Pregel-style stop probe (see connected_components); a FULL
+        # count so it doubles as the materializer of the lazily
+        # checkpointed level frame (r13).
+        if nxt.count() == 0:
             return visited
-        visited = _ckpt(visited.unionByName(nxt), label="bfs_visited")
+        # visited is a union of ≤max_hops ALREADY-checkpointed level
+        # frames — a bounded-depth plan of bare RDD scans, so its own
+        # per-level checkpoint was one pure-overhead job per level
+        # (r13 optimization; max_hops caps the union width).
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

@@ -352,19 +352,29 @@ def poisson_bootstrap_means(
     never count in ``n_eff`` while contributing nothing to the sum
     (which would silently bias means low — ADVICE r5).
     """
+    from .util import spread
+
     if n_replicas < 1:
         raise ValueError(f"n_replicas must be >= 1; got {n_replicas}")
     cdf = POISSON1_CDF if lam == 1.0 else poisson_cdf(lam)
     b = F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("replica")
+    # spread BEFORE the replica explode (r13): a single-row-group scan
+    # plans as one task, and the n_replicas × rows md5-uniform chain —
+    # the dominant cost of this operator, ~4 s single-core at sf0.1 —
+    # would serialize on one core.  Keyed on the row key: deterministic
+    # placement, no sort-before-repartition.
     staged = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(key_col).cast("string").alias("__k"),
-            # try_cast: overflow → NULL under ANSI too (plain cast would
-            # throw with ansi on / silently NULL with it off)
-            F.col(value_col).try_cast("decimal(12,2)").alias("__x"),
+        spread(
+            df.filter(F.col(value_col).isNotNull())
+            .select(
+                F.col(key_col).cast("string").alias("__k"),
+                # try_cast: overflow → NULL under ANSI too (plain cast
+                # would throw with ansi on / silently NULL with it off)
+                F.col(value_col).try_cast("decimal(12,2)").alias("__x"),
+            )
+            .filter(F.col("__x").isNotNull()),  # DECIMAL overflow → excluded
+            key="__k",
         )
-        .filter(F.col("__x").isNotNull())  # DECIMAL overflow → excluded
         .select("__k", "__x", b)
     )
     h = F.conv(

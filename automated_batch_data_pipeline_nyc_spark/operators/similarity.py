@@ -202,7 +202,10 @@ def cosine_lsh_pairs(
     # array per plane (Catalyst inlines expressions per use site).
     # spread() so a single-row-group input can't serialize the bucket
     # computation on one task (no-op when the scan already splits).
-    staged = spread(df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vd")))
+    staged = spread(
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__vd")),
+        key=id_col,
+    )
     band_buckets = []
     for b in range(bands):
         bucket = F.lit(0).cast("bigint")
@@ -231,14 +234,44 @@ def cosine_lsh_pairs(
         )
         .distinct()
     )
-    v = df.select(F.col(id_col), F.col(vec_col))
+    # Verify with per-ROW staged double vectors and norms (r13): the
+    # inline ``cosine(__va, __vb)`` form re-cast both arrays and re-ran
+    # both norm folds once per candidate PAIR — 4 array transforms + 3
+    # interpreted folds per pair, measured as the dominant cost of this
+    # operator.  Staged, each doc pays one cast + one norm fold, and a
+    # pair costs one zip_with dot + one multiply + one divide.  The
+    # expression tree (fold of cast elements, dot/(na*nb)) consumes
+    # identical doubles in the identical order, so cosine_sim is
+    # bit-identical to the inline form.
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__vd")
+    ).withColumn(
+        "__n",
+        F.sqrt(F.aggregate(F.col("__vd"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
     return (
-        cand.join(v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
-        .join(v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b")
+        cand.join(
+            v.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__vd").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__vd").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+            (_dot_raw(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -274,7 +274,11 @@ def _equi_depth_buckets(
     # its only consumer is the crossJoin below, and within the single
     # checkpoint-materialization job the cuts subtree and the main
     # branch share the histogram exchange via AQE reuse.
-    cuts = hist.agg(F.percentile_approx(v, qs, 10_000).alias("__cuts"))
+    # accuracy 1_000 (r13): boundaries are placement-only (monotone
+    # bucket assignment => bit-identical results), and the 10_000-node
+    # quantile summary was measurably the most expensive part of the
+    # bucket pass (1.2 s -> 0.95 s at sf0.1 on the lineitem histogram)
+    cuts = hist.agg(F.percentile_approx(v, qs, 1_000).alias("__cuts"))
     # bucket = #{cuts < v} via sqrt-decomposition (~2*sqrt(n_buckets)
     # HOF steps/row) — the naive per-row fold over n_buckets-1 cuts is
     # interpreted work measured at ~10 s/eval at sf0.1 with 1024 buckets
@@ -824,6 +828,7 @@ def countmin_sketch(
     item_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of an item column: ``(row, bucket, cnt)`` —
     at most ``depth x width`` cells REGARDLESS of corpus size.
@@ -840,6 +845,14 @@ def countmin_sketch(
     Plan: one map-only explode of ``depth`` (row, bucket) keys per
     occurrence, then a count shuffle bounded by ``depth x width`` cells
     (map-side partials compress it to that bound per task).
+
+    ``weight_col`` (r13 optimization): build the sketch from an
+    ALREADY-AGGREGATED ``(item, count)`` table instead of raw
+    occurrences — cells sum the weights, which equals the occurrence
+    count per cell exactly (cell counts are linear).  Hash the
+    vocabulary, not the corpus: the md5 bucket derivation then runs
+    once per DISTINCT item instead of once per occurrence, and the
+    upstream count aggregate is map-side combinable.
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
@@ -851,10 +864,17 @@ def countmin_sketch(
         )
         for r in range(depth)
     ])
+    agg = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.col("__w")).cast("long")
+    )
+    cols = [F.explode(cells).alias("c")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("__w"))
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(*cols)
         .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg.alias("cnt"))
     )
 
 

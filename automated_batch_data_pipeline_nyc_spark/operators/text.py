@@ -1169,7 +1169,7 @@ def bpe_train(
             lambda i: F.col("w").substr(i, F.lit(1)),
         ),
     )
-    vocab = _ckpt(vocab, label="bpe_train_vocab0")
+    vocab = _ckpt(vocab, eager=False, label="bpe_train_vocab0")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         best = (
@@ -1186,7 +1186,9 @@ def bpe_train(
         merges.append((rank, a, b, n))
         vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"), a, b))
         if (rank + 1) % checkpoint_every == 0:
-            vocab = _ckpt(vocab, label="bpe_train_fold")
+            # lazy (r13): the next round's argmax job materializes the
+            # truncated fold — no dedicated checkpoint job
+            vocab = _ckpt(vocab, eager=False, label="bpe_train_fold")
     return spark.createDataFrame(
         merges, "rank long, left_sym string, right_sym string, pair_count long"
     )

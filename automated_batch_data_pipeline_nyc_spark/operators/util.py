@@ -38,7 +38,7 @@ def epoch_micros(df: DataFrame, col_name: str) -> Column:
     return F.unix_micros(F.col(col_name))
 
 
-def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
+def spread(df: DataFrame, multiple: int = 1, key: str | None = None) -> DataFrame:
     """Guarantee at least ``defaultParallelism * multiple`` partitions
     before a compute-heavy map stage (signatures, sketches, UDF batches).
 
@@ -46,8 +46,19 @@ def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
     as ONE task and serializes an expensive per-row computation on a
     single core no matter how many the cluster has.  At 100 TB the scan
     already yields thousands of splits and this is a no-op — the guard
-    only fires in the small-input regime, where the round-robin shuffle
-    it adds is proportionally tiny.
+    only fires in the small-input regime, where the shuffle it adds is
+    proportionally tiny.
+
+    ``key`` (r13, guide §2.5): a HIGH-CARDINALITY column (a unique id)
+    to hash-repartition on instead of round-robin.  Two wins: keyless
+    ``repartition(n)`` first pays a local sort of its input
+    (``spark.sql.execution.sortBeforeRepartition``, on by default so
+    retried tasks reproduce the same row placement), which hash
+    partitioning never needs; and the row→partition map becomes
+    deterministic under task retry by construction rather than by that
+    sort.  Callers must pass a key whose distinct count is >> the
+    target partition count — a low-cardinality key would defeat the
+    spreading (and a content-derived key would co-locate duplicates).
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
@@ -55,6 +66,8 @@ def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
     # planning for `df` — cheap once per query, NOT cheap inside a loop.
     # Keep spread() at pipeline boundaries, never per-iteration.
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 

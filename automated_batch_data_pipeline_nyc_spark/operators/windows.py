@@ -235,7 +235,7 @@ def global_row_number(
         # because both the bucket assignment and the heavy-tie probe
         # consume it (unstaged, the percentile pass runs per consumer)
         cuts = df.agg(
-            F.percentile_approx(v, qs, 10_000).alias("__cuts")
+            F.percentile_approx(v, qs, 1_000).alias("__cuts")  # placement-only; r13 cheaper summary
         ).localCheckpoint(eager=False)
         # bucket = #{cuts < v} via sqrt-decomposition (~2*sqrt(n) HOF
         # steps/row) — a full per-row fold over n_buckets-1 cuts is
@@ -266,7 +266,7 @@ def global_row_number(
             tcuts = (
                 local.join(F.broadcast(heavy), v == F.col("__hv"), "inner")
                 .groupBy("__hv", "__m")
-                .agg(F.percentile_approx(t, qs, 10_000).alias("__tcuts"))
+                .agg(F.percentile_approx(t, qs, 1_000).alias("__tcuts"))  # placement-only
             )
             # NULL __tcuts (non-heavy rows) NULL-propagates through the
             # rank; the coalesce below maps it to sub-bucket 0

@@ -8410,19 +8410,23 @@ def _containment(spark, sf_dir):
         / CAST(len(b.grams) AS DOUBLE) >= 0.6
     """,
     doc="PRODUCTION containment path: exact near-subset pairs over the "
-        "WHOLE corpus via the asymmetric prefix filter — the query "
-        "side's prefix (|X| - ceil(t|X|) + 1 hash-ordered grams) joins "
-        "the probe side's full gram-occurrence list, so candidates are "
-        "bounded by per-gram document frequency, never block² — then "
-        "exact containment verifies both directions.  Lossless "
-        "(pigeonhole: missing the whole prefix caps overlap below "
-        "ceil(t|X|)); the oracle is the O(n²) cross join, checkable at "
-        "small sf.  Operator: operators/dedup.py "
-        "containment_prefix_pairs",
+        "WHOLE corpus via the inverted-index COUNT join (r13): |A∩B| "
+        "is the per-pair row count of the gram-occurrence self-equi-"
+        "join — narrow (id, size, gram-hash) rows, map-side-combinable "
+        "count aggregation, no gram array ever crosses a join, no "
+        "candidate/verify asymmetry.  Both directions' exact scores "
+        "divide the one count by the per-side set sizes.  Identical "
+        "output to the r3-r12 prefix-filter form (which remains in the "
+        "library as containment_prefix_pairs for corpora where the "
+        "t=0.6 prefix actually prunes — on this fixture it left 7.86M "
+        "of 12.5M pairs as candidates and the per-candidate array "
+        "verify was ~70% of the wall; measured 5.2 s → 2.2 s).  The "
+        "oracle is the O(n²) cross join, checkable at small sf.  "
+        "Operator: operators/dedup.py containment_count_pairs",
 )
 def _containment_prefix(spark, sf_dir):
     (docs,) = _load(spark, sf_dir, "documents")
-    return dd.containment_prefix_pairs(docs, "doc_id", "text", n=2, threshold=0.6)
+    return dd.containment_count_pairs(docs, "doc_id", "text", n=2, threshold=0.6)
 
 
 @_q(
@@ -8785,12 +8789,20 @@ def _cmheavy(spark, sf_dir):
 
     (docs,) = _load(spark, sf_dir, "documents")
     toks = spread(docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w")))
-    sk = countmin_sketch(toks, "w", depth=4, width=1024)
-    probes = (
+    # r13: hash the VOCABULARY, not the occurrences — one tokenize pass
+    # into the (token, count) table (map-side combinable, staged through
+    # a lazy localCheckpoint for its two consumers), then the sketch's
+    # 4 md5 bucket hashes run per DISTINCT token with the count as the
+    # cell weight (cells are linear, so the weighted sketch equals the
+    # occurrence sketch exactly).  Before: two tokenize passes and
+    # 4 x occurrences md5 evaluations.
+    cnt = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 100)
+        .localCheckpoint(eager=False)
     )
+    sk = countmin_sketch(cnt, "w", depth=4, width=1024, weight_col="c")
+    probes = cnt.filter(F.col("c") >= 100)
     est = countmin_estimate(sk, probes, "w", depth=4, width=1024)
     return est.select(
         F.col("w").alias("token"),

@@ -865,13 +865,26 @@ def test_ks_two_sample_no_global_data_sort(spark):
 
 def test_poisson_bootstrap_single_corpus_exchange(spark):
     """All 32 replicas must compute in ONE corpus pass: the explode is
-    map-side (Generate before any exchange), the only corpus-sized
-    exchange is the partial-aggregated shuffle onto the replica key,
-    and everything stays JVM-side (no Python eval in the draw)."""
+    map-side relative to the replica-key aggregate (Generate between
+    the two exchanges), and everything stays JVM-side (no Python eval
+    in the draw).  Exactly TWO hash exchanges are allowed: the spread()
+    repartition on the row key (r13 — carries the corpus UN-exploded,
+    n rows not 32n, so the md5 draw chain can't serialize on a
+    single-row-group scan) below the Generate, and the
+    partial-aggregated replica-key shuffle above it."""
     df = QUERIES["bootstrap_revenue_ci"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
     assert "Generate explode" in plan
+    # plan string is top-down: aggregate exchange ABOVE the Generate,
+    # spread exchange BELOW it — so the explode output never shuffles
+    first_ex = plan.index("Exchange hashpartitioning")
+    last_ex = plan.rindex("Exchange hashpartitioning")
+    gen = plan.index("Generate explode")
+    assert first_ex < gen < last_ex, (
+        "explode must sit between the replica-key aggregate exchange "
+        "(above) and the spread repartition (below)"
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Sort " not in plan, "percentile fold must not plan a sort"
     assert "PushedFilters: [IsNotNull(o_totalprice)]" in plan
