@@ -416,6 +416,7 @@ def bloom_prefilter(
     dim_key: str,
     m_bits: int = 8192,
     n_hashes: int = 3,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Bloom semi-join reduction: prune *fact* rows whose key cannot
     exist in *dim_keys* BEFORE any shuffle — the runtime-filter
@@ -450,12 +451,25 @@ def bloom_prefilter(
     exchange.  Plan-size cost is ``n_hashes * m_bits/64`` literals;
     size ``m_bits`` for pruning power, not perfection — leftovers are
     false positives the exact join removes anyway.
+
+    ``hash_family`` defaults to ``"fast"`` (seeded xxhash64 — r13:
+    the md5 family's per-row string-cast + digest + conv chain was the
+    dominant scan cost at both ends of ``bloom_prefilter_join``, and
+    Catalyst additionally mirrors the predicate onto the dim side via
+    constraint propagation, tripling the md5 count).  The downstream
+    exact join makes results family-invariant; pass ``"portable"``
+    when the bitmap itself must be replayable in another engine.
     """
     from .stats import bloom_bitmap, bloom_build, bloom_might_contain
 
-    words = bloom_build(dim_keys, dim_key, m_bits=m_bits, n_hashes=n_hashes)
+    words = bloom_build(
+        dim_keys, dim_key, m_bits=m_bits, n_hashes=n_hashes,
+        hash_family=hash_family,
+    )
     [(dense,)] = bloom_bitmap(words, m_bits).collect()
     bitmap = F.array(*[F.lit(int(w)).cast("long") for w in dense])
     return fact.filter(
-        bloom_might_contain(F.col(fact_key), bitmap, m_bits, n_hashes)
+        bloom_might_contain(
+            F.col(fact_key), bitmap, m_bits, n_hashes, hash_family=hash_family
+        )
     )

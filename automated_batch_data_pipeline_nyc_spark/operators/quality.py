@@ -267,13 +267,36 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
     one shuffle but columns× the map output; the sketch keeps the scan
     map-only.  Complex columns (array/map/struct) profile counts and
     nulls; min/max/NDV are NULL for them.
+
+    Plan shape (r13, guide §2): min/max whose AGGREGATE BUFFER is not a
+    mutable primitive (strings, wide decimals) are split into a second,
+    Expand-free aggregate and re-attached with a 1x1 cross join.
+    HashAggregate supports only mutable fixed-width buffers; one
+    min(string) in the main aggregate demotes the WHOLE multi-distinct
+    plan to SortAggregate — measured at sf0.1 on orders as three extra
+    Sorts of the 7x-Expanded frame (the dominant cost of the query).
+    With the split, the Expand path hash-aggregates, and the string
+    min/max pass is a no-keys partial+final over the raw scan.
     """
     simple = {
         f.name: f.dataType.typeName()
         not in ("array", "map", "struct", "binary")
         for f in df.schema.fields
     }
+    # buffer mutability rule (HashAggregateExec.supportsAggregate):
+    # fixed-width atomic types only; DECIMAL stays long-backed through
+    # precision 18
+    def _hash_friendly(dt) -> bool:
+        t = dt.typeName()
+        if t == "string":
+            return False
+        if t == "decimal":
+            return dt.precision <= 18
+        return True
+
+    types = {f.name: f.dataType for f in df.schema.fields}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    slow_aggs: list[Column] = []
     for name, ok in simple.items():
         c = F.col(name)
         aggs.append(F.count(c).alias(f"__nn_{name}"))
@@ -285,9 +308,14 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
                     else F.countDistinct(c)
                 ).alias(f"__nd_{name}")
             )
-            aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
-            aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
+            target = aggs if _hash_friendly(types[name]) else slow_aggs
+            target.append(F.min(c).cast("string").alias(f"__mn_{name}"))
+            target.append(F.max(c).cast("string").alias(f"__mx_{name}"))
     row = df.agg(*aggs)
+    if slow_aggs:
+        # 1-row x 1-row attach: BroadcastNestedLoopJoin of two scalar
+        # aggregates (the audit's whitelisted product shape)
+        row = row.crossJoin(df.agg(*slow_aggs))
     cols = F.array(
         *[
             F.struct(

@@ -969,8 +969,30 @@ def countmin_inner_product(
 _POW2_64 = [(1 << i) - ((1 << 64) if i == 63 else 0) for i in range(64)]
 
 
+def _bloom_positions(key: Column, n_hashes: int, m_bits: int,
+                     hash_family: str) -> list[Column]:
+    """The ``n_hashes`` bit positions of a key under one of two
+    families: ``"portable"`` — the md5 recipe any SQL engine can
+    replay (bit-pinned cross-engine by ``bloom_fpp_audit``); ``"fast"``
+    — seeded xxhash64, pure JVM long arithmetic with no per-row string
+    conversion or digest (r13, guide §4.1: built-ins over expression
+    churn).  Fast is for LOSSLESS-pre-filter uses where only the
+    no-false-negative guarantee matters (the exact join removes false
+    positives, so results are family-invariant); keep portable wherever
+    the bitmap itself must match another engine bit-for-bit."""
+    if hash_family == "portable":
+        return [countmin_bucket(key, j, m_bits) for j in range(n_hashes)]
+    if hash_family == "fast":
+        return [
+            F.pmod(F.xxhash64(F.lit(j), key), F.lit(m_bits)).cast("bigint")
+            for j in range(n_hashes)
+        ]
+    raise ValueError(f"hash_family must be 'portable' or 'fast'; got {hash_family!r}")
+
+
 def bloom_build(
-    df: DataFrame, key_col: str, m_bits: int = 8192, n_hashes: int = 3
+    df: DataFrame, key_col: str, m_bits: int = 8192, n_hashes: int = 3,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Distributed Bloom-filter build over a key column: sparse
     ``(word_idx, word)`` rows — at most ``m_bits/64`` of them
@@ -996,9 +1018,7 @@ def bloom_build(
         raise ValueError(f"need n_hashes >= 1; got {n_hashes}")
     key = F.col(key_col)
     pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2_64])
-    positions = F.array(
-        *[countmin_bucket(key, j, m_bits) for j in range(n_hashes)]
-    )
+    positions = F.array(*_bloom_positions(key, n_hashes, m_bits, hash_family))
     return (
         df.filter(key.isNotNull())
         .select(F.explode(positions).alias("__pos"))
@@ -1033,18 +1053,18 @@ def bloom_bitmap(words: DataFrame, m_bits: int) -> DataFrame:
 
 
 def bloom_might_contain(
-    item: Column, bitmap: Column, m_bits: int, n_hashes: int = 3
+    item: Column, bitmap: Column, m_bits: int, n_hashes: int = 3,
+    hash_family: str = "portable",
 ) -> Column:
     """Membership test against a :func:`bloom_bitmap` column: true iff
     every one of the item's ``n_hashes`` bits is set.  Pure JVM
     bit-arithmetic over the (broadcast) bitmap array — no UDF, stays
-    inside whole-stage codegen; ``m_bits``/``n_hashes`` must match the
-    build parameters.
+    inside whole-stage codegen; ``m_bits``/``n_hashes``/``hash_family``
+    must match the build parameters.
     """
     pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2_64])
     cond = None
-    for j in range(n_hashes):
-        pos = countmin_bucket(item, j, m_bits)
+    for pos in _bloom_positions(item, n_hashes, m_bits, hash_family):
         word = F.element_at(bitmap, F.floor(pos / 64).cast("int") + 1)
         mask = F.element_at(pow2, (pos % 64).cast("int") + 1)
         hit = word.bitwiseAND(mask) != 0

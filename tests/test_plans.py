@@ -1119,3 +1119,18 @@ def test_bpe_encode_dictionary_join_single_reassembly_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ExistingRDD" in plan  # checkpointed vocab segmentation
+
+
+def test_profile_table_expand_path_hash_aggregates(spark):
+    """profile_orders_table (r13): the multi-COUNT(DISTINCT) Expand path
+    must HashAggregate — one min(string) in the same aggregate demotes
+    the whole plan to SortAggregate (string buffers are not mutable),
+    which was measured as three extra Sorts of the 7x-Expanded frame.
+    String min/max live in a separate Expand-free pass attached by a
+    1x1 cross join (the audit's whitelisted scalar product)."""
+    plan = _plan(spark, "profile_orders_table")
+    assert "Expand" in plan
+    assert "Sort " not in plan, "Expand path must not sort-aggregate"
+    assert plan.count("SortAggregate") == 2  # the no-keys string pass only
+    assert "HashAggregate" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1x1 scalar attach
