@@ -775,10 +775,13 @@ def minhash_audit(
         df, text_col, id_col, num_hashes, bands, rows_per_band,
         shingle_size, jaccard_threshold,
     )
+    # jaccard_prefix_pairs already returns an EAGERLY checkpointed
+    # frame (label dedup_result) — re-checkpointing the select over it
+    # was one pure-overhead materialization job (r13); the 4 census
+    # consumers below rescan the cached pair RDD directly.
     census = jaccard_prefix_pairs(
         df, id_col, text_col, n=shingle_size, threshold=jaccard_threshold
     ).select("id_a", "id_b")
-    census = _ckpt(census, label="minhash_audit_census")
 
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     n_census = census.agg(F.count(F.lit(1)).alias("census_pairs"))
@@ -878,7 +881,7 @@ def simhash_audit(
     emitted = simhash_candidate_pairs(
         sigs, id_col, "simhash", max_hamming=max_hamming
     ).select("id_a", "id_b")
-    emitted = _ckpt(emitted, label="simhash_audit_emitted")
+    emitted = _ckpt(emitted, eager=False, label="simhash_audit_emitted")
 
     psigs = with_simhash(
         base, text_col, out_col="__psig", bits=portable_bits, portable=True
@@ -887,7 +890,7 @@ def simhash_audit(
         psigs, id_col, "__psig",
         max_hamming=portable_max_hamming, bits=portable_bits,
     ).select("id_a", "id_b")
-    portable = _ckpt(portable, label="simhash_audit_portable")
+    portable = _ckpt(portable, eager=False, label="simhash_audit_portable")
 
     toksets = df.select(
         F.col(id_col),
@@ -914,7 +917,7 @@ def simhash_audit(
             F.col(f"b.{id_col}").alias("id_b"),
         )
     )
-    tokdups = _ckpt(tokdups, label="simhash_audit_tokdups")
+    tokdups = _ckpt(tokdups, eager=False, label="simhash_audit_tokdups")
 
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     n_tokdups = tokdups.agg(F.count(F.lit(1)).alias("tokset_dup_pairs"))

@@ -542,6 +542,15 @@ def ivf_build_portable(
     staged = df.withColumn("__x", _as_double(F.col(vec_col))).withColumn(
         "__xx", _dot_raw(F.col("__x"), F.col("__x"))
     )
+    # lazy checkpoint (r13): the seeds collect, each Lloyd update
+    # collect, and the final assignment/search actions all consume
+    # `staged` — without staging, every one of those jobs re-scans the
+    # parquet and re-runs the cast + self-dot.  The first action (the
+    # seeds collect) materializes the cache; the frame is n x (d + 2)
+    # doubles, executor-storage-bounded.
+    from ..plans.capture import checkpoint as _ckpt
+
+    staged = _ckpt(staged, eager=False, label="ivf_staged_vectors")
     seed_rows = (
         staged.select(id_col, "__x").orderBy(F.col(id_col)).limit(n_lists).collect()
     )
