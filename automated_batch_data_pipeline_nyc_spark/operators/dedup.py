@@ -49,6 +49,7 @@ __all__ = [
     "simhash_audit",
     "ngram_jaccard_pairs",
     "containment_pairs",
+    "containment_count_pairs",
     "containment_prefix_pairs",
     "jaccard_prefix_pairs",
     "duplicated_ngram_spans",

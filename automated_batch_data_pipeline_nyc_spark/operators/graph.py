@@ -61,7 +61,24 @@ def connected_components(
     the jump's extra equi-join at all.  Raises if ``max_iterations``
     is hit with labels still moving (a near-dup graph that deep means
     the threshold is catastrophically loose — fail loudly, not wrong).
+
+    Convergence probe (r13): one aggregate per round over the
+    just-checkpointed labels.  For NUMERIC ids it is the exact
+    DECIMAL(38,0) label sum — labels are elementwise monotone
+    non-increasing, so the multiset changes iff the sum changes, and
+    the sum needs no extra column through the round.  For any other id
+    type the probe counts moved labels via a per-node previous-label
+    column recovered from the flagged self-loop row inside the SAME
+    round aggregate (a decimal cast of e.g. string ids is NULL, which
+    would be indistinguishable from the empty graph and return
+    unconverged labels — r13 review; measured ~0.4 s/query cheaper to
+    keep the sum probe where it is sound).
     """
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        pairs.schema[src].dataType, NumericType
+    ) and isinstance(pairs.schema[dst].dataType, NumericType)
     edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -81,25 +98,32 @@ def connected_components(
     # is ONE join + ONE aggregate — the old shape needed a second
     # left-join to fold the node's own label back in (least/coalesce),
     # a whole extra exchange-or-broadcast stage per round.  Derived
-    # lazily from the two checkpointed frames; bounded two-scan plan.
-    edges2 = edges.unionByName(
-        labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
-    )
-    # Convergence probe: labels are elementwise monotone non-increasing,
-    # so the label multiset changes iff its SUM changes — one exact
-    # DECIMAL(38,0) aggregate per round over the just-checkpointed
-    # frame replaces the old __moved column + filter/limit probe (same
-    # job count, but no per-row moved bookkeeping in the round plan,
-    # and the round itself drops the left-join stage).  Same
-    # round-count as the old probe: the fixpoint is detected in the
-    # first round that changes nothing.
+    # lazily from the two checkpointed frames.  On the non-numeric
+    # path the self row is flagged so the SAME aggregate also recovers
+    # the node's previous label for the moved test (see docstring).
+    self_rows = labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    if numeric_ids:
+        edges2 = edges.unionByName(self_rows)
+    else:
+        edges2 = edges.withColumn("__self", F.lit(False)).unionByName(
+            self_rows.withColumn("__self", F.lit(True))
+        )
     prev_sum: object = object()
     for it in range(max_iterations):
-        nxt = (
-            edges2.join(labels, edges2.a == labels.node)
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("component").alias("component"))
+        grouped = edges2.join(labels, edges2.a == labels.node).groupBy(
+            F.col("b").alias("node")
         )
+        if numeric_ids:
+            nxt = grouped.agg(F.min("component").alias("component"))
+        else:
+            nxt = grouped.agg(
+                F.min("component").alias("component"),
+                # exactly one self row per group => the node's previous
+                # label, for the type-agnostic moved count
+                F.min(F.when(F.col("__self"), F.col("component"))).alias(
+                    "__old"
+                ),
+            )
         if it >= 2:
             # pointer jump: labels monotonically decrease, so my
             # label's label (from the PREVIOUS round's checkpoint — a
@@ -108,14 +132,21 @@ def connected_components(
             lookup = labels.select(
                 F.col("node").alias("__ln"), F.col("component").alias("__lc")
             )
-            nxt = nxt.join(
-                lookup, nxt.component == F.col("__ln"), "left"
-            ).select(
+            final_c = F.least(
+                F.col("component"),
+                F.coalesce(F.col("__lc"), F.col("component")),
+            )
+            out_cols = ["node", final_c.alias("component")] + (
+                [] if numeric_ids else [(final_c < F.col("__old")).alias("__moved")]
+            )
+            nxt = nxt.join(lookup, nxt.component == F.col("__ln"), "left").select(
+                *out_cols
+            )
+        elif not numeric_ids:
+            nxt = nxt.select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("__lc"), F.col("component")),
-                ).alias("component"),
+                "component",
+                (F.col("component") < F.col("__old")).alias("__moved"),
             )
         # lazy checkpoint (r13): the probe aggregate below is a FULL
         # scan, so it materializes + truncates the round frame inside
@@ -127,14 +158,33 @@ def connected_components(
         # alternative — a fixed iteration count with no probe — either
         # wastes whole passes after convergence or exits early with
         # wrong labels.
-        cur_sum = updated.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = updated
-        if cur_sum is None or cur_sum == prev_sum:
-            # None = empty graph (no labels to move); equality = fixpoint
-            return labels
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = updated.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels = updated
+            if cur_sum is None:
+                # NULL sum = empty graph — but a DECIMAL(38,0) overflow
+                # also NULLs under non-ANSI; distinguish with one count
+                # on this rare path rather than silently returning
+                if updated.limit(1).count() == 0:
+                    return labels
+                raise ArithmeticError(
+                    "connected_components: label-sum probe overflowed "
+                    "DECIMAL(38,0) — id magnitudes too large for the "
+                    "numeric probe"
+                )
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+        else:
+            moved = updated.agg(
+                F.sum(F.col("__moved").cast("long")).alias("m")
+            ).collect()[0]["m"]
+            labels = updated
+            if not moved:
+                # None = empty graph (no labels to move); 0 = fixpoint
+                return labels.drop("__moved")
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
@@ -285,9 +335,11 @@ def k_core(
     (edges are symmetric-distinct), and nodes isolated by a peel
     (degree 0) leave the table the same round they would vanish from a
     recount.  Lineage is truncated per round with ``localCheckpoint``
-    exactly like :func:`connected_components`, and the same
-    Pregel-style ``limit(1).count()`` probe decides convergence
-    (rounds <= peel depth, the degeneracy ordering's layer count).
+    exactly like :func:`connected_components`, and a Pregel-style
+    full-count probe decides convergence (rounds <= peel depth, the
+    degeneracy ordering's layer count; a FULL count, not limit(1) —
+    since r13 it doubles as the materializer of the lazily
+    checkpointed round frame).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
@@ -374,9 +426,10 @@ def bfs_hops(
     the frontier to the static symmetrized edge list, an anti-join
     drops already-visited nodes (so each node is labeled exactly once,
     at its true minimum distance — BFS levels are monotone), and
-    ``localCheckpoint`` truncates lineage per level.  The same
-    Pregel-style ``limit(1).count()`` probe stops early when the
-    frontier empties (diameter < ``max_hops``).  The frontier is a
+    ``localCheckpoint`` truncates lineage per level.  A Pregel-style
+    full-count probe stops early when the frontier empties
+    (diameter < ``max_hops``; a FULL count, not limit(1) — since r13
+    it doubles as the materializer of the lazily checkpointed level).  The frontier is a
     narrow (node) frame; the visited set grows to at most the
     reachable node set — both bounded by the graph's node count, never
     the corpus.  ``max_hops`` caps the level count so the job is

@@ -983,8 +983,16 @@ def _bloom_positions(key: Column, n_hashes: int, m_bits: int,
     if hash_family == "portable":
         return [countmin_bucket(key, j, m_bits) for j in range(n_hashes)]
     if hash_family == "fast":
+        # xxhash64 SKIPS null inputs (hash of the seed alone), which
+        # would give a NULL key three fixed, likely-set bit positions —
+        # the explicit null guard restores the md5 family's semantics
+        # (NULL positions -> NULL membership -> row filtered): a NULL
+        # key matches nothing, per the prefilter contract (r13 review).
         return [
-            F.pmod(F.xxhash64(F.lit(j), key), F.lit(m_bits)).cast("bigint")
+            F.when(
+                key.isNotNull(),
+                F.pmod(F.xxhash64(F.lit(j), key), F.lit(m_bits)),
+            ).cast("bigint")
             for j in range(n_hashes)
         ]
     raise ValueError(f"hash_family must be 'portable' or 'fast'; got {hash_family!r}")

@@ -2711,3 +2711,35 @@ def test_simhash_audit_verdicts_on_synthetic_dups(spark):
     # identical token sets -> identical portable signatures too
     assert row.portable_pairs >= 3
     assert row.min_jaccard_ok
+
+
+def test_connected_components_string_ids(spark):
+    """r13 review: the convergence probe must be id-type-agnostic — a
+    decimal-sum probe variant silently returned unconverged labels for
+    non-numeric ids (cast -> NULL looked like the empty-graph case).
+    Chain a-b-c-d needs >1 round, so a probe that stops after round 1
+    leaves d labeled 'b'."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["id_a", "id_b"]
+    )
+    comp = {r.node: r.component for r in gr.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_bloom_prefilter_fast_family_null_and_lossless(spark):
+    """r13 review: the fast (xxhash64) family must keep the md5
+    family's NULL semantics — xxhash64 SKIPS null inputs, so without a
+    guard a NULL fact key would hash to three fixed positions and
+    often pass.  A NULL key matches nothing (the prefilter contract);
+    and every true-match key must survive (no false negatives)."""
+    from automated_batch_data_pipeline_nyc_spark.operators.joins import (
+        bloom_prefilter,
+    )
+
+    dim = spark.createDataFrame([(i,) for i in range(0, 100, 2)], ["k"])
+    fact = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)], "k BIGINT"
+    )
+    kept = {r.k for r in bloom_prefilter(fact, "k", dim, "k", m_bits=2048).collect()}
+    assert None not in kept, "NULL fact keys must be pruned"
+    assert set(range(0, 100, 2)) <= kept, "no false negatives on true matches"
