@@ -62,23 +62,34 @@ def connected_components(
     is hit with labels still moving (a near-dup graph that deep means
     the threshold is catastrophically loose — fail loudly, not wrong).
 
-    Convergence probe (r13): one aggregate per round over the
-    just-checkpointed labels.  For NUMERIC ids it is the exact
-    DECIMAL(38,0) label sum — labels are elementwise monotone
-    non-increasing, so the multiset changes iff the sum changes, and
-    the sum needs no extra column through the round.  For any other id
-    type the probe counts moved labels via a per-node previous-label
-    column recovered from the flagged self-loop row inside the SAME
-    round aggregate (a decimal cast of e.g. string ids is NULL, which
-    would be indistinguishable from the empty graph and return
-    unconverged labels — r13 review; measured ~0.4 s/query cheaper to
-    keep the sum probe where it is sound).
+    Convergence probe (r13, tightened r14 per ADVICE r13): one
+    aggregate per round over the just-checkpointed labels.  For
+    INTEGRAL ids (and scale-0 decimals) it is the exact DECIMAL(38,0)
+    label sum — labels are elementwise monotone non-increasing, so the
+    multiset changes iff the sum changes, and the sum needs no extra
+    column through the round.  The cast is value-preserving ONLY for
+    integer-valued types: float/double/fractional-decimal ids ROUND
+    under the cast, so two different label multisets can share one
+    rounded sum (e.g. doubles 2.4,2.2,2.1,1.6 chained: rounds 1 and 2
+    both sum to 8) and the probe would return prematurely with wrong
+    components.  Those types — like strings and every other id type —
+    use the moved-count probe: a per-node previous-label column
+    recovered from the flagged self-loop row inside the SAME round
+    aggregate (a decimal cast of e.g. string ids is NULL, which would
+    be indistinguishable from the empty graph and return unconverged
+    labels — r13 review; measured ~0.4 s/query cheaper to keep the sum
+    probe where it is sound).
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DecimalType, IntegralType
 
-    numeric_ids = isinstance(
-        pairs.schema[src].dataType, NumericType
-    ) and isinstance(pairs.schema[dst].dataType, NumericType)
+    def _sum_probe_exact(dt) -> bool:
+        return isinstance(dt, IntegralType) or (
+            isinstance(dt, DecimalType) and dt.scale == 0
+        )
+
+    numeric_ids = _sum_probe_exact(
+        pairs.schema[src].dataType
+    ) and _sum_probe_exact(pairs.schema[dst].dataType)
     edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))

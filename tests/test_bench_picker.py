@@ -122,3 +122,28 @@ def test_steady_gate_sits_between_regimes():
     # Quiet-host warm probes measured 0.17-0.31 s across r8-r10; the
     # r10 loaded run read 0.376-0.427.  The gate must split them.
     assert 0.312 < _STEADY_RERUN_GATE_S < 0.376
+
+
+def test_summary_line_carries_full_queries_map():
+    # Driver contract (r14, VERDICT r13 item 2): the one-line summary
+    # must carry a "queries" {name: sec} map covering EVERY timed
+    # query, or the driver's per_query/scaling analysis comes back
+    # empty (PERF_r13.per_query == {}).  Existing fields stay.
+    from bench import _make_summary
+
+    r = _mk(0.55, 0.21, [0.55, 0.23, 0.21], 310.0, 310.0)
+    r.update(
+        metric="suite_wall_seconds",
+        unit="sec",
+        sf=0.1,
+        value_production=300.0,
+        value_production_calibrated=300.0,
+    )
+    s = _make_summary(r)
+    assert s["queries"] == {f"q{i}": 1.0 for i in range(10)}
+    for field in (
+        "metric", "value", "value_calibrated", "value_production",
+        "unit", "sf", "calib_s", "n_queries", "n_failed", "slowest",
+    ):
+        assert field in s
+    assert s["n_queries"] == 10 and s["n_failed"] == 0

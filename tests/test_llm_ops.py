@@ -1483,6 +1483,49 @@ def test_containment_detects_near_subset(spark):
     assert r.containment_b_in_a < 0.5   # but not vice versa
 
 
+def test_containment_count_hot_gram_cap(spark):
+    """r14 (VERDICT r13 item 3 / ADVICE r13): max_df must bound the
+    occurrence self-join under a boilerplate gram.  Every doc here
+    shares the gram 'click here' (df = n_docs), so the UNCAPPED join
+    enumerates all n(n-1)/2 pairs from that single gram; with the cap
+    the hot gram is dropped from both sides and the remaining grams
+    are unique, so no pair survives — the quadratic blob never enters
+    the join.  On a corpus with no hot gram the cap is a no-op."""
+    n_docs = 40
+    df = spark.createDataFrame(
+        [(i, f"click here unique{i}") for i in range(n_docs)],
+        ["doc_id", "text"],
+    )
+    # grams(2) per doc: {'click here', 'here unique<i>'} — containment
+    # via the shared boilerplate gram alone is 1/2 >= 0.5
+    uncapped = dd.containment_count_pairs(
+        df, "doc_id", "text", n=2, threshold=0.5
+    ).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2
+    capped = dd.containment_count_pairs(
+        df, "doc_id", "text", n=2, threshold=0.5, max_df=5
+    ).count()
+    assert capped == 0
+    # no-hot-gram corpus: cap above every df leaves output identical
+    clean = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    base = {
+        (r.id_a, r.id_b, r.containment_a_in_b, r.containment_b_in_a)
+        for r in dd.containment_count_pairs(
+            clean, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    with_cap = {
+        (r.id_a, r.id_b, r.containment_a_in_b, r.containment_b_in_a)
+        for r in dd.containment_count_pairs(
+            clean, "doc_id", "text", n=2, threshold=0.5, max_df=10
+        ).collect()
+    }
+    assert base == with_cap and base
+
+
 def test_containment_prefix_is_lossless_vs_brute_force(spark):
     """The asymmetric prefix filter must find EXACTLY the pairs the
     O(n^2) cross join finds (same ids, same both-direction scores)."""
@@ -2724,6 +2767,20 @@ def test_connected_components_string_ids(spark):
     )
     comp = {r.node: r.component for r in gr.connected_components(pairs).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_fractional_double_ids(spark):
+    """ADVICE r13 (medium): DOUBLE ids must route through the
+    moved-count probe, not the DECIMAL(38,0) sum probe — the cast
+    ROUNDS fractional ids, so a chain like 2.4-2.2-2.1-1.6 has the
+    same rounded label sum (8) after rounds 1 and 2 even though labels
+    are still moving; the sum probe would stop early and leave the
+    chain split."""
+    pairs = spark.createDataFrame(
+        [(2.4, 2.2), (2.2, 2.1), (2.1, 1.6)], "id_a DOUBLE, id_b DOUBLE"
+    )
+    comp = {r.node: r.component for r in gr.connected_components(pairs).collect()}
+    assert comp == {2.4: 1.6, 2.2: 1.6, 2.1: 1.6, 1.6: 1.6}
 
 
 def test_bloom_prefilter_fast_family_null_and_lossless(spark):
