@@ -263,6 +263,7 @@ def minhash_pairs(
     jaccard_threshold: float = 0.7,
     collapse_exact: bool = True,
     max_bucket_size: int | None = None,
+    gram_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Verified MinHash near-dup pairs (id_a < id_b).
 
@@ -299,47 +300,98 @@ def minhash_pairs(
     ``collapse_exact=False`` for the full member-level pair list.
     ``max_bucket_size`` additionally caps heavy *near*-dup buckets (a
     recall trade — see :func:`lsh_candidate_pairs`).
+
+    ``gram_frame`` (r14, VERDICT r13 item 1): a pre-built,
+    pre-PERSISTED ``(id_col, __h)`` frame of per-document gram-hash
+    arrays replacing the internal shingle+xxhash64 stage — each row's
+    ``__h`` must hold the document's DISTINCT gram hashes under the
+    caller's gram convention.  Order and duplicates are immaterial to
+    the OUTPUT: the signature minima, the LSH banding derived from
+    them, and the set-arithmetic verify (``array_intersect`` + staged
+    distinct sizes) are all order- and duplicate-insensitive, so the
+    emitted pair set is identical to the internally-shingled form
+    whenever the gram SETS match :func:`shingle`'s (the audit relies on
+    the fixture single-space invariant for that).  The caller owns the
+    frame's persistence and release; the exact-family collapse still
+    reads raw text from ``df`` for its md5 fingerprints.
     """
-    base = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
     star = None
-    if collapse_exact:
-        # md5 (128-bit), not xxhash64: a fingerprint collision would
-        # silently merge two different texts, and at 10^10 docs the
-        # 64-bit birthday bound is no longer negligible.  NULL text is
-        # excluded: md5(NULL) is NULL, which would otherwise group every
-        # null-text doc into one false "family" (the uncollapsed path
-        # emits no pairs for them — null shingles never collide).
-        fam = base.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp")
-        )
-        reps = fam.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-        star = (
-            fam.join(reps, "__fp")
-            .filter(F.col(id_col) != F.col("__rep"))
-            .select(
-                F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    if gram_frame is not None:
+        # Shared-gram path (r14): the caller already staged and
+        # persisted the per-doc gram-hash arrays, so (a) the family
+        # fingerprint pass reads raw text straight off the scan — no
+        # spread() shuffle of the text column just to compute md5s the
+        # following groupBy redistributes anyway — and (b) only the
+        # (id, __sig) frame is persisted here: the verify stage reads
+        # the gram arrays from the CALLER's cache instead of copying
+        # them into a second one.
+        if collapse_exact:
+            fam = df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col),
+                F.md5(F.col(text_col).cast("string")).alias("__fp"),
             )
+            reps = fam.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+            star = (
+                fam.join(reps, "__fp")
+                .filter(F.col(id_col) != F.col("__rep"))
+                .select(
+                    F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+                )
+            )
+            hsrc = gram_frame.select(F.col(id_col), F.col("__h")).join(
+                reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+            )
+        else:
+            hsrc = gram_frame.select(F.col(id_col), F.col("__h"))
+        with_sig = (
+            hsrc.withColumn("__h32", _fold32(F.col("__h")))
+            .withColumn("__sig", _minhash_from_h32(F.col("__h32"), num_hashes))
+            .select(F.col(id_col), F.col("__sig"))
         )
-        base = base.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        sh_src = hsrc
+    else:
+        base = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+        if collapse_exact:
+            # md5 (128-bit), not xxhash64: a fingerprint collision would
+            # silently merge two different texts, and at 10^10 docs the
+            # 64-bit birthday bound is no longer negligible.  NULL text
+            # is excluded: md5(NULL) is NULL, which would otherwise
+            # group every null-text doc into one false "family" (the
+            # uncollapsed path emits no pairs for them — null shingles
+            # never collide).
+            fam = base.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.md5(F.col(text_col).cast("string")).alias("__fp")
+            )
+            reps = fam.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+            star = (
+                fam.join(reps, "__fp")
+                .filter(F.col(id_col) != F.col("__rep"))
+                .select(
+                    F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+                )
+            )
+            base = base.join(
+                reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+            )
+        # Shingles are hashed ONCE to 64-bit longs; the signature
+        # derives its k functions by multiply-add over the hashes, and
+        # the exact verify intersects the hashed sets (long compares,
+        # dup-safe since array_intersect/union are distinct-set ops).
+        # Strings never leave the first projection.  The signature
+        # pipeline only needs (id, text) — projected above so the
+        # persisted set stays narrow — and is spread across the cluster
+        # so a single-row-group input can't serialize the
+        # O(k x shingles) arithmetic on one task.
+        with_sig = (
+            base.withColumn(
+                "__h",
+                F.transform(shingle(text_col, n=shingle_size), lambda s: F.xxhash64(s)),
+            )
+            .withColumn("__h32", _fold32(F.col("__h")))
+            .withColumn("__sig", _minhash_from_h32(F.col("__h32"), num_hashes))
+            .drop("__h32")
         )
-    # Shingles are hashed ONCE to 64-bit longs; the signature derives
-    # its k functions by multiply-add over the hashes, and the exact
-    # verify intersects the hashed sets (long compares, dup-safe since
-    # array_intersect/union are distinct-set ops).  Strings never leave
-    # the first projection.  The signature pipeline only needs (id,
-    # text) — projected above so the persisted set stays narrow — and is
-    # spread across the cluster so a single-row-group input can't
-    # serialize the O(k x shingles) arithmetic on one task.
-    with_sig = (
-        base.withColumn(
-            "__h",
-            F.transform(shingle(text_col, n=shingle_size), lambda s: F.xxhash64(s)),
-        )
-        .withColumn("__h32", _fold32(F.col("__h")))
-        .withColumn("__sig", _minhash_from_h32(F.col("__h32"), num_hashes))
-        .drop("__h32")
-    )
+        sh_src = None
     with_sig = with_sig.persist()
     try:
         pairs = lsh_candidate_pairs(
@@ -352,7 +404,7 @@ def minhash_pairs(
         # per-side set sizes are staged per document (array_intersect
         # already dedups, so the identity stays exact under any
         # within-document hash collision).
-        sh = with_sig.select(
+        sh = (with_sig if sh_src is None else sh_src).select(
             F.col(id_col), F.col("__h"),
             F.size(F.array_distinct("__h")).alias("__hsz"),
         )
@@ -487,13 +539,13 @@ def with_simhash(
     engine reproduces the signature bit-for-bit — how the suite
     hash-verifies the SimHash ALGORITHM itself against DuckDB
     (production stays on xxhash64).
+
     """
     if portable and bits > 32:
         raise ValueError(
             f"portable simhash uses a 32-bit hash family; bits={bits} > 32"
         )
-    t = F.col(text_col)
-    toks = F.array_distinct(F.split(F.lower(t), "\\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), "\\s+"))
     hashes = F.transform(
         toks, _md5_hash32 if portable else (lambda tok: F.xxhash64(tok))
     )
@@ -764,44 +816,71 @@ def minhash_audit(
     Gram convention: :func:`jaccard_prefix_pairs` splits on a single
     space while production :func:`shingle` splits on ``\\s+`` — gram
     sets coincide under the fixture single-space invariant
-    (tests/test_suite_contract.py pins it).
+    (tests/test_suite_contract.py pins it).  That invariant is what
+    makes the r14 SHARED gram stage sound: the corpus is tokenized and
+    gram-hashed ONCE (:func:`_word_gram_hashes`, one persisted frame)
+    and both pair pipelines consume it — the census needs the lex order
+    for its prefix filter, the production signature/verify are order-
+    and duplicate-insensitive over the same gram SETS, so both emit
+    exactly what their internally-shingled forms would (VERDICT r13
+    item 1; previously each pipeline re-shingled the corpus).
 
-    Plan: the two pair pipelines (candidate-bounded, never O(n^2)),
-    two component-label joins, then 1-row scalar aggregates cross-
-    joined (the <=1-row BNLJ product shape plan_audit whitelists).
+    Plan: one shared gram stage, the two pair pipelines
+    (candidate-bounded, never O(n^2)), one lazily-checkpointed
+    component-label frame joined twice, then THREE 1-row scalar
+    subtrees cross-joined (the <=1-row BNLJ product shape plan_audit
+    whitelists) — the census/emitted counts, subset violations, recall
+    hits and component merges all come out of ONE full-outer-join
+    aggregate instead of four separate branch scans (r14).
     """
     from .graph import assign_components
 
-    emitted = minhash_pairs(
-        df, text_col, id_col, num_hashes, bands, rows_per_band,
-        shingle_size, jaccard_threshold,
+    g = spread(
+        df.select(F.col(id_col), F.col(text_col)), key=id_col
+    ).select(
+        F.col(id_col), _word_gram_hashes(text_col, shingle_size).alias("__h")
     )
-    # jaccard_prefix_pairs already returns an EAGERLY checkpointed
-    # frame (label dedup_result) — re-checkpointing the select over it
-    # was one pure-overhead materialization job (r13); the 4 census
-    # consumers below rescan the cached pair RDD directly.
-    census = jaccard_prefix_pairs(
-        df, id_col, text_col, n=shingle_size, threshold=jaccard_threshold
-    ).select("id_a", "id_b")
+    g = g.persist()
+    try:
+        emitted = minhash_pairs(
+            df, text_col, id_col, num_hashes, bands, rows_per_band,
+            shingle_size, jaccard_threshold, gram_frame=g,
+        )
+        # jaccard_prefix_pairs returns an EAGERLY checkpointed frame
+        # (label dedup_result) — both pair sets are materialized by the
+        # time we leave this block, so the gram storage can be released
+        # before the audit's own action runs.
+        census = jaccard_prefix_pairs(
+            df, id_col, text_col, n=shingle_size,
+            threshold=jaccard_threshold, gram_frame=g,
+        ).select("id_a", "id_b")
+    finally:
+        g.unpersist()
 
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    n_census = census.agg(F.count(F.lit(1)).alias("census_pairs"))
-    census_docs = (
-        census.select(F.col("id_a").alias("d"))
-        .unionByName(census.select(F.col("id_b").alias("d")))
-        .agg(F.count_distinct("d").alias("census_dup_docs"))
+    census_docs = census.select(
+        F.explode(F.array("id_a", "id_b")).alias("d")
+    ).agg(F.count_distinct("d").alias("census_dup_docs"))
+    # Components of the production pair graph, lazily checkpointed: the
+    # flags aggregate joins the labels TWICE (id_a, id_b side), and
+    # without the checkpoint each reference would re-run the spine join.
+    comp = _ckpt(
+        assign_components(
+            df.select(F.col(id_col)), id_col, emitted.select("id_a", "id_b")
+        ),
+        eager=False,
+        label="minhash_audit_components",
     )
-    subset_viol = emitted.join(census, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("__viol")
+    # ONE pass for census count / subset violations / recall hits /
+    # component merges (r14): both pair sets are distinct by
+    # construction (candidate .distinct() upstream; star pairs disjoint
+    # from verified rep pairs), so a full-outer join with presence
+    # markers preserves exact counts — no row multiplication.
+    both = census.withColumn("__c", F.lit(True)).join(
+        emitted.withColumn("__e", F.lit(True)), ["id_a", "id_b"], "full_outer"
     )
-    pair_hits = census.join(emitted, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("__pair_hits")
-    )
-    comp = assign_components(
-        df.select(F.col(id_col)), id_col, emitted.select("id_a", "id_b")
-    )
-    merged = (
-        census.join(
+    flags = (
+        both.join(
             comp.select(F.col(id_col).alias("id_a"), F.col("component").alias("__ca")),
             "id_a",
         )
@@ -809,12 +888,17 @@ def minhash_audit(
             comp.select(F.col(id_col).alias("id_b"), F.col("component").alias("__cb")),
             "id_b",
         )
-        .filter(F.col("__ca") == F.col("__cb"))
-        .agg(F.count(F.lit(1)).alias("__merged"))
+        .agg(
+            F.count("__c").alias("census_pairs"),
+            F.count(F.when(F.col("__e") & F.col("__c").isNull(), 1)).alias("__viol"),
+            F.count(F.when(F.col("__c") & F.col("__e"), 1)).alias("__pair_hits"),
+            F.count(
+                F.when(F.col("__c") & (F.col("__ca") == F.col("__cb")), 1)
+            ).alias("__merged"),
+        )
     )
     return (
-        n_docs.crossJoin(n_census).crossJoin(census_docs)
-        .crossJoin(subset_viol).crossJoin(pair_hits).crossJoin(merged)
+        n_docs.crossJoin(flags).crossJoin(census_docs)
         .select(
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("census_pairs").cast("bigint").alias("census_pairs"),
@@ -877,6 +961,15 @@ def simhash_audit(
     registration); production and portable pair sets are
     deterministic for fixed data, so the flags cannot flake.
     """
+    # NOTE (r14, measured and REJECTED per guide §1): two shared-token
+    # staging variants for the audit's five tokenize sites were tried —
+    # (a) a lazily-CHECKPOINTED sorted-token frame (warm 3.40 → 3.71 s:
+    # materializing the token arrays costs more than the saved
+    # re-splits at this corpus shape) and (b) a shared unmaterialized
+    # EXPRESSION (timing parity, but it dragged the signature paths'
+    # spread() repartition into the tokdups/census pipeline — one extra
+    # corpus-text exchange at scale for zero measured win).  The branch
+    # fusion below is the piece that survived measurement.
     base = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
     sigs = with_simhash(base, text_col).select(id_col, "simhash")
     emitted = simhash_candidate_pairs(
@@ -921,10 +1014,20 @@ def simhash_audit(
     tokdups = _ckpt(tokdups, eager=False, label="simhash_audit_tokdups")
 
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    n_tokdups = tokdups.agg(F.count(F.lit(1)).alias("tokset_dup_pairs"))
     n_portable = portable.agg(F.count(F.lit(1)).alias("portable_pairs"))
-    tokdup_missed = tokdups.join(emitted, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("__td_miss")
+    # census count + completeness miss in ONE aggregate (r14): both
+    # pair sets are distinct by construction (the candidate pipeline
+    # ends in .distinct(); the census join keys on a.id < b.id over
+    # unique ids), so a presence-marker left join preserves counts —
+    # this replaces a separate count branch plus a left-anti branch.
+    tok_flags = (
+        tokdups.join(
+            emitted.withColumn("__e", F.lit(True)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("tokset_dup_pairs"),
+            F.count(F.when(F.col("__e").isNull(), 1)).alias("__td_miss"),
+        )
     )
     # union-skip Jaccard (r13): __ts is already a distinct token set, so
     # |A∪B| = size(A)+size(B)−|A∩B| with O(1) size() calls — identical
@@ -948,8 +1051,7 @@ def simhash_audit(
         .agg(F.min("__j").alias("__min_j"))
     )
     return (
-        n_docs.crossJoin(n_tokdups).crossJoin(n_portable)
-        .crossJoin(tokdup_missed).crossJoin(min_j)
+        n_docs.crossJoin(tok_flags).crossJoin(n_portable).crossJoin(min_j)
         .select(
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("tokset_dup_pairs").cast("bigint").alias("tokset_dup_pairs"),
@@ -1186,6 +1288,7 @@ def containment_count_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact asymmetric-containment pairs via the inverted-index COUNT
     join — output identical to :func:`containment_prefix_pairs`
@@ -1209,9 +1312,23 @@ def containment_count_pairs(
     count (map-side combinable), while the prefix form re-shuffles the
     full gram ARRAYS through its two verify joins.  On zipfian corpora
     with a pruning prefix (high t, rare-gram prefixes) prefer
-    :func:`containment_prefix_pairs`; both forms need an upstream
-    hot-gram cap (``inverted_index``-style max_df) against boilerplate
-    grams, which dominate either enumeration.
+    :func:`containment_prefix_pairs`.
+
+    ``max_df`` (r14, VERDICT r13 item 3 / ADVICE r13): the hot-gram cap
+    the r13 docstring only warned about.  Grams held by more than
+    ``max_df`` documents are dropped from the occurrence join on BOTH
+    sides (one combinable pre-count over the exploded occurrences, then
+    a broadcast anti-join of the tiny ABOVE-cap set — the exact
+    ``inverted_index`` pattern), bounding the enumerated join rows at
+    Σ_g min(df(g), max_df)² — a single boilerplate gram at crawl scale
+    otherwise contributes df² rows on one reducer key.  APPROXIMATION
+    trade, stated plainly: a dropped gram no longer counts toward
+    |A∩B|, so containment scores can only shrink and pairs held
+    together solely by boilerplate grams are not emitted (usually the
+    desired reading — stop-grams carry no near-dup signal; the set
+    sizes |A|/|B| deliberately keep capped grams so the denominator
+    stays exact).  Default ``None`` = exact (the registered queries'
+    form; the fixture corpus has no hot gram).
 
     Exactness: grams are distinct strings per doc; occurrences are
     exploded from ``array_distinct`` of the xxhash64 grams and set
@@ -1244,6 +1361,19 @@ def containment_count_pairs(
             F.size("__h").alias("__sb"),
             F.explode("__h").alias("__gram"),
         )
+        if max_df is not None:
+            # hot-gram cap (see docstring): __h is per-doc DISTINCT, so
+            # the occurrence count per gram IS its document frequency —
+            # one combinable pre-count, then broadcast the tiny
+            # above-cap set into anti-joins on both explode sides.
+            hot = (
+                fa.groupBy("__gram")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_df)
+                .select("__gram")
+            )
+            fa = fa.join(F.broadcast(hot), "__gram", "left_anti")
+            fb = fb.join(F.broadcast(hot), "__gram", "left_anti")
         inter = (
             fa.join(
                 fb,
@@ -1271,6 +1401,32 @@ def containment_count_pairs(
         g.unpersist()
 
 
+def _word_gram_hashes(text_col: str, n: int) -> Column:
+    """Lex-sorted DISTINCT word-``n``-gram xxhash64 array for one text
+    column — the gram stage of :func:`jaccard_prefix_pairs`, factored
+    out (r14) so :func:`minhash_audit` can build it ONCE and feed both
+    the census prefix-join and the production signature pipeline.
+
+    Convention: single-space tokenizer (``split(lower(text), ' ')``),
+    docs shorter than ``n`` tokens collapse to one whole-text gram (the
+    slice-capped concat) — coincides with :func:`shingle`'s ``\\s+``
+    convention under the fixture single-space invariant (pinned by
+    tests/test_suite_contract.py).  The array is ordered by gram-STRING
+    lex order (sorted before hashing): a corpus-global total order, as
+    the prefix-filter theorem requires.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+    return F.transform(grams, lambda s: F.xxhash64(s))
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -1278,6 +1434,7 @@ def jaccard_prefix_pairs(
     n: int = 2,
     threshold: float = 0.5,
     order: str = "lex",
+    gram_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at scale via *prefix filtering* — the
     production replacement for blocking ``ngram_jaccard_pairs`` on a
@@ -1324,18 +1481,17 @@ def jaccard_prefix_pairs(
     ``containment_prefix_pairs``): double rounding must never overshoot
     an exact integer t·|X|, or the prefix/length/positional filters
     tighten by one and the lossless guarantee breaks.
+
+    ``gram_frame`` (r14, VERDICT r13 item 1): a pre-built, pre-PERSISTED
+    ``(id_col, __h)`` frame whose ``__h`` is each document's
+    :func:`_word_gram_hashes` array (same ``n``) — lets a caller that
+    needs the gram stage for something else too (:func:`minhash_audit`)
+    build it once.  The caller owns persistence and release; the arrays
+    must be in ONE corpus-global total order (the internal form's
+    gram-string lex order) or the prefix theorem's losslessness breaks.
     """
     if order not in ("lex", "freq"):
         raise ValueError(f"order must be 'lex' or 'freq', got {order!r}")
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
-    )
     # Strings exist only to define the (lexicographic) prefix order;
     # everything that moves through a shuffle or an intersect is the
     # grams' xxhash64 — long compares beat string compares and the
@@ -1348,11 +1504,15 @@ def jaccard_prefix_pairs(
     # (spread, so a single-row-group input can't serialize the gram
     # computation on one task), materialize the small verified-pairs
     # result eagerly, then release executor storage.
-    g = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
-        F.col(id_col),
-        F.transform(grams, lambda s: F.xxhash64(s)).alias("__h"),
-    )
-    g = g.persist()
+    own_g = gram_frame is None
+    if own_g:
+        g = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
+            F.col(id_col),
+            _word_gram_hashes(text_col, n).alias("__h"),
+        )
+        g = g.persist()
+    else:
+        g = gram_frame.select(F.col(id_col), F.col("__h"))
     p = None
     try:
         prefix_len = (
@@ -1464,7 +1624,8 @@ def jaccard_prefix_pairs(
         )
         return _ckpt(pairs, label="dedup_result")
     finally:
-        g.unpersist()
+        if own_g:
+            g.unpersist()
         if order == "freq" and p is not None:
             p.unpersist()
 

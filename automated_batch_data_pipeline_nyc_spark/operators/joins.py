@@ -459,6 +459,17 @@ def bloom_prefilter(
     constraint propagation, tripling the md5 count).  The downstream
     exact join makes results family-invariant; pass ``"portable"``
     when the bitmap itself must be replayable in another engine.
+
+    .. note:: **Behavior change in r13** (flagged by ADVICE r13): the
+       default flipped from ``"portable"`` (md5) to ``"fast"``.  The
+       PREFILTERED row set differs between families — same true
+       matches, different false-positive leftovers — so a caller that
+       compares this function's raw output across engines or against
+       pre-r13 recorded baselines must re-pin
+       ``hash_family="portable"`` explicitly.  Anything that applies
+       the downstream exact join (the intended use, and every suite
+       caller) is unaffected; ``bloom_fpp_audit`` pins the portable
+       family where the bitmap itself is the verified artifact.
     """
     from .stats import bloom_bitmap, bloom_build, bloom_might_contain
 

@@ -13656,24 +13656,100 @@ def _temporal_split(spark, sf_dir):
 # tests/test_suite_contract.py pins the window contents so future edits
 # can't evict entries unknowingly.
 
-#: Round-13 window (VERDICT r12 item 2 — the tools/next_window.py r13
-#: proposal, taken verbatim): slot 1 = the standing SS2 canary
-#: (clean_pipeline re-verifies every round so the reference surface is
-#: never more than one round stale); slots 2-11 = the r7-era stats/drift
-#: bucket (ks_drift_price, bootstrap_revenue_ci, auc_price_basket_size,
-#: chi2_event_dow, acf_daily_revenue, ...); slots 12-14 put the three
-#: remaining rows-only queries (dedup_minhash, dedup_simhash,
-#: bpe_train_merges) back under driver execution — dedup_minhash and
-#: dedup_simhash additionally changed REGISTERED FORM this round
-#: (bound-audit conversion, VERDICT r12 item 4), and dedup_graph_kcore
-#: (slot 15) changed form too (delta-peeling, VERDICT r12 item 7), so
-#: their window membership doubles as re-verification of the new forms;
-#: the rest of the window is the r7/r8 stale tail in proposal order.
+#: Round-14 window: slot 1 = the standing SS2 canary; slots 2-19 =
+#: every query whose operator internals changed this optimization round
+#: (shared-gram minhash_audit + fused audit branches, shared-token
+#: simhash_audit, fused CC rounds 0+1, batched pagerank checkpoints,
+#: containment max_df parameter, jpp gram_frame refactor) plus the
+#: VERDICT r13 item-10 consumers (gini/_hhi re-verify the r13
+#: equi-depth/global_row_number changes, bloom_fpp_audit pins the
+#: portable bloom family against the r13 fast-family default,
+#: bloom_prefilter_join re-verifies the flipped default end to end);
+#: the rest is the r14 stale-first proposal (tools/next_window.py) in
+#: proposal order.
 DRIVER_WINDOW: list[str] = [
-    # standing SS2 canary (reference clean_nyc_taxi_pipeline semantics)
     "clean_pipeline",
-    # stale-first re-verification (last driver-green r7) + the three
-    # rows-only queries and this round's changed registered forms
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_minhash_transitive",
+    "dedup_components",
+    "dedup_pipeline_transitive",
+    "dedup_survivor_by_quality",
+    "pagerank_order_part",
+    "containment_pairs_prefix",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_freq",
+    "dedup_graph_triangles",
+    "dedup_graph_kcore",
+    "dedup_simhash_portable",
+    "dedup_incremental_batch",
+    "gini_revenue_concentration",
+    "market_concentration_hhi",
+    "bloom_fpp_audit",
+    "bloom_prefilter_join",
+    "set_intersect",
+    "set_except",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_running_sum",
+    "hourly_event_counts",
+    "streaming_hourly_counts",
+    "merge_user_intervals",
+    "user_growth_daily",
+    "retention_cohorts",
+    "fk_integrity_audit",
+    "pivot_event_matrix",
+    "rollup_order_stats",
+    "quality_gate_report",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "duplicated_ngram_spans",
+    "dedup_embedding_cosine_lsh",
+    "url_canonical_dedup",
+    "edit_distance_pairs",
+    "fuzzy_levenshtein",
+    "knn_join_batch",
+    "embedding_gram_matrix",
+    "embedding_quantize",
+    "embedding_group_mean",
+    "multimodal_payload_meta",
+    "sink_roundtrip",
+]
+
+
+#: Never-driver-verified queries queued for the NEXT round's window.
+#: Every new registration this round must be appended here (it gets a
+#: driver slot in the r13 rotation ahead of stale re-verification).
+_NEXT_WINDOW_QUEUE: list[str] = []
+
+
+#: Driver-green in a past round (hash-stable; guarded by local oracle
+#: parity).  Grouped by the MOST RECENT driver-green round so the
+#: stale-first rotation (tools/next_window.py) is auditable by eye.
+#: EXPLICIT on purpose: a new registration that appears in none of the
+#: three lists fails the assert below at import time, so every new query
+#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
+_PREVIOUSLY_VERIFIED: list[str] = [
+    # stalest r14 proposal entries displaced by the changed-form
+    # re-verification block (first in line if rotation continues)
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "binaryfile_decode_fused",
+    "schema_evolution_roundtrip",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "scd2_orders_history",
+    "asof_click_attribution",
+    "sessionize_events",
+    "interval_overlap_pairs",
+    "resample_gap_fill",
+    "funnel_signup_purchase",
+    "sample_hash_fraction",
     "ks_drift_price",
     "bootstrap_revenue_ci",
     "auc_price_basket_size",
@@ -13684,10 +13760,7 @@ DRIVER_WINDOW: list[str] = [
     "dp_event_counts",
     "did_revenue_effect",
     "fdr_event_value_tests",
-    "dedup_minhash",
-    "dedup_simhash",
     "bpe_train_merges",
-    "dedup_graph_kcore",
     "similarity_topk",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -13723,73 +13796,6 @@ DRIVER_WINDOW: list[str] = [
     "top_k_customers",
     "ordered_limit",
     "set_union",
-]
-
-
-#: Never-driver-verified queries queued for the NEXT round's window.
-#: Every new registration this round must be appended here (it gets a
-#: driver slot in the r13 rotation ahead of stale re-verification).
-_NEXT_WINDOW_QUEUE: list[str] = []
-
-
-#: Driver-green in a past round (hash-stable; guarded by local oracle
-#: parity).  Grouped by the MOST RECENT driver-green round so the
-#: stale-first rotation (tools/next_window.py) is auditable by eye.
-#: EXPLICIT on purpose: a new registration that appears in none of the
-#: three lists fails the assert below at import time, so every new query
-#: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
-_PREVIOUSLY_VERIFIED: list[str] = [
-    # most recent driver-green row: round 8 (CORRECTNESS_r08.json)
-    "set_intersect",
-    "set_except",
-    "window_topk_per_group",
-    "window_lag_delta",
-    "window_moving_avg",
-    "window_running_sum",
-    "hourly_event_counts",
-    "streaming_hourly_counts",
-    "merge_user_intervals",
-    "user_growth_daily",
-    "retention_cohorts",
-    "fk_integrity_audit",
-    "pivot_event_matrix",
-    "rollup_order_stats",
-    "quality_gate_report",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_ngram_jaccard_freq",
-    "duplicated_ngram_spans",
-    "dedup_embedding_cosine_lsh",
-    "dedup_components",
-    "dedup_pipeline_transitive",
-    "url_canonical_dedup",
-    "edit_distance_pairs",
-    "fuzzy_levenshtein",
-    "knn_join_batch",
-    "embedding_gram_matrix",
-    "embedding_quantize",
-    "embedding_group_mean",
-    "multimodal_payload_meta",
-    "sink_roundtrip",
-    "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
-    # most recent driver-green row: round 9 (CORRECTNESS_r09.json)
-    "binaryfile_decode_fused",
-    "schema_evolution_roundtrip",
-    "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "scd2_orders_history",
-    "asof_click_attribution",
-    "sessionize_events",
-    "interval_overlap_pairs",
-    "resample_gap_fill",
-    "funnel_signup_purchase",
-    "sample_hash_fraction",
     "train_test_split_counts",
     "mixture_by_source",
     "sample_per_group",
@@ -13810,7 +13816,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "exact_moment_stats",
     "group_linear_fit",
     "mutual_information",
-    "pagerank_order_part",
     "cross_source_contamination",
     "streaming_sessionize",
     "streaming_dedup_counts",
@@ -13828,7 +13833,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "top_supplier_revenue",
     "embedding_pca_project",
     "bpe_encode_tokens",
-    # most recent driver-green row: round 10 (CORRECTNESS_r10.json)
     "dedup_span_removal",
     "dominant_part_suppliers",
     "sole_supplier_open_orders",
@@ -13845,8 +13849,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "line_boilerplate_removal",
     "html_text_extraction",
     "inverted_index_postings",
-    "dedup_survivor_by_quality",
-    "dedup_incremental_batch",
     "null_safe_enrich",
     "join_full_outer",
     "window_percentile_ranks_dist",
@@ -13877,10 +13879,7 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "mahalanobis_outliers",
     "embedding_centroids",
     "embedding_centroids_udaf",
-    # most recent driver-green row: round 11 (CORRECTNESS_r11.json)
-    "containment_pairs_prefix",
     "dedup_minhash_portable",
-    "dedup_simhash_portable",
     "asof_next_purchase",
     "cheapest_part_supplier_region",
     "late_ship_priority_counts",
@@ -13927,7 +13926,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "approx_distinct",
     "hll_mergeable_rollup",
     "hll_audience_overlap",
-    # most recent driver-green row: round 12 (CORRECTNESS_r12.json)
     "schema_contract_enforced",
     "url_ingest_roundtrip",
     "sql_extract_roundtrip",
@@ -13936,8 +13934,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "asof_nearest_event",
     "gopher_quality_rules",
     "user_activity_streaks",
-    "bloom_prefilter_join",
-    "bloom_fpp_audit",
     "bpe_pair_counts",
     "semdedup_prune",
     "k_anonymity_events",
@@ -13961,7 +13957,6 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "rfm_segments",
     "cusum_changepoint_daily",
     "rolling_corr_daily",
-    "market_concentration_hhi",
     "keyness_log_odds",
     "ab_test_conversion",
     "cohort_ltv_curve",
@@ -13969,14 +13964,11 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "txlog_time_travel",
     "graph_bfs_hops",
     "survival_kaplan_meier",
-    "gini_revenue_concentration",
     "seasonal_dow_anomalies",
     "user_event_entropy",
     "l_diversity_events",
     "zipf_vocab_fit",
-    "dedup_minhash_transitive",
     "similarity_ivf_topk",
-    "dedup_graph_triangles",
 ]
 
 

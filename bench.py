@@ -160,7 +160,18 @@ def _run() -> dict:
         "containment_pairs_blocked",
     ]
 
-    run_list = [n for n in QUERIES if n not in excluded]
+    # Run order PINNED independently of the driver window (r14, VERDICT
+    # r13 item 4): QUERIES is window-rotated every round, so iterating
+    # it put a fresh set of queries into the JIT-cold head region
+    # (slots ~2-14) each rotation and manufactured 2-4 s phantom
+    # per-query deltas cross-round (r13: ks_drift_price 3.8 record vs
+    # 1.97 warm).  Alphabetical order never changes, so from r14 on the
+    # cold region taxes the SAME queries every round and per-query
+    # times compare like-for-like across rotations.  Timing methodology
+    # per query (noop sink, same loop) is untouched; the one-time
+    # reordering artifact vs the r13 record is disclosed in
+    # OPTIMIZATION_r14.md with warm A/Bs for the new head queries.
+    run_list = sorted(n for n in QUERIES if n not in excluded)
 
     # Sacrificial slot-1 warmup (VERDICT r11 item 4): whichever query
     # runs first absorbs ~5-6 s of first-query codegen/JIT bring-up

@@ -2696,6 +2696,51 @@ def test_span_ops_null_text_semantics(spark):
     assert got2[3].n_tokens_removed == 0
 
 
+def test_gram_frame_paths_match_internal_shingling(spark):
+    """r14 shared gram stage (VERDICT r13 item 1): minhash_pairs and
+    jaccard_prefix_pairs fed the pre-built _word_gram_hashes frame must
+    emit exactly the pair sets their internally-shingled forms emit —
+    the signature/verify are order- and duplicate-insensitive and the
+    census prefix order matches, given the single-space tokenizer
+    convention the fixture pins."""
+    from automated_batch_data_pipeline_nyc_spark.operators.dedup import (
+        _word_gram_hashes,
+    )
+    from automated_batch_data_pipeline_nyc_spark.operators.util import spread
+
+    rows = []
+    for i in range(60):
+        fam = i % 12
+        rows.append((i, f"alpha beta gamma delta epsilon zeta eta theta doc{fam} tail{fam}"))
+    # two exact-dup families + a near-dup pair
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    g = spread(df.select("doc_id", "text"), key="doc_id").select(
+        F.col("doc_id"), _word_gram_hashes("text", 3).alias("__h")
+    ).persist()
+    try:
+        mh_int = {(r.id_a, r.id_b) for r in dd.minhash_pairs(
+            df, "text", "doc_id", shingle_size=3, jaccard_threshold=0.5
+        ).collect()}
+        mh_shared = {(r.id_a, r.id_b) for r in dd.minhash_pairs(
+            df, "text", "doc_id", shingle_size=3, jaccard_threshold=0.5,
+            gram_frame=g,
+        ).collect()}
+        assert mh_shared == mh_int and mh_int
+
+        jp_int = {(r.id_a, r.id_b, r.jaccard) for r in dd.jaccard_prefix_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()}
+        jp_shared = {(r.id_a, r.id_b, r.jaccard) for r in dd.jaccard_prefix_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, gram_frame=g
+        ).collect()}
+        assert jp_shared == jp_int and jp_int
+    finally:
+        g.unpersist()
+
+
 def test_minhash_audit_verdicts_on_synthetic_dups(spark):
     """The bound-audit form (r13 conversion of dedup_minhash): exact
     dups + a high-overlap near-dup pair must land in the census AND be

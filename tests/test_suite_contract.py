@@ -21,55 +21,55 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: editing both suite.DRIVER_WINDOW and this list, i.e. deliberately.
 EXPECTED_WINDOW = [
     "clean_pipeline",
-    "ks_drift_price",
-    "bootstrap_revenue_ci",
-    "auc_price_basket_size",
-    "chi2_event_dow",
-    "acf_daily_revenue",
-    "trimmed_mean_prices",
-    "kmv_distinct_users",
-    "dp_event_counts",
-    "did_revenue_effect",
-    "fdr_event_value_tests",
     "dedup_minhash",
     "dedup_simhash",
-    "bpe_train_merges",
+    "dedup_minhash_transitive",
+    "dedup_components",
+    "dedup_pipeline_transitive",
+    "dedup_survivor_by_quality",
+    "pagerank_order_part",
+    "containment_pairs_prefix",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_freq",
+    "dedup_graph_triangles",
     "dedup_graph_kcore",
-    "similarity_topk",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "filter_equality",
-    "filter_null_disjunction",
-    "filter_hour_range",
-    "projection_rename_drop",
-    "constant_column_stamp",
-    "string_filter_generic",
-    "time_bucket_enrich",
-    "datetime_parts",
-    "datetime_coerce",
-    "string_trim",
-    "json_extract_props",
-    "row_count",
-    "filtered_count",
-    "null_matrix",
-    "group_agg_stats",
-    "time_bucket_rollup",
-    "distinct_count",
-    "pricing_summary",
-    "join_broadcast_dims",
-    "join_left_enrich",
-    "join_semi",
-    "lm_perplexity_scores",
-    "binaryfile_ingest_roundtrip",
-    "ivf_probe_verified",
-    "temporal_split_audit",
-    "join_anti",
-    "join_range_buckets",
-    "sql_revenue_by_nation",
-    "shipping_priority_topk",
-    "top_k_customers",
-    "ordered_limit",
-    "set_union",
+    "dedup_simhash_portable",
+    "dedup_incremental_batch",
+    "gini_revenue_concentration",
+    "market_concentration_hhi",
+    "bloom_fpp_audit",
+    "bloom_prefilter_join",
+    "set_intersect",
+    "set_except",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_running_sum",
+    "hourly_event_counts",
+    "streaming_hourly_counts",
+    "merge_user_intervals",
+    "user_growth_daily",
+    "retention_cohorts",
+    "fk_integrity_audit",
+    "pivot_event_matrix",
+    "rollup_order_stats",
+    "quality_gate_report",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "duplicated_ngram_spans",
+    "dedup_embedding_cosine_lsh",
+    "url_canonical_dedup",
+    "edit_distance_pairs",
+    "fuzzy_levenshtein",
+    "knn_join_batch",
+    "embedding_gram_matrix",
+    "embedding_quantize",
+    "embedding_group_mean",
+    "multimodal_payload_meta",
+    "sink_roundtrip",
 ]
 
 
