@@ -317,9 +317,22 @@ def _two_sample_running_counts(
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    from .util import spread
+
     v = F.col(value_col)
-    base = df.filter(v.isNotNull()).select(
-        v.alias("__v"), is_a.cast("boolean").alias("__a")
+    # spread (r14): a small parquet input plans as a handful of scan
+    # splits (sf0.1 lineitem = 3), serializing the histogram's
+    # map-side partial aggregate on 3 cores however many the cluster
+    # has; hash-repartitioning on the high-cardinality value first
+    # distributes it AND co-locates equal values so the partial agg
+    # collapses them before the groupBy exchange (measured on the
+    # trimmed-mean twin of this pipeline: 3.3 → 2.2 s warm at sf0.1;
+    # a no-op at scale where the scan already fans out).
+    base = spread(
+        df.filter(v.isNotNull()).select(
+            v.alias("__v"), is_a.cast("boolean").alias("__a")
+        ),
+        key="__v",
     )
     hist = base.groupBy("__v").agg(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("__ca"),
@@ -1249,14 +1262,19 @@ def trimmed_mean(
         raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
     from pyspark.sql import Window as Wn
 
-    hist = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(
+    from .util import spread
+
+    # spread (r14): same small-input fix as _two_sample_running_counts —
+    # the histogram's map-side partial aggregate otherwise runs on the
+    # scan's few splits (3 at sf0.1); measured 3.3 → 2.2 s warm here.
+    base = spread(
+        df.filter(F.col(value_col).isNotNull()).select(
             F.col(group_col).alias("__g"),
             F.col(value_col).cast("decimal(18,2)").alias("__v"),
-        )
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        ),
+        key="__v",
     )
+    hist = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__cnt"))
     h = _equi_depth_buckets(hist, n_buckets, stage=stage)
     btot = h.groupBy("__g", "__b").agg(F.sum("__cnt").alias("__bc"))
     w_excl = (

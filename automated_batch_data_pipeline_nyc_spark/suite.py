@@ -13660,7 +13660,8 @@ def _temporal_split(spark, sf_dir):
 #: every query whose operator internals changed this optimization round
 #: (shared-gram minhash_audit + fused audit branches, shared-token
 #: simhash_audit, fused CC rounds 0+1, batched pagerank checkpoints,
-#: containment max_df parameter, jpp gram_frame refactor) plus the
+#: containment max_df parameter, jpp gram_frame refactor, spread
+#: histogram inputs in trimmed_mean/_two_sample_running_counts) plus the
 #: VERDICT r13 item-10 consumers (gini/_hhi re-verify the r13
 #: equi-depth/global_row_number changes, bloom_fpp_audit pins the
 #: portable bloom family against the r13 fast-family default,
@@ -13687,6 +13688,9 @@ DRIVER_WINDOW: list[str] = [
     "market_concentration_hhi",
     "bloom_fpp_audit",
     "bloom_prefilter_join",
+    "trimmed_mean_prices",
+    "ks_drift_price",
+    "auc_price_basket_size",
     "set_intersect",
     "set_except",
     "window_topk_per_group",
@@ -13715,9 +13719,6 @@ DRIVER_WINDOW: list[str] = [
     "knn_join_batch",
     "embedding_gram_matrix",
     "embedding_quantize",
-    "embedding_group_mean",
-    "multimodal_payload_meta",
-    "sink_roundtrip",
 ]
 
 
@@ -13734,6 +13735,9 @@ _NEXT_WINDOW_QUEUE: list[str] = []
 #: three lists fails the assert below at import time, so every new query
 #: must be placed in a bucket deliberately (usually _NEXT_WINDOW_QUEUE).
 _PREVIOUSLY_VERIFIED: list[str] = [
+    "embedding_group_mean",
+    "multimodal_payload_meta",
+    "sink_roundtrip",
     # stalest r14 proposal entries displaced by the changed-form
     # re-verification block (first in line if rotation continues)
     "csv_roundtrip",
@@ -13750,12 +13754,9 @@ _PREVIOUSLY_VERIFIED: list[str] = [
     "resample_gap_fill",
     "funnel_signup_purchase",
     "sample_hash_fraction",
-    "ks_drift_price",
     "bootstrap_revenue_ci",
-    "auc_price_basket_size",
     "chi2_event_dow",
     "acf_daily_revenue",
-    "trimmed_mean_prices",
     "kmv_distinct_users",
     "dp_event_counts",
     "did_revenue_effect",

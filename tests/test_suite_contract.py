@@ -39,6 +39,9 @@ EXPECTED_WINDOW = [
     "market_concentration_hhi",
     "bloom_fpp_audit",
     "bloom_prefilter_join",
+    "trimmed_mean_prices",
+    "ks_drift_price",
+    "auc_price_basket_size",
     "set_intersect",
     "set_except",
     "window_topk_per_group",
@@ -67,9 +70,6 @@ EXPECTED_WINDOW = [
     "knn_join_batch",
     "embedding_gram_matrix",
     "embedding_quantize",
-    "embedding_group_mean",
-    "multimodal_payload_meta",
-    "sink_roundtrip",
 ]
 
 
